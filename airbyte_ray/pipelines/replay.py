@@ -1,0 +1,345 @@
+"""The flagship pipeline: CDC change-event replay → exactly-once lake upsert.
+
+Re-expresses the reference's append-dedup merge (``base-normalization/.../
+stream_processor.py:742-1011`` — SCD2 window: ``row_number() over (partition
+by unique_key order by cursor desc) = 1``, active iff not deleted, replay
+dedup of identical redeliveries) as an idiomatic Ray Data plan:
+
+    read_event_log(lsn > watermark)                 # predicate pushdown
+      → map_batches(_pre_reduce, pyarrow)           # per-batch LWW combiner
+                                                    #   + salted partition keys
+      → groupby(part_salt).map_groups(lww)          # salted reduce (hot keys
+                                                    #   split across salts)
+      → groupby(part).map_groups(_merge_partition)  # reconcile salts, merge
+                                                    #   with old segment, write
+      → lineage rows (P small rows) → manifest.commit()
+
+Why this shape at 100 TB:
+
+* the per-batch combiner collapses duplicate keys *before* any shuffle, so
+  a hot doc_id contributes at most one row per input block to the exchange;
+* salting (``part_salt = part * S + lsn % S``) bounds any remaining skew —
+  the final ``groupby(part)`` is the reconciliation pass over already-reduced
+  (tiny) data, per the north rule;
+* the only large shuffle is the salted groupby, keyed by an int;
+* exactly-once: segments have deterministic paths derived from the committed
+  watermark; a retried/crashed run rewrites identical bytes; visibility is
+  the atomic manifest replace (BufferedStreamConsumer commit discipline,
+  ``BufferedStreamConsumer.java:205-290``);
+* monotonic-LSN guard: the read filters ``lsn > watermark``, so stale
+  redeliveries from previous runs never re-enter (the reference's
+  ``isRecordBehindOffset`` / row_number replay-dedup,
+  ``DebeziumStateDecoratingIterator.java:162-167``).
+
+Partition-count rule of thumb: keys/partition × row-bytes must fit a worker
+task heap — at 10^9 keys × ~1 KiB rows choose P ≈ 8–16k so a partition is
+~64–128 MiB; P is fixed per lake at init and reused by every run (one
+partitioning key for the table's lifetime).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass
+from functools import partial
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray.data
+
+from ..schemas import CDC_DELETED_AT, CDC_UPDATED_AT, conform_table, unify_schemas
+from ..sources.event_log import read_event_log, snapshot_as_events
+from ..state.manifest import Manifest, PartitionEntry
+
+#: event-envelope columns that are not payload
+_META_COLS = ("lsn", "op", CDC_UPDATED_AT, CDC_DELETED_AT, "part", "part_salt", "n_src")
+#: internal columns stored in lake segments alongside the payload
+LSN_COL = "_ab_lsn"
+
+
+def stable_hash(ids: pa.ChunkedArray | pa.Array | np.ndarray) -> np.ndarray:
+    """Deterministic (cross-process) uint64 hash of a string key column.
+    pandas' ``hash_array`` is keyed SipHash with a fixed default key, so the
+    same doc_id maps to the same partition on every worker of every run."""
+    if isinstance(ids, (pa.ChunkedArray, pa.Array)):
+        ids = ids.to_numpy(zero_copy_only=False)
+    return pd.util.hash_array(np.asarray(ids, dtype=object), categorize=False)
+
+
+def lww_reduce(t: pa.Table) -> pa.Table:
+    """Vectorized last-writer-wins: keep the max-lsn row per doc_id.
+
+    Identical redeliveries (same lsn) collapse to one row.  If an ``n_src``
+    column is present it is summed per key (applied-event lineage count).
+    Mirrors the reference's ``row_number() = 1`` window (stream_processor.py:
+    884-898) for a unique monotonic cursor."""
+    if t.num_rows == 0:
+        return t
+    t = t.take(pc.sort_indices(t, sort_keys=[("lsn", "descending")]))
+    ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    inv, _ = pd.factorize(ids, sort=False)
+    first = ~pd.Index(inv).duplicated(keep="first")
+    if "n_src" in t.schema.names:
+        sums = np.bincount(inv, weights=t["n_src"].to_numpy().astype(np.float64))
+        t = t.drop_columns(["n_src"])
+        kept = t.filter(pa.array(first))
+        return kept.append_column("n_src", pa.array(sums[inv[first]].astype(np.int64)))
+    return t.filter(pa.array(first))
+
+
+def _pre_reduce(t: pa.Table, num_partitions: int, salt_factor: int) -> pa.Table:
+    """Per-batch combiner + partition keys.  Runs before any shuffle."""
+    if t.num_rows == 0:
+        return t
+    if "n_src" not in t.schema.names:
+        t = t.append_column("n_src", pa.array(np.ones(t.num_rows, np.int64)))
+    t = lww_reduce(t)
+    h = stable_hash(t["doc_id"])
+    part = (h % np.uint64(num_partitions)).astype(np.int64)
+    lsn = t["lsn"].to_numpy()
+    salt = lsn % salt_factor if salt_factor > 1 else np.zeros(len(lsn), np.int64)
+    t = t.append_column("part", pa.array(part))
+    return t.append_column("part_salt", pa.array(part * salt_factor + salt))
+
+
+def _lww_group(t: pa.Table) -> pa.Table:
+    return lww_reduce(t)
+
+
+def _merge_partition(group: pa.Table, ctx: dict) -> pa.Table:
+    """Reconcile + merge one hash partition; write its new segment; return a
+    one-row lineage table.  Runs as a stateless Ray task per partition."""
+    t = lww_reduce(group)
+    part = int(t["part"][0].as_py())
+    out_schema = pa.ipc.read_schema(pa.BufferReader(ctx["schema"]))
+    seg_schema = pa.schema(
+        list(out_schema)
+        + [pa.field(LSN_COL, pa.int64()), pa.field(CDC_UPDATED_AT, pa.timestamp("us", tz="UTC"))]
+    )
+
+    lsn_lo = int(pc.min(t["lsn"]).as_py())
+    lsn_hi = int(pc.max(t["lsn"]).as_py())
+    n_events = int(pc.sum(t["n_src"]).as_py()) if "n_src" in t.schema.names else t.num_rows
+
+    # survivors of this run's changes (deletes drop out — tombstones)
+    live = t.filter(pc.not_equal(t["op"], "delete"))
+    upserts = conform_table(live, out_schema)
+    upserts = upserts.append_column(LSN_COL, live["lsn"])
+    ts_type = pa.timestamp("us", tz="UTC")
+    if CDC_UPDATED_AT in live.schema.names:
+        upserts = upserts.append_column(CDC_UPDATED_AT, live[CDC_UPDATED_AT].cast(ts_type))
+    else:
+        upserts = upserts.append_column(CDC_UPDATED_AT, pa.nulls(live.num_rows, ts_type))
+
+    # previous partition state minus touched keys (touched keys are fully
+    # replaced: changes always carry lsn > committed watermark >= old lsn)
+    old_rel = ctx["old_segments"].get(part)
+    if old_rel is not None:
+        old = pq.read_table(os.path.join(ctx["lake_dir"], old_rel))
+        keep = old.filter(pc.invert(pc.is_in(old["doc_id"], value_set=t["doc_id"].combine_chunks())))
+        keep = conform_table(keep, seg_schema)
+        new_seg = pa.concat_tables([keep, conform_table(upserts, seg_schema)])
+    else:
+        new_seg = conform_table(upserts, seg_schema)
+
+    new_seg = new_seg.take(pc.sort_indices(new_seg, sort_keys=[("doc_id", "ascending")]))
+
+    # deterministic segment path → idempotent under task retry / crash replay
+    rel = os.path.join(f"part={part:05d}", f"seg-{ctx['run_lsn_hi']:014d}.parquet")
+    abs_path = os.path.join(ctx["lake_dir"], rel)
+    os.makedirs(os.path.dirname(abs_path), exist_ok=True)
+    tmp = abs_path + f".tmp-{os.getpid()}"
+    pq.write_table(new_seg, tmp)
+    os.replace(tmp, abs_path)
+
+    checksum = int(
+        (stable_hash(new_seg["doc_id"]) + new_seg[LSN_COL].to_numpy().astype(np.uint64)).sum()
+        % np.uint64(2**63 - 1)
+    ) if new_seg.num_rows else 0
+
+    return pa.table(
+        {
+            "part": pa.array([part], pa.int64()),
+            "path": pa.array([rel]),
+            "rows": pa.array([new_seg.num_rows], pa.int64()),
+            "lsn_lo": pa.array([lsn_lo], pa.int64()),
+            "lsn_hi": pa.array([lsn_hi], pa.int64()),
+            "n_events": pa.array([n_events], pa.int64()),
+            "checksum": pa.array([checksum], pa.int64()),
+        }
+    )
+
+
+@dataclass
+class ReplayConfig:
+    num_partitions: int = 64
+    salt_factor: int = 4
+    batch_size: int | None = None  # None → Ray picks per-block batches (zero-copy)
+
+
+class LakeTable:
+    """A partitioned Parquet lake table with exactly-once CDC upsert apply.
+
+    Layout::
+
+        <lake_dir>/part=00017/seg-<watermark>.parquet   # one live segment/partition
+        <lake_dir>/_manifest/manifest.json              # atomic commit point
+    """
+
+    def __init__(self, lake_dir: str, config: ReplayConfig | None = None):
+        self.lake_dir = lake_dir
+        m = Manifest.load(lake_dir)
+        if m is None:
+            cfg = config or ReplayConfig()
+            m = Manifest(num_partitions=cfg.num_partitions, salt_factor=cfg.salt_factor)
+        elif config is not None and config.num_partitions != m.num_partitions:
+            raise ValueError("num_partitions is fixed at lake creation")
+        self.manifest = m
+        self.config = config or ReplayConfig(m.num_partitions, m.salt_factor)
+
+    # -- write path --------------------------------------------------------
+    def init_snapshot(self, base: ray.data.Dataset) -> dict:
+        """Bootstrap the lake from an initial snapshot (op=insert @ lsn 0)."""
+        return self._apply_ds(snapshot_as_events(base, lsn=0))
+
+    def apply_log(self, paths: str | list[str], max_lsn: int | None = None) -> dict:
+        """Apply a change log from parquet (only lsn > watermark is read)."""
+        ds = read_event_log(paths, min_lsn=self.manifest.watermark, max_lsn=max_lsn)
+        return self._apply_ds(ds, already_filtered=True)
+
+    def apply_chunked(self, paths: str | list[str], chunk_lsns: int) -> list[dict]:
+        """Checkpointed replay: apply in LSN windows of ``chunk_lsns``, one
+        manifest commit per window (the CDC checkpoint-cadence analog,
+        ``DebeziumStateDecoratingIterator.java:30-31``).  A killed run resumes
+        from the last committed window."""
+        top_ = read_event_log(paths, min_lsn=self.manifest.watermark).max("lsn")
+        if top_ is None:
+            return []
+        top = int(top_)
+        stats: list[dict] = []
+        while self.manifest.watermark < top:
+            nxt = min(self.manifest.watermark + chunk_lsns, top)
+            stats.append(self.apply_log(paths, max_lsn=nxt))
+        return stats
+
+    def _apply_ds(self, events: ray.data.Dataset, already_filtered: bool = False) -> dict:
+        m = self.manifest
+        wm = m.watermark
+        if not already_filtered:
+            events = events.map_batches(
+                lambda t: t.filter(pc.greater(t["lsn"], pa.scalar(wm, pa.int64()))),
+                batch_format="pyarrow",
+            )
+
+        # unified output schema: previous lake schema ∪ incoming payload schema
+        ev_schema = events.schema()
+        if ev_schema is None:  # fully-filtered input: nothing newer than watermark
+            return {"applied_events": 0, "partitions": 0, "watermark": wm, "sec": 0.0}
+        ev_fields = [
+            pa.field(n, t)
+            for n, t in zip(ev_schema.names, ev_schema.types)
+            if n not in _META_COLS and n != "op"
+        ]
+        payload = pa.schema(ev_fields)  # doc_id + payload columns
+        out_schema = payload if m.schema is None else unify_schemas(m.schema, payload)
+
+        t0 = time.perf_counter()
+        pre = events.map_batches(
+            partial(_pre_reduce, num_partitions=m.num_partitions, salt_factor=m.salt_factor),
+            batch_format="pyarrow",
+            batch_size=self.config.batch_size,
+        )
+        if m.salt_factor > 1:
+            reduced = pre.groupby("part_salt").map_groups(_lww_group, batch_format="pyarrow")
+        else:
+            reduced = pre
+
+        ctx = {
+            "lake_dir": self.lake_dir,
+            "schema": out_schema.serialize().to_pybytes(),
+            "old_segments": {p: e.path for p, e in m.partitions.items()},
+            "run_lsn_hi": 0,  # patched below once known? no — must be deterministic
+        }
+        # Deterministic run id: the previous watermark (unique per committed
+        # run chain; a crashed rerun reproduces the same segment paths).
+        ctx["run_lsn_hi"] = wm + 1
+
+        lineage_ds = reduced.groupby("part").map_groups(
+            partial(_merge_partition, ctx=ctx), batch_format="pyarrow"
+        )
+        lineage = lineage_ds.take_all()  # ≤ P small dicts
+        elapsed = time.perf_counter() - t0
+
+        if not lineage:
+            return {"applied_events": 0, "partitions": 0, "watermark": wm, "sec": elapsed}
+
+        new_wm = max(r["lsn_hi"] for r in lineage)
+        n_events = int(sum(r["n_events"] for r in lineage))
+        for r in lineage:
+            prev = m.partitions.get(int(r["part"]))
+            m.partitions[int(r["part"])] = PartitionEntry(
+                part=int(r["part"]),
+                path=r["path"],
+                rows=int(r["rows"]),
+                lsn_lo=int(r["lsn_lo"]),
+                lsn_hi=int(r["lsn_hi"]),
+                n_events=int(r["n_events"]) + (prev.n_events if prev else 0),
+                checksum=int(r["checksum"]),
+            )
+        m.runs.append(
+            {
+                "prev_watermark": wm,
+                "watermark": int(new_wm),
+                "applied_events": n_events,
+                "partitions": len(lineage),
+                "sec": round(elapsed, 3),
+            }
+        )
+        m.watermark = int(new_wm)
+        m.set_schema(out_schema)
+        m.commit(self.lake_dir)
+        return {
+            "applied_events": n_events,
+            "partitions": len(lineage),
+            "watermark": m.watermark,
+            "sec": elapsed,
+        }
+
+    # -- read path ---------------------------------------------------------
+    def segment_paths(self) -> list[str]:
+        return [os.path.join(self.lake_dir, e.path) for e in self.manifest.partitions.values()]
+
+    def read(self, payload_only: bool = True) -> ray.data.Dataset:
+        """The committed table as a Dataset (only manifest-visible segments)."""
+        m = self.manifest
+        paths = self.segment_paths()
+        if not paths:
+            return ray.data.from_arrow((m.schema or pa.schema([])).empty_table())
+        schema = m.schema
+        seg_schema = pa.schema(
+            list(schema)
+            + [pa.field(LSN_COL, pa.int64()), pa.field(CDC_UPDATED_AT, pa.timestamp("us", tz="UTC"))]
+        )
+        ds = ray.data.read_parquet(paths)
+        target = schema if payload_only else seg_schema
+        return ds.map_batches(partial(conform_table, schema=target), batch_format="pyarrow")
+
+    def to_table(self, payload_only: bool = True) -> pa.Table:
+        """Small-result helper for tests: full table sorted by doc_id
+        (driver-side read — do not use at scale)."""
+        tbls = [pq.read_table(p) for p in self.segment_paths()]
+        schema = self.manifest.schema
+        if not tbls:
+            return schema.empty_table() if schema else pa.table({})
+        target = schema
+        if not payload_only:
+            target = pa.schema(
+                list(schema)
+                + [pa.field(LSN_COL, pa.int64()), pa.field(CDC_UPDATED_AT, pa.timestamp("us", tz="UTC"))]
+            )
+        out = pa.concat_tables([conform_table(t, target) for t in tbls])
+        return out.take(pc.sort_indices(out, sort_keys=[("doc_id", "ascending")]))

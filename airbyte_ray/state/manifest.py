@@ -1,0 +1,96 @@
+"""Commit manifest: exactly-once visibility + resumable checkpoints.
+
+Reference discipline (SURVEY §2.2/§2.11): a destination buffers records,
+flushes segments, and only *then* emits the committed STATE message
+(``BufferedStreamConsumer.java:158-229,247-290``; CDC offset round-trip
+``AirbyteFileOffsetBackingStore.java:39-97``).  Our analog:
+
+* data segments are written first (deterministic paths, overwrite-idempotent);
+* then the manifest JSON is atomically replaced (temp file + ``os.replace``).
+
+A crash between the two leaves orphan segment files that are simply not
+visible; a resumed run recomputes them at the same path (same inputs → same
+bytes) and commits.  The manifest records, per hash partition, the current
+segment plus lineage (rows, lsn_lo/lsn_hi applied, checksum) and a global
+``watermark`` = highest committed LSN — the replay cursor
+(``CdcTargetPosition`` / STATE-message analog).
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import os
+from dataclasses import dataclass, field, asdict
+
+import pyarrow as pa
+
+
+@dataclass
+class PartitionEntry:
+    part: int
+    path: str  # segment path relative to lake root
+    rows: int
+    lsn_lo: int  # lowest lsn applied into this segment's lineage (this run chain)
+    lsn_hi: int  # highest lsn applied
+    n_events: int  # events applied across the partition's lifetime
+    checksum: int  # order-insensitive hash of (doc_id, lsn) pairs in the segment
+
+
+@dataclass
+class Manifest:
+    num_partitions: int
+    salt_factor: int = 1
+    watermark: int = -1  # highest committed LSN, exclusive filter `lsn > watermark`
+    schema_b64: str | None = None  # serialized unified Arrow schema
+    runs: list[dict] = field(default_factory=list)
+    partitions: dict[int, PartitionEntry] = field(default_factory=dict)
+
+    # -- schema ------------------------------------------------------------
+    @property
+    def schema(self) -> pa.Schema | None:
+        if self.schema_b64 is None:
+            return None
+        return pa.ipc.read_schema(pa.BufferReader(base64.b64decode(self.schema_b64)))
+
+    def set_schema(self, schema: pa.Schema) -> None:
+        self.schema_b64 = base64.b64encode(schema.serialize().to_pybytes()).decode()
+
+    # -- persistence -------------------------------------------------------
+    @staticmethod
+    def path_for(lake_dir: str) -> str:
+        return os.path.join(lake_dir, "_manifest", "manifest.json")
+
+    @classmethod
+    def load(cls, lake_dir: str) -> "Manifest | None":
+        p = cls.path_for(lake_dir)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            d = json.load(f)
+        m = cls(
+            num_partitions=d["num_partitions"],
+            salt_factor=d.get("salt_factor", 1),
+            watermark=d["watermark"],
+            schema_b64=d.get("schema_b64"),
+            runs=d.get("runs", []),
+        )
+        m.partitions = {int(k): PartitionEntry(**v) for k, v in d.get("partitions", {}).items()}
+        return m
+
+    def commit(self, lake_dir: str) -> None:
+        """Atomic replace: the manifest becomes visible all-or-nothing."""
+        p = self.path_for(lake_dir)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        d = asdict(self)
+        d["partitions"] = {str(k): asdict(v) for k, v in self.partitions.items()}
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(d, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, p)
+
+    # -- lineage invariants (asserted in tests; FIXTURES F6.4) -------------
+    def lineage_rows(self) -> int:
+        return sum(e.rows for e in self.partitions.values())

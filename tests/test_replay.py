@@ -1,0 +1,120 @@
+"""Flagship pipeline correctness: CDC replay vs the sequential oracle.
+
+Mirrors the reference acceptance suites: CdcSourceTest (snapshot/update/
+delete), DestinationAcceptanceTest.testIncrementalDedupeSync (latest per PK),
+and the normalization golden corpus — FIXTURES F6 invariants."""
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+import ray.data
+
+from airbyte_ray import gen
+from airbyte_ray.oracle import replay_oracle
+from airbyte_ray.pipelines.replay import LakeTable, ReplayConfig
+from airbyte_ray.state.manifest import Manifest
+
+N_BASE = 300
+N_EVENTS = 1500
+
+
+@pytest.fixture()
+def fixtures(tmp_path):
+    base = gen.gen_base(N_BASE, seed=11)
+    events = gen.gen_events(N_EVENTS, N_BASE, seed=12)
+    ev_path = tmp_path / "events.parquet"
+    pq.write_table(events, ev_path)
+    return base, events, str(ev_path), str(tmp_path / "lake")
+
+
+def _assert_matches_oracle(lake: LakeTable, base, event_tables):
+    expected = replay_oracle(base, event_tables)
+    actual = lake.to_table()
+    assert actual.schema.equals(expected.schema), f"{actual.schema} != {expected.schema}"
+    assert actual.num_rows == expected.num_rows
+    # byte-exact token equality per doc_id (the BASELINE correctness gate)
+    assert actual.equals(expected)
+
+
+def test_snapshot_then_replay(fixtures):
+    base, events, ev_path, lake_dir = fixtures
+    lake = LakeTable(lake_dir, ReplayConfig(num_partitions=8, salt_factor=2))
+    lake.init_snapshot(ray.data.from_arrow(base))
+    _assert_matches_oracle(lake, base, [])
+
+    stats = lake.apply_log(ev_path)
+    assert stats["applied_events"] > 0
+    _assert_matches_oracle(lake, base, [events])
+
+    # final table unique per doc_id (F6.1)
+    t = lake.to_table()
+    assert t["doc_id"].to_pandas().is_unique
+    # n_tok consistency (F6.3)
+    lens = pc.list_value_length(t["tokens"])
+    assert pc.all(pc.equal(lens.cast(pa.int32()), t["n_tok"])).as_py()
+
+
+def test_redelivery_noop(fixtures):
+    """Re-applying the same log is a no-op (exactly-once from at-least-once,
+    F6.5 — the monotonic watermark guard)."""
+    base, events, ev_path, lake_dir = fixtures
+    lake = LakeTable(lake_dir, ReplayConfig(num_partitions=4, salt_factor=1))
+    lake.init_snapshot(ray.data.from_arrow(base))
+    lake.apply_log(ev_path)
+    before = lake.to_table()
+    stats = lake.apply_log(ev_path)  # full redelivery
+    assert stats["applied_events"] == 0
+    assert lake.to_table().equals(before)
+
+
+def test_chunked_replay_matches_single_shot(fixtures, tmp_path):
+    base, events, ev_path, lake_dir = fixtures
+    lake = LakeTable(lake_dir, ReplayConfig(num_partitions=4, salt_factor=2))
+    lake.init_snapshot(ray.data.from_arrow(base))
+    stats = lake.apply_chunked(ev_path, chunk_lsns=800)
+    assert len(stats) >= 2  # genuinely multiple checkpointed windows
+    _assert_matches_oracle(lake, base, [events])
+
+    single = LakeTable(str(tmp_path / "lake2"), ReplayConfig(num_partitions=4, salt_factor=2))
+    single.init_snapshot(ray.data.from_arrow(base))
+    single.apply_log(ev_path)
+    assert single.to_table().equals(lake.to_table())
+
+
+def test_lineage_invariants(fixtures):
+    base, events, ev_path, lake_dir = fixtures
+    lake = LakeTable(lake_dir, ReplayConfig(num_partitions=8, salt_factor=2))
+    lake.init_snapshot(ray.data.from_arrow(base))
+    lake.apply_log(ev_path)
+    m = Manifest.load(lake_dir)
+    # committed rows match the visible table
+    assert m.lineage_rows() == lake.to_table().num_rows
+    # runs cover contiguous, non-overlapping LSN ranges up to the watermark
+    runs = m.runs
+    assert runs[0]["prev_watermark"] == -1
+    for a, b in zip(runs, runs[1:]):
+        assert b["prev_watermark"] == a["watermark"]
+    assert runs[-1]["watermark"] == m.watermark
+    # every segment on disk referenced by the manifest exists
+    for e in m.partitions.values():
+        assert (pq.read_table(f"{lake_dir}/{e.path}").num_rows) == e.rows
+
+
+def test_resume_after_crash_before_commit(fixtures):
+    """Kill/restart (F4): segments written but manifest not committed →
+    resume re-applies from the committed watermark; identical final table."""
+    base, events, ev_path, lake_dir = fixtures
+    lake = LakeTable(lake_dir, ReplayConfig(num_partitions=4, salt_factor=2))
+    lake.init_snapshot(ray.data.from_arrow(base))
+    saved = Manifest.load(lake_dir)  # snapshot-only manifest
+
+    lake.apply_log(ev_path)
+    done = lake.to_table()
+
+    # simulate crash: roll the manifest back to pre-apply (segments linger)
+    saved.commit(lake_dir)
+    resumed = LakeTable(lake_dir)
+    assert resumed.manifest.watermark == saved.watermark
+    resumed.apply_log(ev_path)
+    assert resumed.to_table().equals(done)
