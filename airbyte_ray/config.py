@@ -1,0 +1,54 @@
+"""Catalog / configured-stream model — the engine's typed configuration.
+
+Analog of the reference's ``ConfiguredAirbyteStream``
+(``docs/understanding-airbyte/airbyte-protocol.md:357-420``): per-stream
+``sync_mode`` (full_refresh | incremental), ``destination_sync_mode``
+(append | overwrite | append_dedup), ``cursor_field`` and ``primary_key``.
+The Jinja-interpolated declarative config of the reference collapses to
+plain dataclasses — our pipelines are typed Python, not YAML.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from enum import Enum
+
+
+class SyncMode(str, Enum):
+    full_refresh = "full_refresh"
+    incremental = "incremental"
+
+
+class DestinationSyncMode(str, Enum):
+    append = "append"
+    overwrite = "overwrite"
+    append_dedup = "append_dedup"
+
+
+@dataclass
+class StreamConfig:
+    name: str
+    sync_mode: SyncMode = SyncMode.full_refresh
+    destination_sync_mode: DestinationSyncMode = DestinationSyncMode.append
+    cursor_field: str | None = None  # required for incremental
+    primary_key: list[str] = field(default_factory=list)  # required for append_dedup
+    num_partitions: int = 64  # dedup hash-partition fan-out
+
+    def __post_init__(self):
+        self.sync_mode = SyncMode(self.sync_mode)
+        self.destination_sync_mode = DestinationSyncMode(self.destination_sync_mode)
+        if self.sync_mode is SyncMode.incremental and not self.cursor_field:
+            raise ValueError(f"stream {self.name}: incremental requires cursor_field")
+        if self.destination_sync_mode is DestinationSyncMode.append_dedup and not self.primary_key:
+            raise ValueError(f"stream {self.name}: append_dedup requires primary_key")
+
+
+@dataclass
+class Catalog:
+    streams: list[StreamConfig]
+
+    def stream(self, name: str) -> StreamConfig:
+        for s in self.streams:
+            if s.name == name:
+                return s
+        raise KeyError(name)

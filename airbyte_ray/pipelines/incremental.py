@@ -1,0 +1,267 @@
+"""Cursor-based incremental sync (the non-CDC Airbyte path).
+
+Reference semantics re-expressed (SURVEY §2.1/§2.4/§2.5):
+
+* incremental read = ``WHERE cursor > state [ORDER BY cursor]``
+  (``AbstractJdbcSource.java:307-360``) → predicate-pushed parquet read;
+  at-least-once tie handling (the reference re-reads ``>=`` on ties,
+  ``AbstractJdbcSource.java:322-334``) is subsumed by append_dedup's
+  latest-per-key merge being idempotent for identical rows;
+* state watermark = running ``max(cursor)``
+  (``StateDecoratingIterator.java:113-171``) → ``ds.max(cursor)`` once per
+  sync, committed only after the destination write lands
+  (``BufferedStreamConsumer.java:205-290`` committed-after-flush);
+* destination modes (``airbyte-protocol.md:418-421``):
+  ``overwrite`` → rewrite the stream directory,
+  ``append`` → add a new segment directory per sync,
+  ``append_dedup`` → hash-partitioned latest-per-primary-key merge ordered
+  by ``(cursor desc, _airbyte_emitted_at desc)`` — the SCD2 active-row
+  projection (``stream_processor.py:884-898, 1076-1115``).
+
+Layout (resumable, per SURVEY §2.2 filename/partition layout)::
+
+    <dest>/<stream>/seg-<sync_id>/part-*.parquet      # append / overwrite
+    <dest>/<stream>/part=NNNNN/seg-<sync_id>.parquet  # append_dedup
+    <state_dir>/<stream>.json                         # committed cursor state
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from functools import partial
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray.data
+
+from ..config import DestinationSyncMode, StreamConfig, SyncMode
+from ..schemas import conform_table, unify_schemas
+from .replay import stable_hash
+
+EMITTED_AT = "_airbyte_emitted_at"
+
+
+# ---------------------------------------------------------------------------
+# state (ConnectorStateManager analog — per-stream STREAM-type state)
+# ---------------------------------------------------------------------------
+
+class StreamState:
+    def __init__(self, state_dir: str, stream: str):
+        os.makedirs(state_dir, exist_ok=True)
+        self.path = os.path.join(state_dir, f"{stream}.json")
+
+    def load(self) -> dict:
+        if not os.path.exists(self.path):
+            return {"cursor": None, "sync_id": 0, "runs": []}
+        with open(self.path) as f:
+            return json.load(f)
+
+    def commit(self, state: dict) -> None:
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(state, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self.path)
+
+
+def _cursor_scalar(value, typ: pa.DataType) -> pa.Scalar:
+    if pa.types.is_timestamp(typ):
+        import datetime as _dt
+
+        return pa.scalar(_dt.datetime.fromisoformat(value), typ)
+    return pa.scalar(value, typ)
+
+
+def _cursor_json(scalar) -> object:
+    v = scalar.as_py() if isinstance(scalar, pa.Scalar) else scalar
+    if hasattr(v, "isoformat"):
+        s = v.isoformat()
+        return s if "." in s else s + ".000000"
+    return v
+
+
+# ---------------------------------------------------------------------------
+# append_dedup partition merge
+# ---------------------------------------------------------------------------
+
+def _dedup_latest(t: pa.Table, pk: list[str], cursor: str | None) -> pa.Table:
+    """Latest row per primary key, ordered by (cursor desc, emitted_at desc).
+    Vectorized: sort + first-occurrence mask (row_number()=1 analog)."""
+    if t.num_rows == 0:
+        return t
+    keys = [(cursor, "descending")] if cursor else []
+    if EMITTED_AT in t.schema.names:
+        keys.append((EMITTED_AT, "descending"))
+    if keys:
+        t = t.take(pc.sort_indices(t, sort_keys=keys))
+    if len(pk) == 1:
+        ids = t[pk[0]].to_numpy(zero_copy_only=False)
+    else:
+        ids = pd.MultiIndex.from_arrays([t[c].to_numpy(zero_copy_only=False) for c in pk]).to_numpy()
+    first = ~pd.Index(ids).duplicated(keep="first")
+    return t.filter(pa.array(first))
+
+
+def _merge_dedup_partition(group: pa.Table, ctx: dict) -> pa.Table:
+    pk, cursor = ctx["pk"], ctx["cursor"]
+    part = int(group["part"][0].as_py())
+    t = _dedup_latest(group.drop_columns(["part"]), pk, cursor)
+    schema = pa.ipc.read_schema(pa.BufferReader(ctx["schema"]))
+    t = conform_table(t, schema)
+
+    old_rel = ctx["old_segments"].get(part)
+    if old_rel is not None:
+        old = conform_table(pq.read_table(os.path.join(ctx["dest"], old_rel)), schema)
+        merged = _dedup_latest(pa.concat_tables([t, old]), pk, cursor)
+        # new rows sort first on ties (same cursor) because concat order is
+        # stable for equal sort keys → incoming re-reads win, matching the
+        # reference's last-delivery-wins on identical cursors
+    else:
+        merged = t
+    merged = merged.take(pc.sort_indices(merged, sort_keys=[(pk[0], "ascending")]))
+
+    rel = os.path.join(f"part={part:05d}", f"seg-{ctx['sync_id']:08d}.parquet")
+    abs_path = os.path.join(ctx["dest"], rel)
+    os.makedirs(os.path.dirname(abs_path), exist_ok=True)
+    tmp = abs_path + f".tmp-{os.getpid()}"
+    pq.write_table(merged, tmp)
+    os.replace(tmp, abs_path)
+    return pa.table({"part": [part], "path": [rel], "rows": [merged.num_rows]})
+
+
+# ---------------------------------------------------------------------------
+# engine
+# ---------------------------------------------------------------------------
+
+class SyncEngine:
+    """Run configured streams source→destination, Airbyte-style, on Ray Data."""
+
+    def __init__(self, dest_dir: str, state_dir: str | None = None):
+        self.dest_dir = dest_dir
+        self.state_dir = state_dir or os.path.join(dest_dir, "_state")
+
+    def _stream_dir(self, name: str) -> str:
+        return os.path.join(self.dest_dir, name)
+
+    def sync(self, cfg: StreamConfig, src_paths: str | list[str]) -> dict:
+        st = StreamState(self.state_dir, cfg.name)
+        state = st.load()
+        sync_id = state["sync_id"] + 1
+        t0 = time.perf_counter()
+
+        src_schema = pq.read_schema(
+            src_paths if isinstance(src_paths, str) else src_paths[0]
+        )
+        flt = None
+        if cfg.sync_mode is SyncMode.incremental and state["cursor"] is not None:
+            cur_type = src_schema.field(cfg.cursor_field).type
+            flt = pc.field(cfg.cursor_field) > _cursor_scalar(state["cursor"], cur_type)
+        ds = ray.data.read_parquet(src_paths, filter=flt)
+
+        sdir = self._stream_dir(cfg.name)
+        stats: dict = {"stream": cfg.name, "sync_id": sync_id, "mode": cfg.sync_mode.value}
+
+        seg = f"seg-{sync_id:08d}"
+        if cfg.destination_sync_mode is DestinationSyncMode.append_dedup:
+            rows = self._write_dedup(cfg, ds, sdir, sync_id, state)
+        elif cfg.destination_sync_mode is DestinationSyncMode.overwrite:
+            ds.write_parquet(os.path.join(sdir, seg))
+            stale = [s for s in state.get("segments", []) if s != seg]
+            state["segments"] = [seg]  # visibility flips at state commit
+            for e in stale:
+                shutil.rmtree(os.path.join(sdir, e), ignore_errors=True)
+            rows = None
+        else:  # append
+            ds.write_parquet(os.path.join(sdir, seg))
+            state["segments"] = state.get("segments", []) + [seg]
+            rows = None
+
+        # state committed only after the write landed
+        if cfg.sync_mode is SyncMode.incremental:
+            mx = ray.data.read_parquet(src_paths, filter=flt).max(cfg.cursor_field)
+            if mx is not None:
+                state["cursor"] = _cursor_json(mx)
+        state["sync_id"] = sync_id
+        state["runs"].append({"sync_id": sync_id, "sec": round(time.perf_counter() - t0, 3)})
+        st.commit(state)
+        stats["cursor"] = state["cursor"]
+        if rows is not None:
+            stats["rows"] = rows
+        return stats
+
+    def _write_dedup(self, cfg, ds, sdir, sync_id, state) -> int:
+        pk = cfg.primary_key
+        P = cfg.num_partitions
+        stamped = ds.map_batches(
+            partial(_stamp_and_part, pk=pk, num_partitions=P, cursor=cfg.cursor_field),
+            batch_format="pyarrow",
+        )
+        schema = stamped.schema()
+        if schema is None:
+            return sum(e["rows"] for e in state.get("dedup_segments", {}).values())
+        fields = [pa.field(n, t) for n, t in zip(schema.names, schema.types) if n != "part"]
+        out_schema = pa.schema(fields)
+        prev = state.get("dedup_schema")
+        if prev:
+            out_schema = unify_schemas(
+                pa.ipc.read_schema(pa.BufferReader(bytes.fromhex(prev))), out_schema
+            )
+        ctx = {
+            "pk": pk,
+            "cursor": cfg.cursor_field,
+            "dest": sdir,
+            "schema": out_schema.serialize().to_pybytes(),
+            "old_segments": {int(k): v["path"] for k, v in state.get("dedup_segments", {}).items()},
+            "sync_id": sync_id,
+        }
+        lineage = stamped.groupby("part").map_groups(
+            partial(_merge_dedup_partition, ctx=ctx), batch_format="pyarrow"
+        ).take_all()
+        segs = dict(state.get("dedup_segments", {}))
+        for r in lineage:
+            segs[str(int(r["part"]))] = {"path": r["path"], "rows": int(r["rows"])}
+        state["dedup_segments"] = segs
+        state["dedup_schema"] = out_schema.serialize().to_pybytes().hex()
+        return sum(e["rows"] for e in segs.values())
+
+    # -- read back ---------------------------------------------------------
+    def read(self, stream: str, dedup: bool = False) -> ray.data.Dataset:
+        """Committed view of a stream (only state-visible segments)."""
+        sdir = self._stream_dir(stream)
+        st = StreamState(self.state_dir, stream).load()
+        if dedup:
+            paths = [os.path.join(sdir, e["path"]) for e in st.get("dedup_segments", {}).values()]
+        else:
+            import glob as _g
+
+            paths = []
+            for s in st.get("segments", []):
+                paths.extend(sorted(_g.glob(os.path.join(sdir, s, "**", "*.parquet"), recursive=True)))
+        # partitioning=None: segment dirs are named part=NNNNN — suppress
+        # hive-partition column inference
+        return ray.data.read_parquet(paths, partitioning=None)
+
+
+def _stamp_and_part(t: pa.Table, pk: list[str], num_partitions: int, cursor: str | None) -> pa.Table:
+    """Stamp emitted_at + partition id; per-batch pre-dedup combiner."""
+    import datetime as _dt
+
+    if EMITTED_AT not in t.schema.names:
+        now = _dt.datetime.now(_dt.timezone.utc)
+        t = t.append_column(EMITTED_AT, pa.array([now] * t.num_rows, pa.timestamp("us", tz="UTC")))
+    t = _dedup_latest(t, pk, cursor)
+    if len(pk) == 1:
+        h = stable_hash(t[pk[0]].cast(pa.string()))
+    else:
+        h = np.zeros(t.num_rows, np.uint64)
+        for c in pk:
+            h = h * np.uint64(1099511628211) + stable_hash(t[c].cast(pa.string()))
+    part = (h % np.uint64(num_partitions)).astype(np.int64)
+    return t.append_column("part", pa.array(part))

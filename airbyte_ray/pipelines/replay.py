@@ -324,7 +324,7 @@ class LakeTable:
             list(schema)
             + [pa.field(LSN_COL, pa.int64()), pa.field(CDC_UPDATED_AT, pa.timestamp("us", tz="UTC"))]
         )
-        ds = ray.data.read_parquet(paths)
+        ds = ray.data.read_parquet(paths, partitioning=None)
         target = schema if payload_only else seg_schema
         return ds.map_batches(partial(conform_table, schema=target), batch_format="pyarrow")
 

@@ -1,0 +1,89 @@
+"""Cursor-based incremental sync — mirrors the reference acceptance tests:
+full-refresh sequential reads (test_full_refresh.py:85), two sequential
+incremental reads (test_incremental.py:153), append union (DestinationAcceptanceTest
+:581) and append_dedup latest-per-PK oracle (:734,799-810)."""
+
+import duckdb
+import pyarrow.parquet as pq
+import pytest
+
+from airbyte_ray.config import StreamConfig
+from airbyte_ray.pipelines.incremental import SyncEngine
+
+SRC = "/root/testdata/sf0.001/events.parquet"
+
+
+@pytest.fixture()
+def split_source(tmp_path):
+    """The events table split at ts median: first half, then the full file
+    (second sync must pick up only the newer records)."""
+    con = duckdb.connect()
+    half = con.sql(
+        f"SELECT * FROM '{SRC}' WHERE ts <= (SELECT median(ts) FROM '{SRC}')"
+    ).arrow()
+    p1 = tmp_path / "half.parquet"
+    pq.write_table(half, p1)
+    return str(p1), SRC, half.num_rows
+
+
+def test_full_refresh_overwrite_sequential_reads(tmp_path):
+    eng = SyncEngine(str(tmp_path / "dest"))
+    cfg = StreamConfig("events", "full_refresh", "overwrite")
+    eng.sync(cfg, SRC)
+    first = eng.read("events").count()
+    eng.sync(cfg, SRC)
+    second = eng.read("events").count()
+    total = pq.read_metadata(SRC).num_rows
+    assert first == second == total  # two reads → same records, no dupes
+
+
+def test_incremental_append_two_syncs(split_source, tmp_path):
+    p1, p2, n1 = split_source
+    eng = SyncEngine(str(tmp_path / "dest"))
+    cfg = StreamConfig("events", "incremental", "append", cursor_field="ts")
+    eng.sync(cfg, p1)
+    assert eng.read("events").count() == n1
+    s2 = eng.sync(cfg, p2)  # only records with ts > committed cursor
+    total = pq.read_metadata(SRC).num_rows
+    assert eng.read("events").count() == total
+    assert s2["cursor"] is not None
+    # third sync from same source: cursor excludes everything
+    eng.sync(cfg, p2)
+    assert eng.read("events").count() == total
+
+
+def test_append_dedup_latest_per_pk(split_source, tmp_path):
+    p1, p2, _ = split_source
+    eng = SyncEngine(str(tmp_path / "dest"))
+    cfg = StreamConfig(
+        "events", "incremental", "append_dedup",
+        cursor_field="ts", primary_key=["user_id"], num_partitions=4,
+    )
+    eng.sync(cfg, p1)
+    eng.sync(cfg, p2)
+    got = eng.read("events", dedup=True).to_pandas().sort_values("user_id")
+    # oracle: latest record per PK by cursor (DestinationAcceptanceTest.java:799-810)
+    exp = duckdb.sql(
+        f"""SELECT user_id, event_id FROM (
+              SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+              FROM '{SRC}') WHERE rn=1 ORDER BY user_id"""
+    ).df()
+    assert list(got["user_id"]) == list(exp["user_id"])
+    # ts ties are broken arbitrarily by the engine; compare cursor values
+    ts = duckdb.sql(
+        f"SELECT user_id, max(ts) mts FROM '{SRC}' GROUP BY user_id ORDER BY user_id"
+    ).df()
+    assert list(got["ts"]) == list(ts["mts"])
+
+
+def test_append_dedup_resync_idempotent(tmp_path):
+    eng = SyncEngine(str(tmp_path / "dest"))
+    cfg = StreamConfig(
+        "events", "incremental", "append_dedup",
+        cursor_field="ts", primary_key=["user_id"], num_partitions=4,
+    )
+    eng.sync(cfg, SRC)
+    before = eng.read("events", dedup=True).to_pandas().sort_values("user_id").reset_index(drop=True)
+    eng.sync(cfg, SRC)  # nothing newer than cursor
+    after = eng.read("events", dedup=True).to_pandas().sort_values("user_id").reset_index(drop=True)
+    assert before.drop(columns=["_airbyte_emitted_at"]).equals(after.drop(columns=["_airbyte_emitted_at"]))

@@ -1,0 +1,88 @@
+"""Transform-stage parity tests (SURVEY §2.3): run each stage through a real
+ray Dataset map_batches and check against plain-pyarrow/duckdb expectations."""
+
+import duckdb
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from airbyte_ray.stages import (
+    TypeCoercer,
+    add_fields,
+    compose,
+    emitted_at,
+    flatten_json,
+    hash_id,
+    normalize_name,
+    record_filter,
+    remove_fields,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _run(ds, fn):
+    return ds.map_batches(fn, batch_format="pyarrow").to_arrow_refs()
+
+
+def test_add_remove_filter(sf_dir):
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    fn = compose(
+        add_fields({"value2": lambda t: pc.multiply(t["value"], 2), "const": "x"}),
+        record_filter(lambda t: pc.greater(t["value"], 0)),
+        remove_fields(["props"]),
+    )
+    out = ds.map_batches(fn, batch_format="pyarrow")
+    t = pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
+    assert "props" not in t.schema.names
+    assert "value2" in t.schema.names and "const" in t.schema.names
+    assert pc.all(pc.greater(t["value"], 0)).as_py()
+    assert pc.all(pc.equal(t["value2"], pc.multiply(t["value"], 2))).as_py()
+
+
+def test_flatten_json(sf_dir):
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    out = ds.map_batches(flatten_json("props"), batch_format="pyarrow")
+    t = out.take_all()
+    expected = duckdb.sql(
+        f"SELECT CAST(json_extract(props,'$.k') AS BIGINT) k FROM '{sf_dir}/events.parquet'"
+    ).arrow()
+    got = sorted(r["k"] for r in t)
+    assert got == sorted(expected["k"].to_pylist())
+
+
+def test_hash_id_matches_duckdb(sf_dir):
+    ds = ray.data.read_parquet(f"{sf_dir}/region.parquet")
+    t = pa.Table.from_pylist(ds.map_batches(hash_id(["r_regionkey", "r_name"]), batch_format="pyarrow").take_all())
+    exp = duckdb.sql(
+        f"SELECT md5(concat_ws('|', CAST(r_regionkey AS VARCHAR), r_name)) h FROM '{sf_dir}/region.parquet'"
+    ).arrow()
+    assert sorted(t["_airbyte_hashid"].to_pylist()) == sorted(exp["h"].to_pylist())
+
+
+def test_type_coercer():
+    t = pa.table(
+        {
+            "a": pa.array(["1", "2", "x"]),  # string → int64, 'x' nulls
+            "b": pa.array([1, 2, 3], pa.int32()),  # widen
+            "c": pa.array([1.5, 2.5, 3.5]),  # scalar → list wrap
+            "extra": ["p", "q", "r"],
+        }
+    )
+    schema = pa.schema([("a", pa.int64()), ("b", pa.int64()), ("c", pa.list_(pa.float64()))])
+    out = TypeCoercer(schema)(t)
+    assert out["a"].to_pylist() == [1, 2, None]
+    assert out["b"].type == pa.int64()
+    assert out["c"].to_pylist() == [[1.5], [2.5], [3.5]]
+    assert out["extra"].to_pylist() == ["p", "q", "r"]  # unknown fields pass through
+    # missing declared column → nulls
+    out2 = TypeCoercer(pa.schema([("zz", pa.string())]))(t)
+    assert out2["zz"].null_count == 3
+
+
+def test_emitted_at_and_names():
+    t = pa.table({"x": [1, 2]})
+    out = emitted_at()(t)
+    assert out["_airbyte_emitted_at"].null_count == 0
+    assert normalize_name("Weird Name-1!") == "weird_name_1"
+    assert normalize_name("1abc") == "_1abc"
