@@ -1,0 +1,17 @@
+from .text import (  # noqa: F401
+    LangId,
+    fingerprint_md5,
+    quality_score,
+    rolling_fingerprint,
+    token_count,
+)
+from .dedup import (  # noqa: F401
+    MinHasher,
+    SimHasher,
+    connected_components,
+    exact_dedup,
+    lsh_candidates,
+    minhash_dedup,
+    simhash_near_dups,
+)
+from .ann import brute_force_topk, lsh_topk  # noqa: F401

@@ -1,0 +1,178 @@
+"""Text-analysis stages for large-scale training-data pipelines.
+
+No analog exists in the reference (its records are opaque JSON); these are
+the operations a 100 TB tokenized-corpus ingest needs alongside the CDC
+engine.  All stages are vectorized Arrow batch functions; the only stateful
+one (:class:`LangId`) is a callable class for actor-pool ``map_batches``
+(pattern: HTTP ``CachedSession`` per-worker state, SURVEY §2.4).
+
+SQL-oracle parity notes (driver correctness gate): :func:`token_count` and
+:func:`fingerprint_md5` are bit-compatible with DuckDB expressions (see
+``__ray_entry__.oracle_sql``); lang-id and quality scoring are heuristic and
+checked by pytest instead.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Callable
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+#: word-ish tokens: runs of word chars OR single non-space punctuation —
+#: the "BPE-ish" splitter; identical regex used in the DuckDB oracle.
+TOKEN_RE = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"
+
+
+def token_count(col: str, out: str = "n_tokens") -> Callable[[pa.Table], pa.Table]:
+    """Count TOKEN_RE matches per row (pc.count_substring_regex — C++)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(t[col].cast(pa.string()), TOKEN_RE)
+        return t.append_column(out, n.cast(pa.int64()))
+
+    return fn
+
+
+def quality_score(col: str, prefix: str = "q_") -> Callable[[pa.Table], pa.Table]:
+    """Heuristic document-quality features, all Arrow kernels:
+
+    * ``q_len`` — char length
+    * ``q_n_words`` — word-token count
+    * ``q_mean_word_len`` — mean alpha-token length
+    * ``q_punct_ratio`` — punctuation chars / chars
+    * ``q_alpha_ratio`` — alphabetic chars / chars
+    """
+
+    def fn(t: pa.Table) -> pa.Table:
+        s = t[col].cast(pa.string())
+        ln = pc.utf8_length(s).cast(pa.float64())
+        safe_ln = pc.max_element_wise(ln, 1.0)
+        words = pc.count_substring_regex(s, r"[A-Za-z]+").cast(pa.float64())
+        alpha = pc.count_substring_regex(s, r"[A-Za-z]").cast(pa.float64())
+        punct = pc.count_substring_regex(s, r"[^\w\s]").cast(pa.float64())
+        t = t.append_column(prefix + "len", ln.cast(pa.int64()))
+        t = t.append_column(prefix + "n_words", words.cast(pa.int64()))
+        t = t.append_column(
+            prefix + "mean_word_len",
+            pc.divide(alpha, pc.max_element_wise(words, 1.0)),
+        )
+        t = t.append_column(prefix + "punct_ratio", pc.divide(punct, safe_ln))
+        return t.append_column(prefix + "alpha_ratio", pc.divide(alpha, safe_ln))
+
+    return fn
+
+
+#: tiny per-language stopword lists (public common words) for the n-gram/
+#: stopword language heuristic.
+_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "it", "that", "for"},
+    "de": {"der", "die", "das", "und", "ist", "ein", "eine", "nicht", "mit", "zu"},
+    "fr": {"le", "la", "les", "et", "est", "un", "une", "pas", "pour", "que"},
+    "es": {"el", "la", "los", "y", "es", "un", "una", "no", "por", "que"},
+}
+
+
+class LangId:
+    """Stopword/char-ngram language classifier — stateful actor-pool stage.
+
+    Use ``ds.map_batches(LangId("text"), batch_format="pyarrow",
+    concurrency=N)``: the per-language token tables are built once per actor
+    in ``__init__`` (reference pattern: per-worker cache, ``http.py:52-69``).
+
+    Returns ``lang_pred`` ∈ {en,de,fr,es,unk}; 'zh' style CJK text falls out
+    as ``unk`` unless CJK chars dominate, which is detected by codepoint
+    range and labeled ``zh``.
+    """
+
+    def __init__(self, col: str, out: str = "lang_pred"):
+        self.col, self.out = col, out
+        self.langs = sorted(_STOPWORDS)
+        self.tables = [frozenset(_STOPWORDS[l]) for l in self.langs]
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        texts = t[self.col].cast(pa.string()).to_pylist()
+        preds = []
+        for txt in texts:
+            if not txt:
+                preds.append("unk")
+                continue
+            cjk = sum(1 for ch in txt[:200] if "一" <= ch <= "鿿")
+            if cjk > len(txt[:200]) * 0.2:
+                preds.append("zh")
+                continue
+            words = txt.lower().split()
+            if not words:
+                preds.append("unk")
+                continue
+            scores = [sum(w in tbl for w in words) for tbl in self.tables]
+            best = int(np.argmax(scores))
+            preds.append(self.langs[best] if scores[best] > 0 else "unk")
+        return t.append_column(self.out, pa.array(preds))
+
+
+def fingerprint_md5(col: str, out: str = "fp") -> Callable[[pa.Table], pa.Table]:
+    """Canonical-form md5 fingerprint: lowercase, collapse whitespace runs to
+    single spaces, md5 — DuckDB-reproducible:
+    ``md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))``."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        s = pc.utf8_lower(t[col].cast(pa.string()))
+        s = pc.replace_substring_regex(s, r"\s+", " ")
+        fps = pa.array(
+            [hashlib.md5(v.encode()).hexdigest() if v is not None else None for v in s.to_pylist()]
+        )
+        return t.append_column(out, fps)
+
+    return fn
+
+
+_RK_B = 257
+_RK_BINV = pow(_RK_B, -1, 2**64)  # 257 is odd → invertible mod 2^64
+
+
+def _rolling_min_hash(data: np.ndarray, window: int) -> np.uint64:
+    """Min of all rolling polynomial hashes of ``window`` bytes, computed
+    vectorized via prefix hashes in wrapping uint64 arithmetic:
+
+        P[i]   = Σ_{j<i} b[j]·B^{i-1-j}   (classic Rabin–Karp prefix)
+        h[j]   = P[j+w] − P[j]·B^w        (hash of bytes j..j+w)
+
+    P is itself vectorized with the identity P[i] = B^{i-1}·Σ b[j]·B^{−j}
+    (cumsum of b·B^{−j}); numpy uint64 overflow wraps, which IS the mod 2^64."""
+    n = len(data)
+    b = data.astype(np.uint64)
+    if n == 0:
+        return np.uint64(0)
+    w = min(window, n)
+    with np.errstate(over="ignore"):
+        pows = np.empty(n + 1, np.uint64)
+        pows[0] = 1
+        np.cumprod(np.full(n, _RK_B, np.uint64), out=pows[1:])
+        invs = np.empty(n, np.uint64)
+        invs[0] = 1
+        if n > 1:
+            np.cumprod(np.full(n - 1, _RK_BINV, np.uint64), out=invs[1:])
+        s = np.cumsum(b * invs)  # wraps
+        P = np.empty(n + 1, np.uint64)
+        P[0] = 0
+        P[1:] = s * pows[:n]
+        h = P[w:] - P[: n - w + 1] * pows[w]
+    return h.min()
+
+
+def rolling_fingerprint(col: str, out: str = "rfp", window: int = 8) -> Callable[[pa.Table], pa.Table]:
+    """Rabin–Karp rolling-hash document fingerprint (winnowing-lite): the
+    minimum of all ``window``-byte rolling hashes — stable under local edits
+    elsewhere in the document.  numpy-vectorized per document."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        outv = np.zeros(t.num_rows, np.uint64)
+        for i, v in enumerate(t[col].cast(pa.string()).to_pylist()):
+            if v:
+                outv[i] = _rolling_min_hash(np.frombuffer(v.encode(), np.uint8), window)
+        return t.append_column(out, pa.array(outv.view(np.int64)))
+
+    return fn

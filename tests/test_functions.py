@@ -1,0 +1,186 @@
+"""Training-data function library: text analysis, dedup, ANN."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+import ray.data
+
+from airbyte_ray.functions import (
+    LangId,
+    MinHasher,
+    SimHasher,
+    brute_force_topk,
+    exact_dedup,
+    fingerprint_md5,
+    lsh_candidates,
+    lsh_topk,
+    minhash_dedup,
+    quality_score,
+    rolling_fingerprint,
+    simhash_near_dups,
+    token_count,
+)
+from airbyte_ray.functions.text import TOKEN_RE
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+EMB = "/root/testdata/sf0.001/embeddings.parquet"
+
+
+# -- text -------------------------------------------------------------------
+
+def test_token_count_matches_duckdb():
+    ds = ray.data.read_parquet(DOCS, columns=["doc_id", "text"])
+    t = pa.Table.from_pylist(ds.map_batches(token_count("text"), batch_format="pyarrow").take_all())
+    exp = duckdb.sql(
+        f"SELECT doc_id, len(regexp_extract_all(text, '{TOKEN_RE}')) n FROM '{DOCS}' ORDER BY doc_id"
+    ).df()
+    got = t.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(got["n_tokens"]) == list(exp["n"])
+
+
+def test_quality_and_fingerprints():
+    ds = ray.data.read_parquet(DOCS, columns=["doc_id", "text"])
+    rows = ds.map_batches(quality_score("text"), batch_format="pyarrow").take(5)
+    for r in rows:
+        assert 0 <= r["q_punct_ratio"] <= 1 and 0 <= r["q_alpha_ratio"] <= 1
+        assert r["q_len"] > 0
+
+    t = pa.Table.from_pylist(
+        ds.map_batches(fingerprint_md5("text"), batch_format="pyarrow")
+        .map_batches(rolling_fingerprint("text"), batch_format="pyarrow").take_all()
+    )
+    exp = duckdb.sql(
+        f"""SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) fp
+            FROM '{DOCS}' ORDER BY doc_id"""
+    ).df()
+    got = t.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(got["fp"]) == list(exp["fp"])
+    # rolling fingerprint: equal texts → equal fp, deterministic
+    assert got["rfp"].notna().all()
+
+
+def test_rolling_fingerprint_locality():
+    t = pa.table({"text": ["abcdefghijklmnop" * 4, "abcdefghijklmnop" * 4 + "X"]})
+    out = rolling_fingerprint("text", window=8)(t)
+    # a suffix edit usually keeps the min rolling hash: robust fingerprint
+    assert out["rfp"][0].as_py() == out["rfp"][1].as_py()
+
+
+def test_lang_id():
+    t = pa.table(
+        {
+            "text": [
+                "the cat and the dog in the house for a while",
+                "der Hund und die Katze ist nicht mit der Maus",
+                "le chat est dans la maison pour le moment",
+                "el perro y el gato es una historia que no termina",
+                "一只猫和一只狗在房子里面住了很久很久了啊",
+                "",
+            ]
+        }
+    )
+    out = LangId("text")(t)
+    assert out["lang_pred"].to_pylist() == ["en", "de", "fr", "es", "zh", "unk"]
+
+
+# -- dedup ------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def dup_docs(tmp_path_factory):
+    """documents + exact dups + near dups (small seeded corpus)."""
+    base = pq.read_table(DOCS).slice(0, 60)
+    texts = base["text"].to_pylist()
+    ids = base["doc_id"].to_pylist()
+    add_t, add_i = [], []
+    for j in range(10):  # exact dups of docs 0..9
+        add_t.append(texts[j])
+        add_i.append(10_000 + j)
+    for j in range(10, 20):  # near dups: small suffix edit
+        add_t.append(texts[j] + " extra tail words here")
+        add_i.append(20_000 + j)
+    t = pa.table({"doc_id": pa.array(ids + add_i, pa.int64()), "text": pa.array(texts + add_t)})
+    p = tmp_path_factory.mktemp("dup") / "docs.parquet"
+    pq.write_table(t, p)
+    return str(p), t
+
+
+def test_exact_dedup(dup_docs):
+    path, t = dup_docs
+    ds = ray.data.read_parquet(path)
+    out = pa.Table.from_pylist(exact_dedup(ds, ["text"], keep_by="doc_id").take_all())
+    assert out.num_rows == 70  # 60 originals + 10 near-dups (not exact)
+    # representative = min doc_id → none of the 10_00x ids survive
+    assert max(i for i in out["doc_id"].to_pylist() if i < 20000) < 10_000
+
+
+def test_minhash_lsh_finds_near_dups(dup_docs):
+    path, t = dup_docs
+    ds = ray.data.read_parquet(path)
+    pairs = pa.Table.from_pylist(
+        lsh_candidates(ds, "text", "doc_id", num_perm=64, bands=16, threshold=0.5).take_all()
+    )
+    found = {(r["a"], r["b"]) for r in pairs.to_pylist()}
+    # every exact dup pair must be found; near-dup tails mostly
+    for j in range(10):
+        assert (j, 10_000 + j) in found
+    near_hits = sum((j, 20_000 + j) in found for j in range(10, 20))
+    assert near_hits >= 7
+
+    deduped = minhash_dedup(ds, "text", "doc_id", num_perm=64, bands=16, threshold=0.5)
+    kept = {r["doc_id"] for r in deduped.take_all()}
+    assert not any(10_000 + j in kept for j in range(10))  # exact dups dropped
+    assert all(j in kept for j in range(10))  # representatives kept
+
+
+def test_simhash_near_dups(dup_docs):
+    path, t = dup_docs
+    ds = ray.data.read_parquet(path)
+    pairs = simhash_near_dups(ds, "text", "doc_id", max_hamming=3).take_all()
+    found = {(r["a"], r["b"]) for r in pairs}
+    assert all((j, 10_000 + j) in found for j in range(10))  # identical → hamming 0
+
+
+# -- ann --------------------------------------------------------------------
+
+def test_brute_force_topk_matches_duckdb():
+    ds = ray.data.read_parquet(EMB)
+    q = pq.read_table(EMB).slice(0, 3)
+    queries = np.stack([np.asarray(v, np.float32) for v in q["embedding"].to_pylist()])
+    out = pa.Table.from_pylist(brute_force_topk(ds, queries, k=5).take_all()).to_pandas()
+    out = out.sort_values(["query_id", "score", "vec_id"], ascending=[True, False, True])
+    # self-similarity = 1.0 → each query's own vector ranks first
+    firsts = out.groupby("query_id").first()
+    assert list(firsts["vec_id"]) == [0, 1, 2]
+    assert np.allclose(firsts["score"], 1.0, atol=1e-5)
+
+    exp = duckdb.sql(
+        f"""WITH q AS (SELECT vec_id qid, embedding qe FROM '{EMB}' WHERE vec_id < 3)
+            SELECT qid, vec_id FROM (
+              SELECT q.qid, e.vec_id,
+                     list_cosine_similarity(q.qe, e.embedding) s,
+                     row_number() OVER (PARTITION BY q.qid ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC, e.vec_id) rn
+              FROM q CROSS JOIN '{EMB}' e) WHERE rn <= 5 ORDER BY qid, rn"""
+    ).df()
+    got_ids = out.groupby("query_id")["vec_id"].apply(list)
+    exp_ids = exp.groupby("qid")["vec_id"].apply(list)
+    for qid in range(3):
+        assert got_ids[qid] == exp_ids[qid]
+
+
+def test_lsh_topk_recall():
+    ds = ray.data.read_parquet(EMB)
+    q = pq.read_table(EMB).slice(0, 5)
+    queries = np.stack([np.asarray(v, np.float32) for v in q["embedding"].to_pylist()])
+    exact = pa.Table.from_pylist(brute_force_topk(ds, queries, k=10).take_all()).to_pandas()
+    approx = pa.Table.from_pylist(
+        lsh_topk(ds, queries, k=10, nbits=6, nprobe=8).take_all()
+    ).to_pandas()
+    recalls = []
+    for qid in range(5):
+        e = set(exact[exact.query_id == qid]["vec_id"])
+        a = set(approx[approx.query_id == qid]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.5  # probing 8/64 buckets
