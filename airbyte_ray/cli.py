@@ -1,0 +1,137 @@
+"""CLI entry point — the connector-invocation analog.
+
+Reference: connectors run as ``<image> spec|check|discover|read`` and
+destinations as ``write`` (``IntegrationRunner.java:98-144``,
+``entrypoint.py:26-137``).  This engine is lake-native, so the verbs map to
+lifecycle operations on the lake / sync engine:
+
+    python -m airbyte_ray snapshot --lake DIR --base base.parquet
+    python -m airbyte_ray apply    --lake DIR --log WAL_DIR [--chunk N]
+    python -m airbyte_ray status   --lake DIR
+    python -m airbyte_ray vacuum   --lake DIR
+    python -m airbyte_ray sync     --dest DIR --stream NAME --src S.parquet \
+        --mode incremental --dest-mode append_dedup --cursor ts --pk id
+
+The CLI owns the Ray session (the library never calls ray.init)."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ray_session(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = dict(address="local", include_dashboard=False, logging_level="ERROR")
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="airbyte_ray")
+    p.add_argument("--num-cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("snapshot", help="bootstrap lake from a base table")
+    sp.add_argument("--lake", required=True)
+    sp.add_argument("--base", required=True)
+    sp.add_argument("--partitions", type=int, default=64)
+    sp.add_argument("--salt", type=int, default=1)
+
+    ap = sub.add_parser("apply", help="replay a change log into the lake")
+    ap.add_argument("--lake", required=True)
+    ap.add_argument("--log", required=True, nargs="+")
+    ap.add_argument("--chunk", type=int, default=None, help="checkpoint every N lsns")
+
+    st = sub.add_parser("status", help="print manifest summary")
+    st.add_argument("--lake", required=True)
+
+    vc = sub.add_parser("vacuum", help="remove unreferenced segment files")
+    vc.add_argument("--lake", required=True)
+
+    sy = sub.add_parser("sync", help="cursor-based stream sync (non-CDC)")
+    sy.add_argument("--dest", required=True)
+    sy.add_argument("--stream", required=True)
+    sy.add_argument("--src", required=True, nargs="+")
+    sy.add_argument("--mode", default="full_refresh", choices=["full_refresh", "incremental"])
+    sy.add_argument(
+        "--dest-mode", default="append", choices=["append", "overwrite", "append_dedup"]
+    )
+    sy.add_argument("--cursor", default=None)
+    sy.add_argument("--pk", nargs="*", default=[])
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "status":  # no Ray needed
+        from .state.manifest import Manifest
+
+        m = Manifest.load(args.lake)
+        if m is None:
+            print(json.dumps({"error": "no manifest", "lake": args.lake}))
+            return 1
+        print(
+            json.dumps(
+                {
+                    "watermark": m.watermark,
+                    "num_partitions": m.num_partitions,
+                    "partitions_live": len(m.partitions),
+                    "rows": m.lineage_rows(),
+                    "runs": len(m.runs),
+                    "schema": m.schema.names if m.schema else None,
+                }
+            )
+        )
+        return 0
+
+    if args.cmd == "vacuum":
+        from .pipelines.replay import LakeTable
+
+        lake = LakeTable(args.lake)
+        print(json.dumps({"removed": lake.vacuum()}))
+        return 0
+
+    _ray_session(args.num_cpus)
+    import ray
+    import ray.data
+
+    try:
+        if args.cmd == "snapshot":
+            from .pipelines.replay import LakeTable, ReplayConfig
+
+            lake = LakeTable(args.lake, ReplayConfig(args.partitions, args.salt))
+            out = lake.init_snapshot(ray.data.read_parquet(args.base))
+        elif args.cmd == "apply":
+            from .pipelines.replay import LakeTable
+
+            lake = LakeTable(args.lake)
+            if args.chunk:
+                out = {"runs": lake.apply_chunked(args.log, chunk_lsns=args.chunk)}
+            else:
+                out = lake.apply_log(args.log)
+        elif args.cmd == "sync":
+            from .config import StreamConfig
+            from .pipelines.incremental import SyncEngine
+
+            cfg = StreamConfig(
+                args.stream, args.mode, args.dest_mode,
+                cursor_field=args.cursor, primary_key=args.pk,
+            )
+            out = SyncEngine(args.dest).sync(cfg, args.src if len(args.src) > 1 else args.src[0])
+        print(json.dumps(out, default=str))
+        return 0
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -33,6 +33,10 @@ class StreamConfig:
     cursor_field: str | None = None  # required for incremental
     primary_key: list[str] = field(default_factory=list)  # required for append_dedup
     num_partitions: int = 64  # dedup hash-partition fan-out
+    #: sink format for append/overwrite segments (the reference's
+    #: Parquet/JSONL/CSV serialized buffers, base-java-s3 §2.2);
+    #: append_dedup always writes parquet (merge re-reads segments).
+    format: str = "parquet"  # parquet | json | csv
 
     def __post_init__(self):
         self.sync_mode = SyncMode(self.sync_mode)

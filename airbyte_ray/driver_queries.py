@@ -1,0 +1,402 @@
+"""Driver-facing query registry: one entry per operator family (SURVEY §2),
+each runnable on the harness tables at any sf_dir, each paired (where
+SQL-expressible) with a DuckDB oracle in ``__ray_entry__.oracle_sql``.
+
+The harness ``events`` table is used as a CDC stream analog:
+``event_id`` (unique, monotonic) plays the LSN, ``user_id`` the document
+key, and ``event_type == 'error'`` is mapped to a delete tombstone — so the
+flagship replay machinery can be oracle-checked against window-function SQL.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+from functools import partial
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray.data
+from ray.data.aggregate import Count, Max, Sum
+
+from .functions.ann import brute_force_topk, lsh_topk
+from .functions.dedup import exact_dedup, minhash_dedup, simhash_near_dups
+from .functions.text import LangId, fingerprint_md5, quality_score, rolling_fingerprint, token_count
+from .joins import broadcast_join, hash_join
+from .pipelines.replay import LakeTable, ReplayConfig, _pre_reduce, lww_reduce
+from .stages.transforms import add_fields, flatten_json, hash_id, record_filter
+from .schemas import CDC_UPDATED_AT
+
+
+def _events(sf_dir: str, columns=None) -> ray.data.Dataset:
+    return ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=columns)
+
+
+def _docs(sf_dir: str, columns=None) -> ray.data.Dataset:
+    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
+
+
+def _to_cdc(t: pa.Table) -> pa.Table:
+    """events → change-event envelope: event_id→lsn, user_id→doc_id,
+    event_type 'error'→delete tombstone (payload nulled)."""
+    is_del = pc.equal(t["event_type"], "error")
+    op = pc.if_else(is_del, pa.scalar("delete"), pa.scalar("update"))
+    return pa.table(
+        {
+            "lsn": t["event_id"],
+            "op": op,
+            "doc_id": t["user_id"].cast(pa.string()),
+            "ts": pc.if_else(is_del, pa.nulls(t.num_rows, t["ts"].type), t["ts"]),
+            "event_type": pc.if_else(is_del, pa.nulls(t.num_rows, pa.string()), t["event_type"]),
+            "value": pc.if_else(is_del, pa.nulls(t.num_rows, pa.float64()), t["value"]),
+            CDC_UPDATED_AT: t["ts"].cast(pa.timestamp("us", tz="UTC")),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# CDC core
+# ---------------------------------------------------------------------------
+
+def q_cdc_replay_upsert(sf_dir: str) -> pa.Table:
+    """Flagship: full replay of the events stream through the exactly-once
+    lake (hash-partitioned LWW merge + manifest), final table returned."""
+    cdc = _events(sf_dir).map_batches(_to_cdc, batch_format="pyarrow")
+    tmp = tempfile.mkdtemp(prefix="cdc_lake_", dir="/tmp")
+    try:
+        lake = LakeTable(os.path.join(tmp, "lake"), ReplayConfig(num_partitions=16, salt_factor=2))
+        lake._apply_ds(cdc, already_filtered=True)
+        return lake.to_table()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def q_cdc_lww_latest(sf_dir: str) -> ray.data.Dataset:
+    """LWW reduce only (no lake io): latest event per key incl tombstones."""
+    cdc = _events(sf_dir).map_batches(_to_cdc, batch_format="pyarrow")
+    pre = cdc.map_batches(
+        partial(_pre_reduce, num_partitions=16, salt_factor=1), batch_format="pyarrow"
+    )
+    reduced = pre.groupby("part").map_groups(
+        lambda g: lww_reduce(g).drop_columns(
+            [c for c in ("part", "part_salt", "n_src", "ts", "event_type", "value", CDC_UPDATED_AT)]
+        ),
+        batch_format="pyarrow",
+    )
+    return reduced
+
+
+def q_incremental_watermark(sf_dir: str) -> ray.data.Dataset:
+    """Cursor watermark per stream key (StateDecoratingIterator max-cursor)."""
+    return (
+        _events(sf_dir, columns=["user_id", "ts"])
+        .groupby("user_id")
+        .aggregate(Max("ts", alias_name="max_ts"), Count(alias_name="n"))
+    )
+
+
+def q_snapshot_filter_project(sf_dir: str) -> ray.data.Dataset:
+    return _events(sf_dir, columns=["event_id", "user_id", "event_type", "value"]).map_batches(
+        lambda t: t.filter(
+            pc.and_(pc.greater(t["value"], 50.0), pc.not_equal(t["event_type"], "error"))
+        ).drop_columns(["value"]),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# record transforms
+# ---------------------------------------------------------------------------
+
+def q_json_flatten(sf_dir: str) -> ray.data.Dataset:
+    return _events(sf_dir, columns=["event_id", "props"]).map_batches(
+        flatten_json("props"), batch_format="pyarrow"
+    )
+
+
+def q_hash_surrogate(sf_dir: str) -> ray.data.Dataset:
+    return _events(sf_dir, columns=["event_id", "user_id"]).map_batches(
+        hash_id(["event_id", "user_id"]), batch_format="pyarrow"
+    )
+
+
+def q_type_cast(sf_dir: str) -> ray.data.Dataset:
+    def cast(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id32": t["event_id"].cast(pa.int32()),
+                "user_str": t["user_id"].cast(pa.string()),
+            }
+        )
+
+    return _events(sf_dir, columns=["event_id", "user_id"]).map_batches(cast, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# joins
+# ---------------------------------------------------------------------------
+
+def q_join_broadcast(sf_dir: str) -> ray.data.Dataset:
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_name"])
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+    cust = cust.rename_columns(["o_custkey", "c_name"])
+    return broadcast_join(orders, cust, on="o_custkey").select_columns(
+        ["o_orderkey", "o_totalprice", "c_name"]
+    )
+
+
+def q_join_partitioned(sf_dir: str) -> ray.data.Dataset:
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linenumber", "l_quantity"],
+    )
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_orderstatus"]
+    ).map_batches(
+        lambda t: t.rename_columns(["l_orderkey", "o_orderstatus"]), batch_format="pyarrow"
+    )
+    return hash_join(li, orders, on="l_orderkey", num_buckets=16)
+
+
+# ---------------------------------------------------------------------------
+# aggregation / sort / set ops
+# ---------------------------------------------------------------------------
+
+def q_agg_partial(sf_dir: str) -> ray.data.Dataset:
+    """Grouped sum with a per-batch combiner: each batch pre-aggregates to
+    ≤|groups| rows before the (tiny) global groupby shuffle."""
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity"],
+    )
+
+    def combine(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            part_qty=("l_quantity", "sum"), part_n=("l_quantity", "size")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partial_ = li.map_batches(combine, batch_format="pyarrow")
+    out = partial_.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("part_qty", alias_name="sum_qty_f"), Sum("part_n", alias_name="n")
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "sum_qty": t["sum_qty_f"].cast(pa.int64()),
+                "n": t["n"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_sort_topk(sf_dir: str) -> ray.data.Dataset:
+    return (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_totalprice"]
+        )
+        .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+        .limit(10)
+    )
+
+
+def q_distinct(sf_dir: str) -> pa.Table:
+    vals = sorted(_events(sf_dir, columns=["event_type"]).unique("event_type"))
+    return pa.table({"event_type": pa.array(vals)})
+
+
+def q_window_tumbling(sf_dir: str) -> ray.data.Dataset:
+    """Tumbling 1-hour window count per key (streaming-window analog over an
+    ordered log — SURVEY §2.11)."""
+    ev = _events(sf_dir, columns=["user_id", "ts"])
+    win = ev.map_batches(
+        lambda t: t.append_column("w", pc.floor_temporal(t["ts"], unit="hour")),
+        batch_format="pyarrow",
+    )
+    return win.groupby(["user_id", "w"]).aggregate(Count(alias_name="n"))
+
+
+# ---------------------------------------------------------------------------
+# text / dedup / ann
+# ---------------------------------------------------------------------------
+
+def q_token_count(sf_dir: str) -> ray.data.Dataset:
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        token_count("text"), batch_format="pyarrow"
+    ).map_batches(lambda t: t.drop_columns(["text"]), batch_format="pyarrow")
+
+
+def q_text_quality(sf_dir: str) -> ray.data.Dataset:
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        quality_score("text"), batch_format="pyarrow"
+    ).map_batches(
+        lambda t: t.select(["doc_id", "q_len", "q_n_words"]), batch_format="pyarrow"
+    )
+
+
+def q_fingerprint(sf_dir: str) -> ray.data.Dataset:
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        fingerprint_md5("text"), batch_format="pyarrow"
+    ).map_batches(lambda t: t.drop_columns(["text"]), batch_format="pyarrow")
+
+
+def q_rolling_fingerprint(sf_dir: str) -> ray.data.Dataset:
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        rolling_fingerprint("text"), batch_format="pyarrow"
+    ).map_batches(lambda t: t.drop_columns(["text"]), batch_format="pyarrow")
+
+
+def q_lang_id(sf_dir: str) -> ray.data.Dataset:
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        LangId, fn_constructor_args=("text",), batch_format="pyarrow", concurrency=(1, 4)
+    ).map_batches(lambda t: t.drop_columns(["text"]), batch_format="pyarrow")
+
+
+def q_dedup_exact(sf_dir: str) -> ray.data.Dataset:
+    return exact_dedup(
+        _docs(sf_dir, columns=["doc_id", "text"]), ["text"], keep_by="doc_id"
+    ).select_columns(["doc_id"])
+
+
+def q_dedup_minhash(sf_dir: str) -> ray.data.Dataset:
+    return minhash_dedup(
+        _docs(sf_dir, columns=["doc_id", "text"]), "text", "doc_id",
+        num_perm=64, bands=16, threshold=0.6,
+    ).select_columns(["doc_id"])
+
+
+def q_dedup_simhash(sf_dir: str) -> ray.data.Dataset:
+    return simhash_near_dups(_docs(sf_dir, columns=["doc_id", "text"]), "text", "doc_id")
+
+
+def _queries_matrix(sf_dir: str, n: int = 3) -> np.ndarray:
+    q = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    q = q.slice(0, n)
+    return np.stack([np.asarray(v, np.float32) for v in q["embedding"].to_pylist()])
+
+
+def q_ann_topk(sf_dir: str) -> ray.data.Dataset:
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    out = brute_force_topk(ds, _queries_matrix(sf_dir), k=5)
+    return out.map_batches(lambda t: t.select(["query_id", "vec_id"]), batch_format="pyarrow")
+
+
+def q_ann_lsh(sf_dir: str) -> ray.data.Dataset:
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    out = lsh_topk(ds, _queries_matrix(sf_dir), k=5, nbits=6, nprobe=8)
+    return out.map_batches(lambda t: t.select(["query_id", "vec_id"]), batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# registry + oracles
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "cdc_replay_upsert": q_cdc_replay_upsert,
+    "cdc_lww_latest": q_cdc_lww_latest,
+    "incremental_watermark": q_incremental_watermark,
+    "snapshot_filter_project": q_snapshot_filter_project,
+    "json_flatten": q_json_flatten,
+    "hash_surrogate": q_hash_surrogate,
+    "type_cast": q_type_cast,
+    "join_broadcast": q_join_broadcast,
+    "join_partitioned": q_join_partitioned,
+    "agg_partial": q_agg_partial,
+    "sort_topk": q_sort_topk,
+    "distinct": q_distinct,
+    "window_tumbling": q_window_tumbling,
+    "token_count": q_token_count,
+    "text_quality": q_text_quality,
+    "fingerprint": q_fingerprint,
+    "rolling_fingerprint": q_rolling_fingerprint,
+    "lang_id": q_lang_id,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "ann_topk": q_ann_topk,
+    "ann_lsh": q_ann_lsh,
+}
+
+_CANON = "md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_TOKEN_RE_SQL = "[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]"
+
+ORACLE_SQL = {
+    "cdc_replay_upsert": """
+        SELECT CAST(user_id AS VARCHAR) AS doc_id, ts, event_type, value
+        FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+              FROM events)
+        WHERE rn = 1 AND event_type <> 'error'
+    """,
+    "cdc_lww_latest": """
+        SELECT CAST(user_id AS VARCHAR) AS doc_id, event_id AS lsn,
+               CASE WHEN event_type = 'error' THEN 'delete' ELSE 'update' END AS op
+        FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+              FROM events)
+        WHERE rn = 1
+    """,
+    "incremental_watermark": "SELECT user_id, max(ts) AS max_ts, count(*) AS n FROM events GROUP BY user_id",
+    "snapshot_filter_project": """
+        SELECT event_id, user_id, event_type FROM events
+        WHERE value > 50 AND event_type <> 'error'
+    """,
+    "json_flatten": "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events",
+    "hash_surrogate": """
+        SELECT event_id, user_id,
+               md5(concat_ws('|', CAST(event_id AS VARCHAR), CAST(user_id AS VARCHAR))) AS _airbyte_hashid
+        FROM events
+    """,
+    "type_cast": "SELECT CAST(event_id AS INTEGER) AS event_id32, CAST(user_id AS VARCHAR) AS user_str FROM events",
+    "join_broadcast": """
+        SELECT o.o_orderkey, o.o_totalprice, c.c_name
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+    "join_partitioned": """
+        SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, o.o_orderstatus
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    """,
+    "agg_partial": """
+        SELECT l_returnflag, l_linestatus, CAST(SUM(l_quantity) AS BIGINT) AS sum_qty, COUNT(*) AS n
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+    "sort_topk": """
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+    "distinct": "SELECT DISTINCT event_type FROM events",
+    "window_tumbling": """
+        SELECT user_id, date_trunc('hour', ts) AS w, COUNT(*) AS n
+        FROM events GROUP BY user_id, date_trunc('hour', ts)
+    """,
+    "token_count": f"SELECT doc_id, len(regexp_extract_all(text, '{_TOKEN_RE_SQL}')) AS n_tokens FROM documents",
+    "text_quality": """
+        SELECT doc_id, length(text) AS q_len,
+               len(regexp_extract_all(text, '[A-Za-z]+')) AS q_n_words
+        FROM documents
+    """,
+    "fingerprint": f"SELECT doc_id, {_CANON} AS fp FROM documents",
+    "dedup_exact": f"""
+        SELECT doc_id FROM (
+          SELECT doc_id, row_number() OVER (PARTITION BY {_CANON} ORDER BY doc_id) rn
+          FROM documents) WHERE rn = 1
+    """,
+    "ann_topk": """
+        WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 3)
+        SELECT qid AS query_id, vec_id FROM (
+          SELECT q.qid, e.vec_id,
+                 row_number() OVER (
+                   PARTITION BY q.qid
+                   ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC, e.vec_id) rn
+          FROM q CROSS JOIN embeddings e) WHERE rn <= 5
+    """,
+    # rows-only (non-SQL-expressible / heuristic): rolling_fingerprint,
+    # lang_id, dedup_minhash, dedup_simhash, ann_lsh
+}

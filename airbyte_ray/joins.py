@@ -1,0 +1,139 @@
+"""Joins & lookups, Ray-Data-first (SURVEY §2.6).
+
+The reference has no general relational join — its only joins are the SCD
+incremental semi-join (``stream_processor.py:928-938``) and parent→child
+substream lookups.  At 100 TB the two shapes we provide cover both and more:
+
+* :func:`broadcast_join` — small side (dimension table / key set) is put in
+  the object store ONCE (``ray.put``) and merged into every batch with a
+  vectorized pandas merge.  No shuffle at all; this is the right plan
+  whenever one side fits a worker heap (the reference's substream lookup
+  and SCD key-set semi-join both reduce to this).
+* :func:`hash_join` — both sides large: add ``bucket = hash(key) % B`` to
+  each side, tag, union, ONE ``groupby(bucket)`` shuffle, and a pandas
+  merge inside each bucket group.  B must be chosen so each bucket pair
+  fits a task heap; skewed keys can be salted by raising B (buckets are
+  uniform in the key hash, so only exact-key hot spots matter — those are
+  broadcast-join territory instead).
+* :func:`semi_join` / :func:`anti_join` — broadcast the key set and filter
+  with a vectorized ``is_in`` mask.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from .pipelines.replay import stable_hash
+
+
+def _key_hash(t: pa.Table, on: list[str]) -> np.ndarray:
+    h = np.zeros(t.num_rows, np.uint64)
+    with np.errstate(over="ignore"):
+        for c in on:
+            h = h * np.uint64(1099511628211) + stable_hash(t[c].cast(pa.string()))
+    return h
+
+
+def broadcast_join(
+    big: ray.data.Dataset,
+    small: pa.Table | pd.DataFrame,
+    on: list[str] | str,
+    how: str = "inner",
+) -> ray.data.Dataset:
+    """Join a large Dataset against a small in-memory table without any
+    shuffle.  ``how`` ∈ {inner, left}."""
+    on = [on] if isinstance(on, str) else list(on)
+    if isinstance(small, pa.Table):
+        small = small.to_pandas()
+    ref = ray.put(small)
+
+    def merge(t: pa.Table) -> pa.Table:
+        sm = ray.get(ref)
+        df = t.to_pandas()
+        out = df.merge(sm, on=on, how=how)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return big.map_batches(merge, batch_format="pyarrow")
+
+
+def hash_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: list[str] | str,
+    how: str = "inner",
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Partitioned hash join: bucket by key hash, tag sides, union, single
+    groupby(bucket) shuffle, per-bucket pandas merge."""
+    on = [on] if isinstance(on, str) else list(on)
+
+    lcols = left.schema().names
+    rcols = right.schema().names
+    l_only = [c for c in lcols if c not in on]
+    r_only = [c for c in rcols if c not in on]
+    overlap = set(l_only) & set(r_only)
+    if overlap:
+        raise ValueError(f"non-key column collision: {sorted(overlap)}")
+
+    def prep(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            b = (_key_hash(t, on) % np.uint64(num_buckets)).astype(np.int64)
+            t = t.append_column("__bucket", pa.array(b))
+            return t.append_column("__side", pa.array(np.full(t.num_rows, side, np.int8)))
+
+        return fn
+
+    l = left.map_batches(prep(0), batch_format="pyarrow")
+    r = right.map_batches(prep(1), batch_format="pyarrow")
+
+    # conform to the union schema (other side's columns null-filled)
+    def widen(missing: list[str], other_schema):
+        def fn(t: pa.Table) -> pa.Table:
+            for name in missing:
+                t = t.append_column(name, pa.nulls(t.num_rows, other_schema[name]))
+            return t
+
+        return fn
+
+    r_types = {n: t for n, t in zip(right.schema().names, right.schema().types)}
+    l_types = {n: t for n, t in zip(left.schema().names, left.schema().types)}
+    l = l.map_batches(widen(r_only, r_types), batch_format="pyarrow")
+    r = r.map_batches(widen(l_only, l_types), batch_format="pyarrow")
+    col_order = on + l_only + r_only + ["__bucket", "__side"]
+    l = l.select_columns(col_order)
+    r = r.select_columns(col_order)
+
+    def bucket_merge(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        ldf = df[df["__side"] == 0][on + l_only]
+        rdf = df[df["__side"] == 1][on + r_only]
+        out = ldf.merge(rdf, on=on, how=how)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return l.union(r).groupby("__bucket").map_groups(bucket_merge, batch_format="pyarrow")
+
+
+def semi_join(
+    big: ray.data.Dataset, keys: pa.Table | list, on: str, anti: bool = False
+) -> ray.data.Dataset:
+    """Filter ``big`` to rows whose ``on`` value is (not, for anti) in the
+    broadcast key set."""
+    if isinstance(keys, pa.Table):
+        keys = keys[on].to_pylist()
+    ref = ray.put(sorted(set(keys)))
+
+    def fn(t: pa.Table) -> pa.Table:
+        ks = ray.get(ref)
+        mask = pc.is_in(t[on], value_set=pa.array(ks, t[on].type))
+        return t.filter(pc.invert(mask) if anti else mask)
+
+    return big.map_batches(fn, batch_format="pyarrow")
+
+
+def anti_join(big: ray.data.Dataset, keys, on: str) -> ray.data.Dataset:
+    return semi_join(big, keys, on, anti=True)

@@ -169,17 +169,26 @@ class SyncEngine:
         stats: dict = {"stream": cfg.name, "sync_id": sync_id, "mode": cfg.sync_mode.value}
 
         seg = f"seg-{sync_id:08d}"
+
+        def _write(dset, path):
+            if cfg.format == "json":
+                dset.write_json(path)
+            elif cfg.format == "csv":
+                dset.write_csv(path)
+            else:
+                dset.write_parquet(path)
+
         if cfg.destination_sync_mode is DestinationSyncMode.append_dedup:
             rows = self._write_dedup(cfg, ds, sdir, sync_id, state)
         elif cfg.destination_sync_mode is DestinationSyncMode.overwrite:
-            ds.write_parquet(os.path.join(sdir, seg))
+            _write(ds, os.path.join(sdir, seg))
             stale = [s for s in state.get("segments", []) if s != seg]
             state["segments"] = [seg]  # visibility flips at state commit
             for e in stale:
                 shutil.rmtree(os.path.join(sdir, e), ignore_errors=True)
             rows = None
         else:  # append
-            ds.write_parquet(os.path.join(sdir, seg))
+            _write(ds, os.path.join(sdir, seg))
             state["segments"] = state.get("segments", []) + [seg]
             rows = None
 
@@ -232,20 +241,25 @@ class SyncEngine:
         return sum(e["rows"] for e in segs.values())
 
     # -- read back ---------------------------------------------------------
-    def read(self, stream: str, dedup: bool = False) -> ray.data.Dataset:
+    def read(self, stream: str, dedup: bool = False, format: str = "parquet") -> ray.data.Dataset:
         """Committed view of a stream (only state-visible segments)."""
         sdir = self._stream_dir(stream)
         st = StreamState(self.state_dir, stream).load()
         if dedup:
+            # partitioning=None: segment dirs are named part=NNNNN — suppress
+            # hive-partition column inference
             paths = [os.path.join(sdir, e["path"]) for e in st.get("dedup_segments", {}).values()]
-        else:
-            import glob as _g
+            return ray.data.read_parquet(paths, partitioning=None)
+        import glob as _g
 
-            paths = []
-            for s in st.get("segments", []):
-                paths.extend(sorted(_g.glob(os.path.join(sdir, s, "**", "*.parquet"), recursive=True)))
-        # partitioning=None: segment dirs are named part=NNNNN — suppress
-        # hive-partition column inference
+        ext = {"parquet": "parquet", "json": "json", "csv": "csv"}[format]
+        paths = []
+        for s in st.get("segments", []):
+            paths.extend(sorted(_g.glob(os.path.join(sdir, s, "**", f"*.{ext}"), recursive=True)))
+        if format == "json":
+            return ray.data.read_json(paths)
+        if format == "csv":
+            return ray.data.read_csv(paths)
         return ray.data.read_parquet(paths, partitioning=None)
 
 

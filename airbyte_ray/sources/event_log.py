@@ -48,6 +48,22 @@ def unified_event_schema(paths: str | list[str]) -> pa.Schema:
     return reduce(unify_schemas, (pq.read_schema(f) for f in files))
 
 
+def log_max_lsn(paths: str | list[str]) -> int | None:
+    """Max lsn across the log from parquet row-group statistics — O(footers),
+    no data scan (the CdcTargetPosition fix at job start)."""
+    mx = None
+    for f in _expand(paths):
+        md = pq.read_metadata(f)
+        idx = md.schema.to_arrow_schema().get_field_index("lsn")
+        if idx == -1:
+            continue
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is not None and st.has_min_max:
+                mx = st.max if mx is None else max(mx, st.max)
+    return mx
+
+
 def read_event_log(
     paths: str | list[str],
     min_lsn: int = -1,

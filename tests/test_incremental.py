@@ -87,3 +87,15 @@ def test_append_dedup_resync_idempotent(tmp_path):
     eng.sync(cfg, SRC)  # nothing newer than cursor
     after = eng.read("events", dedup=True).to_pandas().sort_values("user_id").reset_index(drop=True)
     assert before.drop(columns=["_airbyte_emitted_at"]).equals(after.drop(columns=["_airbyte_emitted_at"]))
+
+
+def test_append_jsonl_format(tmp_path):
+    """JSONL sink format (reference JsonL writer analog)."""
+    from airbyte_ray.config import StreamConfig
+    from airbyte_ray.pipelines.incremental import SyncEngine
+
+    eng = SyncEngine(str(tmp_path / "dest"))
+    cfg = StreamConfig("events", "full_refresh", "append", format="json")
+    eng.sync(cfg, SRC)
+    got = eng.read("events", format="json")
+    assert got.count() == pq.read_metadata(SRC).num_rows
