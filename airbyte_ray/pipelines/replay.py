@@ -114,7 +114,8 @@ def _lww_group(t: pa.Table) -> pa.Table:
 
 def _merge_partition(group: pa.Table, ctx: dict) -> pa.Table:
     """Reconcile + merge one hash partition; write its new segment; return a
-    one-row lineage table.  Runs as a stateless Ray task per partition."""
+    one-row lineage table.  Runs as a stateless Ray task per partition
+    (groupby path) or inside a merge-applier actor (scatter path)."""
     t = lww_reduce(group)
     part = int(t["part"][0].as_py())
     out_schema = pa.ipc.read_schema(pa.BufferReader(ctx["schema"]))
@@ -176,6 +177,78 @@ def _merge_partition(group: pa.Table, ctx: dict) -> pa.Table:
     )
 
 
+@ray.remote
+class MergeApplier:
+    """Stateful merge-applier actor — owns a fixed set of hash partitions.
+
+    The north-star exchange for CDC ingest: router tasks scatter pre-reduced
+    sub-batches DIRECTLY to the owning actor (object-store transfer, no sort
+    machinery, no barrier).  The actor buffers per partition, compacts with
+    the LWW reduce whenever a partition's buffer exceeds ``compact_rows``
+    (bounding memory by unique keys, the reference's applier-dict bound,
+    SURVEY §2.5), and on ``flush()`` merges each owned partition with its
+    old segment and writes the new segment.
+
+    On a multi-node cluster the actors spread across nodes and each ingests
+    only its own partitions' bytes — aggregate exchange bandwidth scales
+    with nodes, unlike a single-node sort."""
+
+    def __init__(self, parts: list[int], ctx: dict, compact_rows: int = 200_000):
+        self.buf: dict[int, list[pa.Table]] = {p: [] for p in parts}
+        self.rows: dict[int, int] = {p: 0 for p in parts}
+        self.ctx = ctx
+        self.compact_rows = compact_rows
+
+    def ingest(self, sub: pa.Table, part: int) -> int:
+        self.buf[part].append(sub)
+        self.rows[part] += sub.num_rows
+        if self.rows[part] > self.compact_rows:
+            merged = lww_reduce(pa.concat_tables(self.buf[part]))
+            self.buf[part] = [merged]
+            self.rows[part] = merged.num_rows
+        return sub.num_rows
+
+    def flush(self) -> list[dict]:
+        out = []
+        for p, tables in self.buf.items():
+            if not tables or sum(t.num_rows for t in tables) == 0:
+                continue
+            lineage = _merge_partition(pa.concat_tables(tables), self.ctx)
+            out.extend(lineage.to_pylist())
+        self.buf = {p: [] for p in self.buf}
+        self.rows = {p: 0 for p in self.rows}
+        return out
+
+
+class _Router:
+    """Stateless map stage: split each pre-reduced batch by partition and
+    scatter sub-batches to the owning applier actor.  ``ray.get`` before
+    returning gives per-router backpressure (at most one in-flight wave per
+    router task)."""
+
+    def __init__(self, actors: list, num_partitions: int):
+        self.actors = actors
+        self.P = num_partitions
+        self.A = len(actors)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"routed": pa.array([], pa.int64())})
+        part = t["part"].to_numpy()
+        order = np.argsort(part, kind="stable")
+        sorted_t = t.take(pa.array(order))
+        sorted_part = part[order]
+        bounds = np.searchsorted(sorted_part, np.arange(self.P + 1))
+        refs = []
+        for p in range(self.P):
+            lo, hi = bounds[p], bounds[p + 1]
+            if hi > lo:
+                sub = sorted_t.slice(lo, hi - lo)
+                refs.append(self.actors[p % self.A].ingest.remote(sub, p))
+        routed = sum(ray.get(refs)) if refs else 0
+        return pa.table({"routed": pa.array([routed], pa.int64())})
+
+
 @dataclass
 class ReplayConfig:
     """``salt_factor=1`` (default) runs ONE keyed shuffle — the per-batch
@@ -193,6 +266,15 @@ class ReplayConfig:
     #: 4.5M-event bench (32 cpus): 9.5s vs 63s pull-based, and far lower
     #: run-to-run variance.
     push_shuffle: bool = True
+    #: exchange strategy: "shuffle" = groupby(part) (general; handles any
+    #: input) · "actors" = scatter to stateful merge-applier actors (no sort
+    #: machinery; each byte moves once; exchange bandwidth scales with the
+    #: nodes hosting the actors).  Both produce identical committed state.
+    exchange: str = "shuffle"
+    #: applier-actor pool size for exchange="actors"
+    num_appliers: int = 16
+    #: per-partition buffered rows before in-actor LWW compaction
+    compact_rows: int = 200_000
 
 
 class LakeTable:
@@ -301,15 +383,39 @@ class LakeTable:
         # run chain; a crashed rerun reproduces the same segment paths).
         ctx["run_lsn_hi"] = wm + 1
 
-        lineage_ds = reduced.groupby("part").map_groups(
-            partial(_merge_partition, ctx=ctx), batch_format="pyarrow"
-        )
+        lineage_ds = None
         try:
-            lineage = lineage_ds.take_all()  # ≤ P small dicts
+            if self.config.exchange == "actors":
+                A = min(self.config.num_appliers, m.num_partitions)
+                # num_cpus=0: appliers must not reserve CPU slots, or they
+                # deadlock against the router tasks on small sessions —
+                # ingest is an append, flush runs after routers finish.
+                # SPREAD places appliers across nodes on a real cluster.
+                actors = [
+                    MergeApplier.options(num_cpus=0, scheduling_strategy="SPREAD").remote(
+                        [p for p in range(m.num_partitions) if p % A == i],
+                        ctx,
+                        self.config.compact_rows,
+                    )
+                    for i in range(A)
+                ]
+                router = _Router(actors, m.num_partitions)
+                # consume the routed stream fully (count() drives execution)
+                reduced.map_batches(router, batch_format="pyarrow").sum("routed")
+                lineage = []
+                for chunk in ray.get([a.flush.remote() for a in actors]):
+                    lineage.extend(chunk)
+                for a in actors:
+                    ray.kill(a)
+            else:
+                lineage_ds = reduced.groupby("part").map_groups(
+                    partial(_merge_partition, ctx=ctx), batch_format="pyarrow"
+                )
+                lineage = lineage_ds.take_all()  # ≤ P small dicts
         finally:
             dctx.shuffle_strategy = prev_strategy
         elapsed = time.perf_counter() - t0
-        if os.environ.get("AIRBYTE_RAY_DEBUG"):
+        if os.environ.get("AIRBYTE_RAY_DEBUG") and lineage_ds is not None:
             import sys
 
             print(lineage_ds.stats(), file=sys.stderr)

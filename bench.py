@@ -29,11 +29,11 @@ SF = SF_DIR.rstrip("/").split("sf")[-1]
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# scale the synthetic CDC log off the sf dir size (sf0.1 → 4M events, 200k
-# docs — large enough that parallel compute dominates the ~4s fixed
+# scale the synthetic CDC log off the sf dir size (sf0.1 → 16M events, 400k
+# docs — large enough that parallel compute dominates the ~3.5s fixed
 # orchestration overhead, which is what the N→4N scaling criterion measures)
-_EVENT_SCALE = {"0.001": (10_000, 1_000), "0.01": (100_000, 10_000), "0.1": (4_000_000, 200_000)}
-N_EVENTS, N_BASE = _EVENT_SCALE.get(SF, (4_000_000, 200_000))
+_EVENT_SCALE = {"0.001": (10_000, 1_000), "0.01": (100_000, 10_000), "0.1": (16_000_000, 400_000)}
+N_EVENTS, N_BASE = _EVENT_SCALE.get(SF, (16_000_000, 400_000))
 CHUNK = 200_000
 BENCH_ROOT = f"/tmp/airbyte_ray_bench/sf{SF}-n{N_EVENTS}"
 
@@ -116,7 +116,12 @@ def run_bench() -> dict:
     # one-time bootstrap, timed separately) ----
     lake_dir = os.path.join(BENCH_ROOT, f"lake_cpus{NUM_CPUS}")
     shutil.rmtree(lake_dir, ignore_errors=True)
-    lake = LakeTable(lake_dir, ReplayConfig(num_partitions=64, salt_factor=1))
+    # merge-applier actor exchange: each byte moves once, no sort machinery;
+    # equivalence with the groupby-shuffle path is pytest-verified
+    lake = LakeTable(
+        lake_dir,
+        ReplayConfig(num_partitions=64, salt_factor=1, exchange="actors", num_appliers=16),
+    )
     t0 = time.perf_counter()
     lake.init_snapshot(ray.data.read_parquet(base_path))
     t1 = time.perf_counter()

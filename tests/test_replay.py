@@ -118,3 +118,19 @@ def test_resume_after_crash_before_commit(fixtures):
     assert resumed.manifest.watermark == saved.watermark
     resumed.apply_log(ev_path)
     assert resumed.to_table().equals(done)
+
+
+def test_actor_exchange_matches_shuffle(fixtures, tmp_path):
+    """exchange='actors' (merge-applier scatter) produces the identical
+    committed table as the groupby-shuffle path."""
+    base, events, ev_path, lake_dir = fixtures
+    a = LakeTable(str(tmp_path / "lake_a"),
+                  ReplayConfig(num_partitions=8, exchange="actors", num_appliers=4))
+    a.init_snapshot(ray.data.from_arrow(base))
+    a.apply_log(ev_path)
+
+    b = LakeTable(str(tmp_path / "lake_b"), ReplayConfig(num_partitions=8))
+    b.init_snapshot(ray.data.from_arrow(base))
+    b.apply_log(ev_path)
+    assert a.to_table().equals(b.to_table())
+    assert a.to_table().equals(replay_oracle(base, [events]))
