@@ -23,7 +23,12 @@ import ray.data
 from ray.data.aggregate import Count, Max, Sum
 
 from .functions.ann import brute_force_topk, lsh_topk
-from .functions.dedup import exact_dedup, minhash_dedup, simhash_near_dups
+from .functions.dedup import (
+    embedding_near_dups,
+    exact_dedup,
+    minhash_dedup,
+    simhash_near_dups,
+)
 from .functions.text import LangId, fingerprint_md5, quality_score, rolling_fingerprint, token_count
 from .joins import broadcast_join, hash_join
 from .pipelines.replay import LakeTable, ReplayConfig, _pre_reduce, lww_reduce
@@ -278,6 +283,15 @@ def q_dedup_simhash(sf_dir: str) -> ray.data.Dataset:
     return simhash_near_dups(_docs(sf_dir, columns=["doc_id", "text"]), "text", "doc_id")
 
 
+def q_dedup_embedding(sf_dir: str) -> ray.data.Dataset:
+    """Embedding-cosine near-dup pairs (LSH-bucketed, exact verify).
+    nbits=2 → 4 coarse buckets: small corpora stay verifiable against the
+    exhaustive SQL oracle because near-identical vectors rarely split."""
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    out = embedding_near_dups(ds, "embedding", "vec_id", threshold=0.99, nbits=2)
+    return out.map_batches(lambda t: t.select(["a", "b"]), batch_format="pyarrow")
+
+
 def _queries_matrix(sf_dir: str, n: int = 3) -> np.ndarray:
     q = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
     q = q.slice(0, n)
@@ -322,6 +336,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding": q_dedup_embedding,
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
 }

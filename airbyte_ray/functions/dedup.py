@@ -333,3 +333,68 @@ def simhash_near_dups(
         .groupby(["a", "b"])
         .map_groups(pair_first, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_dups(
+    ds: ray.data.Dataset,
+    emb_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    nbits: int = 8,
+    seed: int = 211,
+) -> ray.data.Dataset:
+    """Near-duplicate pairs by embedding cosine: random-hyperplane LSH keys
+    bucket the corpus with one groupby; exact cosine verification runs
+    inside each bucket.  Two near-identical vectors share all sign bits
+    with high probability; raise nbits for selectivity, lower for recall."""
+    from .ann import _bucket_keys, _hyperplanes, _matrix, _normalize
+
+    planes_holder: dict = {}
+
+    def key_batch(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"band_key": pa.array([], pa.int64()),
+                             id_col: pa.array([], t[id_col].type),
+                             emb_col: pa.array([], t[emb_col].type)})
+        if "planes" not in planes_holder:
+            dim = len(t[emb_col][0].as_py())
+            planes_holder["planes"] = _hyperplanes(dim, nbits, seed)
+        m = _normalize(_matrix(t, emb_col))
+        keys = _bucket_keys(m, planes_holder["planes"])
+        return pa.table({"band_key": pa.array(keys), id_col: t[id_col], emb_col: t[emb_col]})
+
+    def pairs(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        empty = pa.table({"a": pa.array([], g[id_col].type), "b": pa.array([], g[id_col].type),
+                          "cosine": pa.array([], pa.float64())})
+        if n < 2 or n > 2000:
+            return empty
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        m = _normalize(_matrix(g, emb_col))
+        sims = m @ m.T
+        ii, jj = np.triu_indices(n, 1)
+        keep = sims[ii, jj] >= threshold
+        if not keep.any():
+            return empty
+        a, b = ids[ii[keep]], ids[jj[keep]]
+        swap = a > b
+        return pa.table({"a": pa.array(np.where(swap, b, a)),
+                         "b": pa.array(np.where(swap, a, b)),
+                         "cosine": pa.array(sims[ii, jj][keep].astype(np.float64))})
+
+    def pair_first(g: pa.Table) -> pa.Table:
+        return g.slice(0, 1)
+
+    return (
+        ds.select_columns([id_col, emb_col])
+        .map_batches(key_batch, batch_format="pyarrow")
+        .groupby("band_key")
+        .map_groups(pairs, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .map_groups(pair_first, batch_format="pyarrow")
+    )

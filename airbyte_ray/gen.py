@@ -71,6 +71,18 @@ def _zipf_keys(rng: np.random.Generator, n_keys: int, size: int, alpha: float) -
     return rng.choice(n_keys, size=size, p=w)
 
 
+def partition_pools(n_keys: int, num_partitions: int, start: int = 0) -> list[np.ndarray]:
+    """Split key indices [start, start+n_keys) by the ENGINE's partition hash
+    (``pipelines.replay.stable_hash(doc_id) % P``) — used to generate
+    key-partitioned (sharded-WAL-style) change logs whose files are aligned
+    with lake partitions."""
+    from .pipelines.replay import stable_hash
+
+    idx = np.arange(start, start + n_keys)
+    part = (stable_hash(doc_id(idx)) % np.uint64(num_partitions)).astype(np.int64)
+    return [idx[part == p] for p in range(num_partitions)]
+
+
 def gen_events(
     n_events: int,
     n_base: int,
@@ -82,6 +94,8 @@ def gen_events(
     disorder_window: int = 32,
     start_lsn: int = 1,
     v2: bool = False,
+    key_pool: np.ndarray | None = None,
+    insert_pool: np.ndarray | None = None,
 ) -> pa.Table:
     """F2 (and F3 when ``v2=True``): change-event log.
 
@@ -95,6 +109,10 @@ def gen_events(
       log is not lsn-sorted on disk (the engine must sort per partition).
     * ``v2`` (schema-evolution epoch, FIXTURES F3): adds nullable ``lang``,
       widens ``n_tok`` to int64, drops ``source``.
+    * ``key_pool``/``insert_pool``: restrict update/delete keys to
+      ``key_pool`` (zipf over the pool) and draw insert keys in order from
+      ``insert_pool`` — generates partition-aligned log shards (see
+      :func:`partition_pools`).
     """
     rng = np.random.default_rng(np.random.PCG64(seed))
     lsn = start_lsn + np.cumsum(rng.integers(1, 4, n_events, dtype=np.int64)) - 1
@@ -105,10 +123,18 @@ def gen_events(
     n_ins = int(is_ins.sum())
 
     keys = np.empty(n_events, dtype=np.int64)
-    keys[~is_ins] = _zipf_keys(rng, max(n_base, 1), int((~is_ins).sum()), zipf_alpha)
-    # inserts: new keys above the base range, later inserts may collide with
-    # earlier inserts' keys only via update/delete (not modeled — new unique keys)
-    keys[is_ins] = n_base + rng.permutation(n_ins)
+    if key_pool is not None:
+        draws = _zipf_keys(rng, max(len(key_pool), 1), int((~is_ins).sum()), zipf_alpha)
+        keys[~is_ins] = key_pool[draws]
+    else:
+        keys[~is_ins] = _zipf_keys(rng, max(n_base, 1), int((~is_ins).sum()), zipf_alpha)
+    if insert_pool is not None:
+        if n_ins > len(insert_pool):
+            raise ValueError(f"insert_pool too small: {n_ins} > {len(insert_pool)}")
+        keys[is_ins] = insert_pool[:n_ins]
+    else:
+        # inserts: new keys above the base range (new unique keys)
+        keys[is_ins] = n_base + rng.permutation(n_ins)
 
     tokens, lengths = _gen_tokens(rng, n_events)
     is_del = op == "delete"

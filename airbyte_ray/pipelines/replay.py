@@ -177,6 +177,48 @@ def _merge_partition(group: pa.Table, ctx: dict) -> pa.Table:
     )
 
 
+_LINEAGE_SCHEMA = pa.schema(
+    [
+        ("part", pa.int64()),
+        ("path", pa.string()),
+        ("rows", pa.int64()),
+        ("lsn_lo", pa.int64()),
+        ("lsn_hi", pa.int64()),
+        ("n_events", pa.int64()),
+        ("checksum", pa.int64()),
+    ]
+)
+
+
+def _apply_partition_shard(batch: pa.Table, ctx: dict) -> pa.Table:
+    """Partition-aligned apply task: read one partition's shard files,
+    filter lsn, LWW-reduce, merge+write its segment.  No exchange."""
+    ev_schema = pa.ipc.read_schema(pa.BufferReader(ctx["event_schema"]))
+    outs = []
+    for row in batch.to_pylist():
+        part, files = int(row["part"]), row["files"].split("\n")
+        flt = [("lsn", ">", ctx["min_lsn"])]
+        tbls = [pq.read_table(f, filters=flt) for f in files]
+        t = pa.concat_tables([conform_table(x, ev_schema) for x in tbls])
+        if t.num_rows == 0:
+            continue
+        if ctx["validate"]:
+            h = (stable_hash(t["doc_id"]) % np.uint64(ctx["num_partitions"])).astype(np.int64)
+            if not (h == part).all():
+                bad = int((h != part).sum())
+                raise ValueError(
+                    f"shard part={part}: {bad} rows hash to other partitions — "
+                    "input is not aligned with the lake partitioning; use apply_log()"
+                )
+        t = t.append_column("n_src", pa.array(np.ones(t.num_rows, np.int64)))
+        t = lww_reduce(t)
+        t = t.append_column("part", pa.array(np.full(t.num_rows, part, np.int64)))
+        outs.append(_merge_partition(t, ctx))
+    if not outs:
+        return _LINEAGE_SCHEMA.empty_table()
+    return pa.concat_tables(outs)
+
+
 @ray.remote
 class MergeApplier:
     """Stateful merge-applier actor — owns a fixed set of hash partitions.
@@ -420,6 +462,10 @@ class LakeTable:
 
             print(lineage_ds.stats(), file=sys.stderr)
 
+        return self._commit(lineage, wm, out_schema, elapsed)
+
+    def _commit(self, lineage: list[dict], wm: int, out_schema: pa.Schema, elapsed: float) -> dict:
+        m = self.manifest
         if not lineage:
             return {"applied_events": 0, "partitions": 0, "watermark": wm, "sec": elapsed}
 
@@ -454,6 +500,73 @@ class LakeTable:
             "watermark": m.watermark,
             "sec": elapsed,
         }
+
+    def apply_partitioned(self, root: str, validate_alignment: bool = True) -> dict:
+        """Apply a key-partitioned change log laid out as
+        ``<root>/part=NNNNN/*.parquet`` — the sharded-WAL / changelog-topic
+        case (Debezium→Kafka topics are key-partitioned; a 10^10-event log
+        arrives this way).  When the log's partitioning matches the lake's
+        (same key hash, same P), the exchange vanishes: one task per
+        partition reads its shard files, LWW-reduces, merges with the old
+        segment, writes — each byte moves exactly once, embarrassingly
+        parallel.  ``validate_alignment`` re-hashes keys in-task and fails
+        loudly on misrouted rows (misaligned input must not corrupt state);
+        for unaligned logs use :meth:`apply_log` (shuffle or actor scatter).
+        """
+        import glob as _g
+
+        m = self.manifest
+        wm = m.watermark
+        part_dirs = sorted(_g.glob(os.path.join(root, "part=*")))
+        if not part_dirs:
+            raise FileNotFoundError(f"no part=* shard dirs under {root}")
+        items = []
+        for d in part_dirs:
+            p = int(os.path.basename(d).split("=")[1])
+            if p >= m.num_partitions:
+                raise ValueError(
+                    f"shard partition {p} >= lake num_partitions {m.num_partitions}"
+                )
+            files = sorted(_g.glob(os.path.join(d, "*.parquet")))
+            if files:
+                items.append({"part": p, "files": "\n".join(files)})
+        if not items:
+            return {"applied_events": 0, "partitions": 0, "watermark": wm, "sec": 0.0}
+
+        from ..sources.event_log import unified_event_schema
+
+        ev_schema = unified_event_schema(root)
+        ev_fields = [
+            pa.field(n, t)
+            for n, t in zip(ev_schema.names, ev_schema.types)
+            if n not in _META_COLS and n != "op"
+        ]
+        out_schema = (
+            pa.schema(ev_fields)
+            if m.schema is None
+            else unify_schemas(m.schema, pa.schema(ev_fields))
+        )
+        ctx = {
+            "lake_dir": self.lake_dir,
+            "schema": out_schema.serialize().to_pybytes(),
+            "old_segments": {p: e.path for p, e in m.partitions.items()},
+            "run_lsn_hi": wm + 1,
+            "event_schema": ev_schema.serialize().to_pybytes(),
+            "min_lsn": wm,
+            "num_partitions": m.num_partitions,
+            "validate": validate_alignment,
+        }
+        t0 = time.perf_counter()
+        lineage = (
+            ray.data.from_items(items)
+            .map_batches(
+                partial(_apply_partition_shard, ctx=ctx),
+                batch_format="pyarrow",
+                batch_size=1,
+            )
+            .take_all()
+        )
+        return self._commit(lineage, wm, out_schema, time.perf_counter() - t0)
 
     def vacuum(self) -> int:
         """Delete segment files not referenced by the committed manifest

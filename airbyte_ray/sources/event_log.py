@@ -85,7 +85,7 @@ def read_event_log(
 
     parts = []
     for fs in by_schema.values():
-        ds = ray.data.read_parquet(fs, filter=flt)
+        ds = ray.data.read_parquet(fs, filter=flt, partitioning=None)
         parts.append(ds.map_batches(partial(conform_table, schema=schema), batch_format="pyarrow"))
     ds = parts[0]
     for p in parts[1:]:

@@ -184,3 +184,26 @@ def test_lsh_topk_recall():
         a = set(approx[approx.query_id == qid]["vec_id"])
         recalls.append(len(e & a) / len(e))
     assert np.mean(recalls) >= 0.5  # probing 8/64 buckets
+
+
+def test_embedding_near_dups_finds_planted_pair(tmp_path):
+    """Plant near-identical vectors; the LSH-bucketed pass must find them."""
+    from airbyte_ray.functions.dedup import embedding_near_dups
+
+    base = pq.read_table(EMB).slice(0, 100)
+    vecs = [np.asarray(v, np.float32) for v in base["embedding"].to_pylist()]
+    # dups: tiny perturbation of vectors 0..4
+    for j in range(5):
+        vecs.append(vecs[j] + 1e-4)
+    t = pa.table({
+        "vec_id": pa.array(list(range(100)) + [1000 + j for j in range(5)], pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+    })
+    p = tmp_path / "emb.parquet"
+    pq.write_table(t, p)
+    pairs = embedding_near_dups(
+        ray.data.read_parquet(str(p)), "embedding", "vec_id", threshold=0.999, nbits=4
+    ).take_all()
+    found = {(r["a"], r["b"]) for r in pairs}
+    hits = sum((j, 1000 + j) in found for j in range(5))
+    assert hits >= 4  # LSH recall: near-identical vectors share buckets

@@ -134,3 +134,43 @@ def test_actor_exchange_matches_shuffle(fixtures, tmp_path):
     b.apply_log(ev_path)
     assert a.to_table().equals(b.to_table())
     assert a.to_table().equals(replay_oracle(base, [events]))
+
+
+def test_partition_aligned_apply(tmp_path):
+    """Key-partitioned (sharded-WAL) log → apply_partitioned matches the
+    shuffled path and the oracle; misaligned input fails loudly."""
+    P = 4
+    base = gen.gen_base(200, seed=31)
+    pools = gen.partition_pools(200, P)
+    new_pools = gen.partition_pools(4000, P, start=200)
+    shards, all_events = [], []
+    root = tmp_path / "walshards"
+    for p in range(P):
+        ev = gen.gen_events(
+            400, 200, seed=40 + p, start_lsn=1 + 2000 * p,
+            key_pool=pools[p], insert_pool=new_pools[p],
+        )
+        d = root / f"part={p:05d}"
+        d.mkdir(parents=True)
+        pq.write_table(ev, d / "chunk-0.parquet")
+        all_events.append(ev)
+
+    a = LakeTable(str(tmp_path / "lake_a"), ReplayConfig(num_partitions=P))
+    a.init_snapshot(ray.data.from_arrow(base))
+    stats = a.apply_partitioned(str(root))
+    assert stats["applied_events"] > 0
+    expected = replay_oracle(base, all_events)
+    assert a.to_table().equals(expected)
+
+    b = LakeTable(str(tmp_path / "lake_b"), ReplayConfig(num_partitions=P))
+    b.init_snapshot(ray.data.from_arrow(base))
+    b.apply_log([str(root / f"part={p:05d}" / "chunk-0.parquet") for p in range(P)])
+    assert b.to_table().equals(a.to_table())
+
+    # misaligned: a shard containing wrong-partition keys must be rejected
+    bad = tmp_path / "bad" / "part=00000"
+    bad.mkdir(parents=True)
+    pq.write_table(all_events[1], bad / "chunk-0.parquet")
+    c = LakeTable(str(tmp_path / "lake_c"), ReplayConfig(num_partitions=P))
+    with pytest.raises(Exception, match="not aligned|other partitions"):
+        c.apply_partitioned(str(tmp_path / "bad"))

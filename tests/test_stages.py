@@ -86,3 +86,30 @@ def test_emitted_at_and_names():
     assert out["_airbyte_emitted_at"].null_count == 0
     assert normalize_name("Weird Name-1!") == "weird_name_1"
     assert normalize_name("1abc") == "_1abc"
+
+
+def test_with_retries():
+    from airbyte_ray.stages.retry import RetriesExhausted, with_retries
+
+    sleeps = []
+    calls = {"n": 0}
+
+    @with_retries(max_retries=3, base_delay=1.0, sleep=sleeps.append)
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise ValueError("transient")
+        return "ok"
+
+    assert flaky() == "ok" and calls["n"] == 3
+    assert sleeps == [1.0, 2.0]  # exponential
+
+    @with_retries(max_retries=1, sleep=sleeps.append,
+                  backoff_hint=lambda e: 7.5)
+    def always_fails():
+        raise ValueError("nope")
+
+    import pytest as _pytest
+    with _pytest.raises(RetriesExhausted):
+        always_fails()
+    assert sleeps[-1] == 7.5  # server-driven wait honored
