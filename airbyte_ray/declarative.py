@@ -101,7 +101,14 @@ def build_pipeline(spec: dict) -> ray.data.Dataset:
     src = spec["source"]
     fmt = src.get("format", "parquet")
     if fmt == "parquet":
-        ds = ray.data.read_parquet(src["path"], columns=src.get("columns"), partitioning=None)
+        cols = src.get("columns")
+        if cols:
+            # ray 2.49 bug: columns= together with partitioning=None raises
+            # UnboundLocalError in parquet_datasource — use default
+            # partitioning when pruning columns (pushdown matters more)
+            ds = ray.data.read_parquet(src["path"], columns=cols)
+        else:
+            ds = ray.data.read_parquet(src["path"], partitioning=None)
     elif fmt == "json":
         ds = ray.data.read_json(src["path"])
     elif fmt == "csv":

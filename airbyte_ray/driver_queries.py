@@ -94,6 +94,32 @@ def q_cdc_lww_latest(sf_dir: str) -> ray.data.Dataset:
     return reduced
 
 
+def q_sync_append_dedup(sf_dir: str) -> pa.Table:
+    """Full Airbyte-style sync: incremental cursor read → append_dedup
+    destination (hash-partitioned latest-per-PK merge) → committed view."""
+    import pyarrow.compute as _pc
+
+    from .config import StreamConfig
+    from .pipelines.incremental import SyncEngine
+
+    tmp = tempfile.mkdtemp(prefix="sync_dedup_", dir="/tmp")
+    try:
+        eng = SyncEngine(os.path.join(tmp, "dest"))
+        cfg = StreamConfig(
+            "events", "incremental", "append_dedup",
+            cursor_field="ts", primary_key=["user_id"], num_partitions=8,
+        )
+        eng.sync(cfg, os.path.join(sf_dir, "events.parquet"))
+        t = pa.concat_tables(
+            eng.read("events", dedup=True).map_batches(
+                lambda b: b.select(["user_id", "event_id", "ts"]), batch_format="pyarrow"
+            ).iter_batches(batch_format="pyarrow")
+        )
+        return t.take(_pc.sort_indices(t, sort_keys=[("user_id", "ascending")]))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_incremental_watermark(sf_dir: str) -> ray.data.Dataset:
     """Cursor watermark per stream key (StateDecoratingIterator max-cursor)."""
     return (
@@ -289,7 +315,11 @@ def q_dedup_embedding(sf_dir: str) -> ray.data.Dataset:
     exhaustive SQL oracle because near-identical vectors rarely split."""
     ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
     out = embedding_near_dups(ds, "embedding", "vec_id", threshold=0.99, nbits=2)
-    return out.map_batches(lambda t: t.select(["a", "b"]), batch_format="pyarrow")
+    rows = out.take_all()
+    schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+    if not rows:  # random embeddings: usually no pairs at 0.99 — typed empty
+        return schema.empty_table()
+    return pa.Table.from_pylist([{"a": r["a"], "b": r["b"]} for r in rows], schema=schema)
 
 
 def _queries_matrix(sf_dir: str, n: int = 3) -> np.ndarray:
@@ -317,6 +347,7 @@ def q_ann_lsh(sf_dir: str) -> ray.data.Dataset:
 QUERIES = {
     "cdc_replay_upsert": q_cdc_replay_upsert,
     "cdc_lww_latest": q_cdc_lww_latest,
+    "sync_append_dedup": q_sync_append_dedup,
     "incremental_watermark": q_incremental_watermark,
     "snapshot_filter_project": q_snapshot_filter_project,
     "json_flatten": q_json_flatten,
@@ -355,6 +386,12 @@ ORACLE_SQL = {
         SELECT CAST(user_id AS VARCHAR) AS doc_id, event_id AS lsn,
                CASE WHEN event_type = 'error' THEN 'delete' ELSE 'update' END AS op
         FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+              FROM events)
+        WHERE rn = 1
+    """,
+    "sync_append_dedup": """
+        SELECT user_id, event_id, ts
+        FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
               FROM events)
         WHERE rn = 1
     """,

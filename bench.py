@@ -192,6 +192,13 @@ def run_bench() -> dict:
     }
 
 
+def _burn(k: int) -> int:
+    x = 0
+    for i in range(k):
+        x += i * i
+    return x
+
+
 def _effective_cores(workers: int, n: int = 20_000_000) -> float:
     """Measured parallel CPU capacity at ``workers`` processes (pure-python
     burn).  This sandbox's VM runs on an overcommitted host (nonzero steal
@@ -201,18 +208,12 @@ def _effective_cores(workers: int, n: int = 20_000_000) -> float:
     import time as _time
     from concurrent.futures import ProcessPoolExecutor
 
-    def burn(k):
-        x = 0
-        for i in range(k):
-            x += i * i
-        return x
-
     t0 = _time.perf_counter()
-    burn(n)
+    _burn(n)
     base = _time.perf_counter() - t0
     t0 = _time.perf_counter()
     with ProcessPoolExecutor(workers) as ex:
-        list(ex.map(burn, [n] * workers))
+        list(ex.map(_burn, [n] * workers))
     return round(workers * base / (_time.perf_counter() - t0), 1)
 
 
