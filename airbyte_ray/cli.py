@@ -52,6 +52,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--lake", required=True)
     ap.add_argument("--log", required=True, nargs="+")
     ap.add_argument("--chunk", type=int, default=None, help="checkpoint every N lsns")
+    ap.add_argument(
+        "--partitioned", action="store_true",
+        help="log is key-partitioned part=NNNNN shards aligned with the lake (zero-exchange apply)",
+    )
 
     st = sub.add_parser("status", help="print manifest summary")
     st.add_argument("--lake", required=True)
@@ -114,7 +118,9 @@ def main(argv: list[str] | None = None) -> int:
             from .pipelines.replay import LakeTable
 
             lake = LakeTable(args.lake)
-            if args.chunk:
+            if args.partitioned:
+                out = lake.apply_partitioned(args.log[0])
+            elif args.chunk:
                 out = {"runs": lake.apply_chunked(args.log, chunk_lsns=args.chunk)}
             else:
                 out = lake.apply_log(args.log)

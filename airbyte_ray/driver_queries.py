@@ -30,7 +30,8 @@ from .functions.dedup import (
     simhash_near_dups,
 )
 from .functions.text import LangId, fingerprint_md5, quality_score, rolling_fingerprint, token_count
-from .joins import broadcast_join, hash_join
+from .functions.windows import session, sliding
+from .joins import asof_join, broadcast_join, hash_join
 from .pipelines.replay import LakeTable, ReplayConfig, _pre_reduce, lww_reduce
 from .stages.transforms import add_fields, flatten_json, hash_id, record_filter
 from .schemas import CDC_UPDATED_AT
@@ -194,6 +195,43 @@ def q_join_partitioned(sf_dir: str) -> ray.data.Dataset:
     return hash_join(li, orders, on="l_orderkey", num_buckets=16)
 
 
+def q_join_asof(sf_dir: str) -> ray.data.Dataset:
+    """As-of join: each 'click' matched to the user's latest prior (or
+    simultaneous) 'view' — the classic event-attribution shape."""
+    ev = os.path.join(sf_dir, "events.parquet")
+    clicks = ray.data.read_parquet(ev, columns=["user_id", "ts", "event_id"]).map_batches(
+        lambda t: t, batch_format="pyarrow"
+    )
+    views = (
+        ray.data.read_parquet(ev, columns=["user_id", "ts", "event_id", "event_type"])
+        .map_batches(
+            lambda t: t.filter(pc.equal(t["event_type"], "view"))
+            .drop_columns(["event_type"])
+            .rename_columns(["user_id", "ts", "view_event_id"]),
+            batch_format="pyarrow",
+        )
+    )
+    out = asof_join(clicks, views, by="user_id", on="ts", num_buckets=8)
+    return out.map_batches(
+        lambda t: t.select(["user_id", "event_id", "view_event_id"]), batch_format="pyarrow"
+    )
+
+
+def q_window_sliding(sf_dir: str) -> ray.data.Dataset:
+    return sliding(
+        _events(sf_dir, columns=["user_id", "ts"]), "user_id", "ts",
+        width_s=3600, slide_s=1800,
+    )
+
+
+def q_window_session(sf_dir: str) -> ray.data.Dataset:
+    out = session(_events(sf_dir, columns=["user_id", "ts"]), "user_id", "ts", gap_s=1800)
+    return out.map_batches(
+        lambda t: t.select(["user_id", "session_id", "s_start", "s_end", "n"]),
+        batch_format="pyarrow",
+    )
+
+
 # ---------------------------------------------------------------------------
 # aggregation / sort / set ops
 # ---------------------------------------------------------------------------
@@ -355,6 +393,9 @@ QUERIES = {
     "type_cast": q_type_cast,
     "join_broadcast": q_join_broadcast,
     "join_partitioned": q_join_partitioned,
+    "join_asof": q_join_asof,
+    "window_sliding": q_window_sliding,
+    "window_session": q_window_session,
     "agg_partial": q_agg_partial,
     "sort_topk": q_sort_topk,
     "distinct": q_distinct,
@@ -414,6 +455,35 @@ ORACLE_SQL = {
     "join_partitioned": """
         SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, o.o_orderstatus
         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    """,
+    "join_asof": """
+        SELECT e.user_id, e.event_id, v.event_id AS view_event_id
+        FROM events e ASOF LEFT JOIN
+             (SELECT user_id, ts, event_id FROM events WHERE event_type = 'view') v
+        ON e.user_id = v.user_id AND v.ts <= e.ts
+    """,
+    "window_sliding": """
+        SELECT user_id, w_start, count(*) AS n FROM (
+          SELECT user_id, CAST(floor(epoch(ts)/1800) * 1800 AS BIGINT) AS w_start FROM events
+          UNION ALL
+          SELECT user_id, CAST((floor(epoch(ts)/1800) - 1) * 1800 AS BIGINT) FROM events
+        ) GROUP BY user_id, w_start
+    """,
+    "window_session": """
+        WITH d AS (
+          SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 1800 SECOND
+                      THEN 1 ELSE 0 END AS brk
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), s AS (
+          SELECT user_id, ts,
+                 CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+          FROM d
+        )
+        SELECT user_id, session_id, min(ts) AS s_start, max(ts) AS s_end, count(*) AS n
+        FROM s GROUP BY user_id, session_id
     """,
     "agg_partial": """
         SELECT l_returnflag, l_linestatus, CAST(SUM(l_quantity) AS BIGINT) AS sum_qty, COUNT(*) AS n

@@ -118,6 +118,67 @@ def hash_join(
     return l.union(r).groupby("__bucket").map_groups(bucket_merge, batch_format="pyarrow")
 
 
+def asof_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    by: str,
+    on: str,
+    num_buckets: int = 32,
+    direction: str = "backward",
+) -> ray.data.Dataset:
+    """As-of join: for each left row, the latest right row with
+    ``right.on <= left.on`` (direction="backward") within the same ``by``
+    key.  Plan: bucket both sides by ``hash(by)``, one groupby(bucket)
+    shuffle, then ``pd.merge_asof`` over the sorted bucket — the guide's
+    documented pattern.  Partitioning assumption: a (by, on) group fits a
+    task; buckets are uniform in the key hash."""
+    lcols = left.schema().names
+    rcols = right.schema().names
+    r_only = [c for c in rcols if c not in (by, on)]
+    overlap = set(lcols) & set(r_only)
+    if overlap:
+        raise ValueError(f"non-key column collision: {sorted(overlap)}")
+
+    def prep(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            b = (_key_hash(t, [by]) % np.uint64(num_buckets)).astype(np.int64)
+            t = t.append_column("__bucket", pa.array(b))
+            return t.append_column("__side", pa.array(np.full(t.num_rows, side, np.int8)))
+
+        return fn
+
+    l = left.map_batches(prep(0), batch_format="pyarrow")
+    r = right.map_batches(prep(1), batch_format="pyarrow")
+
+    r_types = {n: t for n, t in zip(right.schema().names, right.schema().types)}
+    l_types = {n: t for n, t in zip(left.schema().names, left.schema().types)}
+    l_only = [c for c in lcols if c not in (by, on)]
+
+    def widen(missing, types):
+        def fn(t: pa.Table) -> pa.Table:
+            for name in missing:
+                t = t.append_column(name, pa.nulls(t.num_rows, types[name]))
+            return t
+
+        return fn
+
+    col_order = [by, on] + l_only + r_only + ["__bucket", "__side"]
+    l = l.map_batches(widen(r_only, r_types), batch_format="pyarrow").select_columns(col_order)
+    r = r.map_batches(widen(l_only, l_types), batch_format="pyarrow").select_columns(col_order)
+
+    def bucket_asof(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        ldf = df[df["__side"] == 0][[by, on] + l_only].sort_values(on, kind="stable")
+        rdf = df[df["__side"] == 1][[by, on] + r_only].sort_values(on, kind="stable")
+        rdf = rdf.rename(columns={on: on + "_right"})
+        out = pd.merge_asof(
+            ldf, rdf, left_on=on, right_on=on + "_right", by=by, direction=direction
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return l.union(r).groupby("__bucket").map_groups(bucket_asof, batch_format="pyarrow")
+
+
 def semi_join(
     big: ray.data.Dataset, keys: pa.Table | list, on: str, anti: bool = False
 ) -> ray.data.Dataset:
