@@ -298,6 +298,26 @@ def q_window_tumbling(sf_dir: str) -> ray.data.Dataset:
 # text / dedup / ann
 # ---------------------------------------------------------------------------
 
+def q_unnest(sf_dir: str) -> ray.data.Dataset:
+    """Array unnest (the _ab1 child-stream explosion,
+    stream_processor.py:386-426): one row per (vec_id, pos, val)."""
+
+    def explode(t: pa.Table) -> pa.Table:
+        lists = t["embedding"].combine_chunks()
+        lengths = pc.list_value_length(lists).to_numpy()
+        ids = np.repeat(t["vec_id"].to_numpy(), lengths)
+        pos = np.concatenate([np.arange(1, n + 1) for n in lengths]) if len(lengths) else np.array([], np.int64)
+        vals = np.asarray(lists.flatten(), np.float32)
+        return pa.table(
+            {"vec_id": pa.array(ids), "pos": pa.array(pos.astype(np.int64)),
+             "val": pa.array(vals, pa.float32())}
+        )
+
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    ).map_batches(explode, batch_format="pyarrow")
+
+
 def q_token_count(sf_dir: str) -> ray.data.Dataset:
     return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
         token_count("text"), batch_format="pyarrow"
@@ -400,6 +420,7 @@ QUERIES = {
     "sort_topk": q_sort_topk,
     "distinct": q_distinct,
     "window_tumbling": q_window_tumbling,
+    "unnest": q_unnest,
     "token_count": q_token_count,
     "text_quality": q_text_quality,
     "fingerprint": q_fingerprint,
@@ -497,6 +518,11 @@ ORACLE_SQL = {
     "window_tumbling": """
         SELECT user_id, date_trunc('hour', ts) AS w, COUNT(*) AS n
         FROM events GROUP BY user_id, date_trunc('hour', ts)
+    """,
+    "unnest": """
+        SELECT vec_id, CAST(pos AS BIGINT) AS pos, CAST(embedding[pos] AS FLOAT) AS val
+        FROM (SELECT vec_id, embedding, UNNEST(range(1, len(embedding)+1)) AS pos
+              FROM embeddings)
     """,
     "token_count": f"SELECT doc_id, len(regexp_extract_all(text, '{_TOKEN_RE_SQL}')) AS n_tokens FROM documents",
     "text_quality": """

@@ -1,0 +1,104 @@
+"""Property-based tests (hypothesis) on the pure merge/schema kernels —
+stronger than the reference's example-based-only strategy (SURVEY §5.6)."""
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from airbyte_ray.pipelines.replay import lww_reduce, stable_hash
+from airbyte_ray.schemas import conform_table, unify_schemas
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 50),  # lsn (duplicates allowed)
+        st.integers(0, 9),  # key index
+        st.sampled_from(["insert", "update", "delete"]),
+    ),
+    min_size=0,
+    max_size=60,
+)
+
+
+def _table(rows):
+    # identical payload for identical lsn (redelivery semantics)
+    return pa.table(
+        {
+            "lsn": pa.array([r[0] for r in rows], pa.int64()),
+            "doc_id": pa.array([f"k{r[1]}" for r in rows]),
+            "op": pa.array([r[2] for r in rows]),
+            "payload": pa.array([r[0] * 1000 + r[1] for r in rows], pa.int64()),
+        }
+    )
+
+
+@settings(max_examples=200, deadline=None)
+@given(events_strategy)
+def test_lww_reduce_matches_bruteforce(rows):
+    # make (lsn, key, op) consistent for equal lsn: collapse by lsn
+    uniq = {}
+    for lsn, k, op in rows:
+        uniq.setdefault(lsn, (lsn, k, op))
+    rows = list(uniq.values()) + [uniq[lsn] for lsn in list(uniq)[:3]]  # + redeliveries
+    t = _table(rows)
+    out = lww_reduce(t)
+    # brute force: max lsn per key
+    best = {}
+    for lsn, k, op in rows:
+        if lsn >= best.get(k, (-1,))[0]:
+            best[k] = (lsn, op)
+    got = {
+        d: (l, o)
+        for d, l, o in zip(
+            out["doc_id"].to_pylist(), out["lsn"].to_pylist(), out["op"].to_pylist()
+        )
+    }
+    assert got == {f"k{k}": v for k, v in best.items()}
+    # exactly one row per key
+    assert len(set(out["doc_id"].to_pylist())) == out.num_rows
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.text(min_size=0, max_size=20), min_size=1, max_size=50))
+def test_stable_hash_deterministic_and_total(ids):
+    a = stable_hash(np.array(ids, object))
+    b = stable_hash(np.array(ids, object))
+    assert (a == b).all()
+    assert a.dtype == np.uint64
+
+
+_types = st.sampled_from([pa.int32(), pa.int64(), pa.float32(), pa.float64(), pa.string()])
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.dictionaries(st.sampled_from("abcdef"), _types, min_size=1, max_size=4),
+    st.dictionaries(st.sampled_from("abcdef"), _types, min_size=1, max_size=4),
+)
+def test_unify_schemas_properties(d1, d2):
+    s1 = pa.schema(list(d1.items()))
+    s2 = pa.schema(list(d2.items()))
+    try:
+        u = unify_schemas(s1, s2)
+    except pa.ArrowTypeError:
+        # only string-vs-numeric conflicts may refuse
+        conflict = any(
+            n in d2 and (pa.types.is_string(t) != pa.types.is_string(d2[n]))
+            for n, t in d1.items()
+        )
+        assert conflict
+        return
+    # all names preserved, idempotent, conform round-trips an empty table
+    assert set(u.names) == set(s1.names) | set(s2.names)
+    assert unify_schemas(u, s2).equals(u) and unify_schemas(u, s1).equals(u)
+    assert conform_table(s1.empty_table(), u).schema.equals(u)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.integers(-1000, 1000), min_size=0, max_size=100))
+def test_lww_reduce_idempotent(lsns):
+    rows = [(abs(l), l % 7, "update") for l in lsns]
+    t = _table(rows)
+    once = lww_reduce(t)
+    twice = lww_reduce(once)
+    assert once.sort_by("doc_id").equals(twice.sort_by("doc_id"))
