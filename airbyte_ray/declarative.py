@@ -25,12 +25,14 @@ Spec example (plain dict — parse YAML/JSON upstream if desired)::
       "sink": {"format": "parquet", "path": "/tmp/out"}
     }
 
-Filter/field expressions are evaluated with ``pyarrow.dataset`` expression
-syntax via ``pc.field`` names inside a restricted eval namespace — no Jinja.
+Filter/field expressions are compiled through an AST whitelist to
+``pyarrow.compute`` kernels — no Jinja, no ``eval``; specs cannot execute
+code (matching the reference's interpolate-don't-execute declarative rule).
 """
 
 from __future__ import annotations
 
+import ast
 from typing import Callable
 
 import pyarrow as pa
@@ -52,16 +54,138 @@ def register_component(name: str):
     return deco
 
 
+# ---------------------------------------------------------------------------
+# safe spec-expression compiler (no eval)
+#
+# Specs are the YAML-manifest analog and may be loaded from untrusted config;
+# the reference's declarative framework interpolates values, it never executes
+# code (``declarative/interpolation``).  We therefore compile expressions
+# through an AST whitelist: names are batch columns, operators map to
+# pyarrow.compute kernels, calls only to the registered kernel table below.
+# No attribute access, no subscripts, no lambdas, no builtins — anything else
+# is a compile-time ValueError.
+# ---------------------------------------------------------------------------
+
+_BINOPS = {
+    ast.Add: pc.add,
+    ast.Sub: pc.subtract,
+    ast.Mult: pc.multiply,
+    ast.Div: pc.divide,
+    ast.Mod: lambda a, b: pc.subtract(a, pc.multiply(pc.floor(pc.divide(a, b)), b)),
+    ast.Pow: pc.power,
+}
+_CMPOPS = {
+    ast.Eq: pc.equal,
+    ast.NotEq: pc.not_equal,
+    ast.Lt: pc.less,
+    ast.LtE: pc.less_equal,
+    ast.Gt: pc.greater,
+    ast.GtE: pc.greater_equal,
+}
+_EXPR_FUNCS: dict[str, Callable] = {
+    "abs": pc.abs,
+    "round": pc.round,
+    "floor": pc.floor,
+    "ceil": pc.ceil,
+    "upper": pc.utf8_upper,
+    "lower": pc.utf8_lower,
+    "length": pc.utf8_length,
+    "trim": pc.utf8_trim_whitespace,
+    "coalesce": pc.coalesce,
+    "is_null": pc.is_null,
+    "is_valid": pc.is_valid,
+    "if_else": pc.if_else,
+    "starts_with": lambda a, p: pc.starts_with(a, pattern=p),
+    "ends_with": lambda a, p: pc.ends_with(a, pattern=p),
+    "like": lambda a, p: pc.match_like(a, pattern=p),
+    "cast": lambda a, ty: pc.cast(a, pa.type_for_alias(ty)),
+}
+
+
+def _validate_expr(node: ast.AST) -> None:
+    if isinstance(node, ast.Expression):
+        return _validate_expr(node.body)
+    if isinstance(node, ast.Constant):
+        if not isinstance(node.value, (int, float, str, bool, type(None))):
+            raise ValueError(f"unsupported constant {node.value!r}")
+        return
+    if isinstance(node, ast.Name):
+        return
+    if isinstance(node, ast.BinOp) and type(node.op) in _BINOPS:
+        _validate_expr(node.left)
+        return _validate_expr(node.right)
+    if isinstance(node, ast.UnaryOp) and isinstance(node.op, (ast.USub, ast.Not)):
+        return _validate_expr(node.operand)
+    if isinstance(node, ast.Compare):
+        if any(type(op) not in _CMPOPS for op in node.ops):
+            raise ValueError("unsupported comparison operator")
+        for sub in [node.left] + node.comparators:
+            _validate_expr(sub)
+        return
+    if isinstance(node, ast.BoolOp):
+        for sub in node.values:
+            _validate_expr(sub)
+        return
+    if isinstance(node, ast.Call):
+        if not isinstance(node.func, ast.Name) or node.func.id not in _EXPR_FUNCS:
+            raise ValueError(f"call to non-whitelisted function: {ast.dump(node.func)}")
+        if node.keywords:
+            raise ValueError("keyword arguments not supported in spec expressions")
+        for a in node.args:
+            _validate_expr(a)
+        return
+    raise ValueError(f"unsupported expression node: {type(node).__name__}")
+
+
+def _eval_expr(node: ast.AST, t: pa.Table):
+    if isinstance(node, ast.Expression):
+        return _eval_expr(node.body, t)
+    if isinstance(node, ast.Constant):
+        return node.value
+    if isinstance(node, ast.Name):
+        if node.id not in t.schema.names:
+            raise KeyError(f"expression references unknown column {node.id!r}")
+        return t[node.id]
+    if isinstance(node, ast.BinOp):
+        return _BINOPS[type(node.op)](_eval_expr(node.left, t), _eval_expr(node.right, t))
+    if isinstance(node, ast.UnaryOp):
+        v = _eval_expr(node.operand, t)
+        return pc.invert(v) if isinstance(node.op, ast.Not) else pc.negate(v)
+    if isinstance(node, ast.Compare):
+        left = _eval_expr(node.left, t)
+        out = None
+        for op, comp in zip(node.ops, node.comparators):
+            right = _eval_expr(comp, t)
+            part = _CMPOPS[type(op)](left, right)
+            out = part if out is None else pc.and_kleene(out, part)
+            left = right
+        return out
+    if isinstance(node, ast.BoolOp):
+        kernel = pc.and_kleene if isinstance(node.op, ast.And) else pc.or_kleene
+        vals = [_eval_expr(v, t) for v in node.values]
+        out = vals[0]
+        for v in vals[1:]:
+            out = kernel(out, v)
+        return out
+    if isinstance(node, ast.Call):
+        return _EXPR_FUNCS[node.func.id](*[_eval_expr(a, t) for a in node.args])
+    raise AssertionError("unreachable: validated at compile time")
+
+
 def _expr_fn(expr: str) -> Callable[[pa.Table], pa.Array]:
-    """Compile a column expression over batch columns: names resolve to
-    columns, evaluated with pyarrow.compute semantics via a restricted
-    namespace (no builtins)."""
+    """Compile a spec expression over batch columns to a pyarrow.compute
+    evaluator.  Names resolve to columns; only whitelisted kernels are
+    callable; validation happens at compile time — no ``eval``."""
+    tree = ast.parse(expr, mode="eval")
+    _validate_expr(tree)
 
     def fn(t: pa.Table) -> pa.Array:
-        ns = {name: t[name] for name in t.schema.names}
-        ns.update({"pc": pc, "pa": pa})
-        out = eval(expr, {"__builtins__": {}}, ns)  # noqa: S307 — restricted ns
-        return out if isinstance(out, (pa.Array, pa.ChunkedArray)) else pa.array(out)
+        out = _eval_expr(tree, t)
+        if isinstance(out, (pa.Array, pa.ChunkedArray)):
+            return out
+        if isinstance(out, pa.Scalar):
+            out = out.as_py()
+        return pa.array([out] * t.num_rows)  # constant expression broadcast
 
     return fn
 

@@ -108,12 +108,18 @@ def hash_join(
     l = l.select_columns(col_order)
     r = r.select_columns(col_order)
 
+    # In-bucket join is Arrow-native (pa.Table.join) so integer columns stay
+    # integers — a pandas merge would degrade any null-bearing int column to
+    # float64 (the round-1 hash_match failure).
+    join_type = {"inner": "inner", "left": "left outer"}[how]
+    out_cols = on + l_only + r_only
+
     def bucket_merge(g: pa.Table) -> pa.Table:
-        df = g.to_pandas()
-        ldf = df[df["__side"] == 0][on + l_only]
-        rdf = df[df["__side"] == 1][on + r_only]
-        out = ldf.merge(rdf, on=on, how=how)
-        return pa.Table.from_pandas(out, preserve_index=False)
+        is_left = pc.equal(g["__side"], 0)
+        lt = g.filter(is_left).select(on + l_only).combine_chunks()
+        rt = g.filter(pc.invert(is_left)).select(on + r_only).combine_chunks()
+        out = lt.join(rt, keys=on, join_type=join_type, use_threads=False)
+        return out.select(out_cols)
 
     return l.union(r).groupby("__bucket").map_groups(bucket_merge, batch_format="pyarrow")
 
@@ -166,6 +172,16 @@ def asof_join(
     l = l.map_batches(widen(r_only, r_types), batch_format="pyarrow").select_columns(col_order)
     r = r.map_batches(widen(l_only, l_types), batch_format="pyarrow").select_columns(col_order)
 
+    # pd.merge_asof is the kernel, but the union's null-fill turns int columns
+    # float64 in pandas — conform the output back to the exact Arrow schema
+    # (ints stay nullable ints) so dtypes survive the bucket round-trip.
+    out_schema = pa.schema(
+        [(by, l_types[by]), (on, l_types[on])]
+        + [(c, l_types[c]) for c in l_only]
+        + [(on + "_right", r_types[on])]
+        + [(c, r_types[c]) for c in r_only]
+    )
+
     def bucket_asof(g: pa.Table) -> pa.Table:
         df = g.to_pandas()
         ldf = df[df["__side"] == 0][[by, on] + l_only].sort_values(on, kind="stable")
@@ -174,7 +190,7 @@ def asof_join(
         out = pd.merge_asof(
             ldf, rdf, left_on=on, right_on=on + "_right", by=by, direction=direction
         )
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return pa.Table.from_pandas(out, schema=out_schema, preserve_index=False)
 
     return l.union(r).groupby("__bucket").map_groups(bucket_asof, batch_format="pyarrow")
 

@@ -133,7 +133,13 @@ def _merge_dedup_partition(group: pa.Table, ctx: dict) -> pa.Table:
     tmp = abs_path + f".tmp-{os.getpid()}"
     pq.write_table(merged, tmp)
     os.replace(tmp, abs_path)
-    return pa.table({"part": [part], "path": [rel], "rows": [merged.num_rows]})
+    out = {"part": [part], "path": [rel], "rows": [merged.num_rows]}
+    if cursor and cursor in t.schema.names:
+        # max cursor of the INCOMING slice only (not old segments) — folded
+        # into lineage so the sync needs no second source pass for the state
+        mx = pc.max(t[cursor])
+        out["max_cursor"] = pa.array([mx.as_py()], type=t.schema.field(cursor).type)
+    return pa.table(out)
 
 
 # ---------------------------------------------------------------------------
@@ -178,34 +184,47 @@ class SyncEngine:
             else:
                 dset.write_parquet(path)
 
+        stale_dirs: list[str] = []
+        mx = None
         if cfg.destination_sync_mode is DestinationSyncMode.append_dedup:
-            rows = self._write_dedup(cfg, ds, sdir, sync_id, state)
+            rows, mx = self._write_dedup(cfg, ds, sdir, sync_id, state)
         elif cfg.destination_sync_mode is DestinationSyncMode.overwrite:
             _write(ds, os.path.join(sdir, seg))
-            stale = [s for s in state.get("segments", []) if s != seg]
+            stale_dirs = [s for s in state.get("segments", []) if s != seg]
             state["segments"] = [seg]  # visibility flips at state commit
-            for e in stale:
-                shutil.rmtree(os.path.join(sdir, e), ignore_errors=True)
             rows = None
         else:  # append
             _write(ds, os.path.join(sdir, seg))
             state["segments"] = state.get("segments", []) + [seg]
             rows = None
 
-        # state committed only after the write landed
-        if cfg.sync_mode is SyncMode.incremental:
-            mx = ray.data.read_parquet(src_paths, filter=flt).max(cfg.cursor_field)
+        # state committed only after the write landed.  Max-cursor comes from
+        # the write itself (dedup lineage / parquet footer stats of the just-
+        # written segment) — ONE source pass per sync; only the non-parquet
+        # append formats (no footer stats) fall back to a source re-scan.
+        if cfg.sync_mode is SyncMode.incremental and cfg.cursor_field:
+            if cfg.destination_sync_mode is not DestinationSyncMode.append_dedup:
+                if cfg.format == "parquet":
+                    mx = _footer_max(os.path.join(sdir, seg), cfg.cursor_field)
+                else:
+                    mx = ray.data.read_parquet(src_paths, filter=flt).max(cfg.cursor_field)
             if mx is not None:
                 state["cursor"] = _cursor_json(mx)
         state["sync_id"] = sync_id
         state["runs"].append({"sync_id": sync_id, "sec": round(time.perf_counter() - t0, 3)})
         st.commit(state)
+        # stale overwrite segments are removed only AFTER the commit lands —
+        # a crash anywhere above leaves the previously-committed state intact
+        # and still pointing at files that exist (BufferedStreamConsumer's
+        # committed-after-flush discipline; round-1 ADVICE fix).
+        for e in stale_dirs:
+            shutil.rmtree(os.path.join(sdir, e), ignore_errors=True)
         stats["cursor"] = state["cursor"]
         if rows is not None:
             stats["rows"] = rows
         return stats
 
-    def _write_dedup(self, cfg, ds, sdir, sync_id, state) -> int:
+    def _write_dedup(self, cfg, ds, sdir, sync_id, state) -> tuple[int, object]:
         pk = cfg.primary_key
         P = cfg.num_partitions
         stamped = ds.map_batches(
@@ -214,7 +233,7 @@ class SyncEngine:
         )
         schema = stamped.schema()
         if schema is None:
-            return sum(e["rows"] for e in state.get("dedup_segments", {}).values())
+            return sum(e["rows"] for e in state.get("dedup_segments", {}).values()), None
         fields = [pa.field(n, t) for n, t in zip(schema.names, schema.types) if n != "part"]
         out_schema = pa.schema(fields)
         prev = state.get("dedup_schema")
@@ -234,11 +253,15 @@ class SyncEngine:
             partial(_merge_dedup_partition, ctx=ctx), batch_format="pyarrow"
         ).take_all()
         segs = dict(state.get("dedup_segments", {}))
+        mx = None
         for r in lineage:
             segs[str(int(r["part"]))] = {"path": r["path"], "rows": int(r["rows"])}
+            v = r.get("max_cursor")
+            if v is not None and (mx is None or v > mx):
+                mx = v
         state["dedup_segments"] = segs
         state["dedup_schema"] = out_schema.serialize().to_pybytes().hex()
-        return sum(e["rows"] for e in segs.values())
+        return sum(e["rows"] for e in segs.values()), mx
 
     # -- read back ---------------------------------------------------------
     def read(self, stream: str, dedup: bool = False, format: str = "parquet") -> ray.data.Dataset:
@@ -261,6 +284,27 @@ class SyncEngine:
         if format == "csv":
             return ray.data.read_csv(paths)
         return ray.data.read_parquet(paths, partitioning=None)
+
+
+def _footer_max(seg_dir: str, col: str):
+    """Max of ``col`` over a segment directory from parquet footer row-group
+    statistics — metadata-only, no data scan (the lake's ``log_max_lsn``
+    pattern applied to the cursor watermark)."""
+    import glob as _g
+
+    mx = None
+    for p in _g.glob(os.path.join(seg_dir, "**", "*.parquet"), recursive=True):
+        md = pq.read_metadata(p)
+        idx = md.schema.to_arrow_schema().get_field_index(col)
+        if idx < 0:
+            continue
+        for rg in range(md.num_row_groups):
+            s = md.row_group(rg).column(idx).statistics
+            if s is not None and s.has_min_max:
+                v = s.max
+                if mx is None or v > mx:
+                    mx = v
+    return mx
 
 
 def _stamp_and_part(t: pa.Table, pk: list[str], num_partitions: int, cursor: str | None) -> pa.Table:

@@ -364,9 +364,17 @@ class LakeTable:
             return []
         top = int(top_)
         stats: list[dict] = []
-        while self.manifest.watermark < top:
-            nxt = min(self.manifest.watermark + chunk_lsns, top)
+        # Window off a LOCAL cursor, not the committed watermark: LSNs are
+        # monotonic with gaps (shared WAL, quiet periods), and an empty window
+        # leaves the watermark unchanged — looping on the watermark alone
+        # would spin forever on any gap wider than chunk_lsns.  Each window
+        # still reads `lsn > manifest.watermark`, so resume-after-crash
+        # re-scans at most one gap region (idempotent, metadata-cheap).
+        cur = self.manifest.watermark
+        while cur < top:
+            nxt = min(cur + chunk_lsns, top)
             stats.append(self.apply_log(paths, max_lsn=nxt))
+            cur = nxt
         return stats
 
     def _apply_ds(
@@ -570,16 +578,30 @@ class LakeTable:
 
     def vacuum(self) -> int:
         """Delete segment files not referenced by the committed manifest
-        (orphans from crashed runs + superseded segments).  Safe any time:
-        visibility is manifest-only.  Returns number of files removed."""
+        (orphans from crashed runs + superseded segments).  Segments whose
+        run-lsn suffix is NEWER than the committed watermark are skipped:
+        they may belong to an apply in flight whose manifest commit hasn't
+        landed yet — deleting them would leave that run's commit pointing at
+        missing files.  With that guard, vacuum is safe to run any time.
+        Returns number of files removed."""
         import glob as _g
+        import re as _re
 
         live = {os.path.normpath(p) for p in self.segment_paths()}
+        wm = Manifest.load(self.lake_dir)
+        committed_wm = wm.watermark if wm is not None else self.manifest.watermark
         removed = 0
         for f in _g.glob(os.path.join(self.lake_dir, "part=*", "seg-*.parquet")):
-            if os.path.normpath(f) not in live:
-                os.remove(f)
-                removed += 1
+            if os.path.normpath(f) in live:
+                continue
+            m = _re.search(r"seg-(\d+)\.parquet$", f)
+            # segments are named seg-<start_wm+1>; one from an in-flight run
+            # has suffix committed_wm+1 — anything beyond the committed
+            # watermark may still be awaiting its commit
+            if m and int(m.group(1)) > committed_wm:
+                continue
+            os.remove(f)
+            removed += 1
         return removed
 
     # -- read path ---------------------------------------------------------

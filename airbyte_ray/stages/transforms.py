@@ -118,12 +118,11 @@ def hash_id(
     is C-speed hashlib over a pre-joined (vectorized) string column."""
 
     def fn(t: pa.Table) -> pa.Table:
-        parts = []
-        for c in cols:
-            col = t[c].cast(pa.string())
-            parts.append(pc.if_else(pc.is_null(col), pa.scalar(""), col))
-            parts.append(pa.scalar("|"))
-        joined = pc.binary_join_element_wise(*parts[:-1], "")
+        # null_handling="skip" drops NULL components AND their separators —
+        # exactly concat_ws semantics (concat_ws('|','a',NULL)='a'), so
+        # surrogate keys agree with the oracle even on null key columns
+        arrs = [t[c].cast(pa.string()) for c in cols]
+        joined = pc.binary_join_element_wise(*arrs, "|", null_handling="skip")
         digests = pa.array(
             [hashlib.md5(s.encode()).hexdigest() if s is not None else None
              for s in joined.to_pylist()]

@@ -4,6 +4,7 @@ Mirrors the reference acceptance suites: CdcSourceTest (snapshot/update/
 delete), DestinationAcceptanceTest.testIncrementalDedupeSync (latest per PK),
 and the normalization golden corpus — FIXTURES F6 invariants."""
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -80,6 +81,30 @@ def test_chunked_replay_matches_single_shot(fixtures, tmp_path):
     single.init_snapshot(ray.data.from_arrow(base))
     single.apply_log(ev_path)
     assert single.to_table().equals(lake.to_table())
+
+
+def test_chunked_replay_survives_lsn_gap(fixtures, tmp_path):
+    """A WAL gap wider than chunk_lsns (quiet period / shared log) must not
+    hang the checkpointed loop: empty windows advance the local cursor even
+    though the committed watermark is unchanged."""
+    base, events, ev_path, lake_dir = fixtures
+    # shift the second half of the log past a gap of 50_000 LSNs
+    lsn = events["lsn"].to_numpy()
+    cut = int(np.median(lsn))
+    shifted = pc.if_else(
+        pc.greater(events["lsn"], cut),
+        pc.add(events["lsn"], pa.scalar(50_000, pa.int64())),
+        events["lsn"],
+    )
+    gapped = events.set_column(events.schema.get_field_index("lsn"), "lsn", shifted)
+    gp = tmp_path / "gapped.parquet"
+    pq.write_table(gapped, gp)
+
+    lake = LakeTable(lake_dir, ReplayConfig(num_partitions=4, salt_factor=1))
+    lake.init_snapshot(ray.data.from_arrow(base))
+    stats = lake.apply_chunked(str(gp), chunk_lsns=800)  # gap >> chunk
+    assert sum(s["applied_events"] for s in stats) > 0
+    _assert_matches_oracle(lake, base, [gapped])
 
 
 def test_lineage_invariants(fixtures):

@@ -48,8 +48,8 @@ def test_declarative_pipeline(tmp_path):
         },
         "transforms": [
             {"type": "flatten_json", "column": "props"},
-            {"type": "record_filter", "expr": "pc.greater(value, 0)"},
-            {"type": "add_fields", "fields": {"v2": "pc.multiply(value, 2)"}},
+            {"type": "record_filter", "expr": "value > 0"},
+            {"type": "add_fields", "fields": {"v2": "value * 2"}},
             {"type": "remove_fields", "names": ["value"]},
             {"type": "hash_id", "cols": ["event_id"]},
         ],
