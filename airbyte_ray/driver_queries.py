@@ -367,17 +367,37 @@ def q_dedup_simhash(sf_dir: str) -> ray.data.Dataset:
     return simhash_near_dups(_docs(sf_dir, columns=["doc_id", "text"]), "text", "doc_id")
 
 
+def _plant_colinear(t: pa.Table) -> pa.Table:
+    """Planted near-dups: for vec_id % 10 == 0, append a copy at
+    vec_id + 1_000_000 with the embedding scaled ×2 — colinear, so cosine
+    with the source is exactly 1.0 and a sign-LSH bucket can never split the
+    pair.  Deterministic and SQL-expressible (list_transform ×2)."""
+    ids = t["vec_id"].to_numpy()
+    sub = t.filter(pa.array(ids % 10 == 0))
+    if sub.num_rows == 0:
+        return t
+    emb = sub["embedding"].combine_chunks()
+    vals = pc.multiply(emb.flatten(), pa.scalar(2.0, pa.float32())).cast(pa.float32())
+    planted = {"vec_id": pc.add(sub["vec_id"], pa.scalar(1_000_000, pa.int64()))}
+    for name in sub.schema.names:
+        if name == "vec_id":
+            continue
+        planted[name] = (
+            pa.ListArray.from_arrays(emb.offsets, vals) if name == "embedding" else sub[name]
+        )
+    return pa.concat_tables([t, pa.table(planted).select(t.schema.names)])
+
+
 def q_dedup_embedding(sf_dir: str) -> ray.data.Dataset:
-    """Embedding-cosine near-dup pairs (LSH-bucketed, exact verify).
-    nbits=2 → 4 coarse buckets: small corpora stay verifiable against the
-    exhaustive SQL oracle because near-identical vectors rarely split."""
+    """Embedding-cosine near-dup pairs over a corpus with PLANTED colinear
+    copies.  The natural max pairwise cosine in the fixture is ≈0.6 ≪ 0.99,
+    so the true pair set is exactly the planted (src, src+1M) pairs — an
+    exhaustive DuckDB list_cosine_similarity oracle verifies both recall
+    (LSH bucketing must co-locate every planted pair) and precision."""
     ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    out = embedding_near_dups(ds, "embedding", "vec_id", threshold=0.99, nbits=2)
-    rows = out.take_all()
-    schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
-    if not rows:  # random embeddings: usually no pairs at 0.99 — typed empty
-        return schema.empty_table()
-    return pa.Table.from_pylist([{"a": r["a"], "b": r["b"]} for r in rows], schema=schema)
+    corpus = ds.map_batches(_plant_colinear, batch_format="pyarrow")
+    out = embedding_near_dups(corpus, "embedding", "vec_id", threshold=0.99, nbits=4)
+    return out.map_batches(lambda t: t.select(["a", "b"]), batch_format="pyarrow")
 
 
 def _queries_matrix(sf_dir: str, n: int = 3) -> np.ndarray:
@@ -393,8 +413,14 @@ def q_ann_topk(sf_dir: str) -> ray.data.Dataset:
 
 
 def q_ann_lsh(sf_dir: str) -> ray.data.Dataset:
+    """LSH-filtered nearest neighbour with PLANTED probes: each probe is a
+    corpus vector scaled ×3 (colinear), so its true top-1 is its source at
+    cosine exactly 1.0 (natural max ≈0.6) — deterministic, and the oracle
+    verifies the LSH bucket ROUTING end-to-end: a probe that lands in the
+    wrong bucket would miss its source."""
     ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    out = lsh_topk(ds, _queries_matrix(sf_dir), k=5, nbits=6, nprobe=8)
+    probes = _queries_matrix(sf_dir, n=5) * np.float32(3.0)
+    out = lsh_topk(ds, probes, k=1, nbits=6, nprobe=8)
     return out.map_batches(lambda t: t.select(["query_id", "vec_id"]), batch_format="pyarrow")
 
 
@@ -545,6 +571,61 @@ ORACLE_SQL = {
                    ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC, e.vec_id) rn
           FROM q CROSS JOIN embeddings e) WHERE rn <= 5
     """,
+    "ann_lsh": """
+        WITH q AS (SELECT vec_id AS qid, list_transform(embedding, x -> x * 3) AS qe
+                   FROM embeddings WHERE vec_id < 5)
+        SELECT qid AS query_id, vec_id FROM (
+          SELECT q.qid, e.vec_id,
+                 row_number() OVER (
+                   PARTITION BY q.qid
+                   ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC, e.vec_id) rn
+          FROM q CROSS JOIN embeddings e) WHERE rn = 1
+    """,
+    "dedup_embedding": """
+        WITH corpus AS (
+          SELECT vec_id, embedding FROM embeddings
+          UNION ALL
+          SELECT vec_id + 1000000, list_transform(embedding, x -> x * 2)
+          FROM embeddings WHERE vec_id % 10 = 0
+        )
+        SELECT x.vec_id AS a, y.vec_id AS b
+        FROM corpus x JOIN corpus y ON x.vec_id < y.vec_id
+        WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.99
+    """,
+    # dedup_minhash oracle: EXACT 5-char-shingle Jaccard + recursive-CTE
+    # connected components.  Sound because the fixture's true-Jaccard
+    # distribution is bimodal (near-dups ≥ 0.93, background ≤ 0.31): any
+    # cutoff inside the gap — the SQL uses 0.5, the MinHash estimator 0.6 —
+    # selects the same pair set, and at 64 permutations the estimator's
+    # deviation over the gap is > 7σ, with LSH band-miss probability < 1e-9.
+    "dedup_minhash": """
+        WITH RECURSIVE
+        d AS (SELECT doc_id, text FROM documents),
+        sh AS (
+          SELECT DISTINCT d.doc_id, substring(d.text, i, 5) AS s
+          FROM d, LATERAL (SELECT unnest(generate_series(1, greatest(length(d.text)-4, 1))) AS i)
+        ),
+        cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+          FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+          GROUP BY x.doc_id, y.doc_id
+        ),
+        dup_pairs AS (
+          SELECT a, b FROM inter
+          JOIN cnt ca ON ca.doc_id = a JOIN cnt cb ON cb.doc_id = b
+          WHERE c * 1.0 / (ca.n + cb.n - c) >= 0.5
+        ),
+        edges AS (SELECT a AS u, b AS v FROM dup_pairs
+                  UNION SELECT b, a FROM dup_pairs),
+        reach(u, v) AS (
+          SELECT u, v FROM edges
+          UNION
+          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+        )
+        SELECT doc_id FROM d
+        WHERE doc_id NOT IN (SELECT u FROM reach GROUP BY u HAVING min(v) < u)
+    """,
     # rows-only (non-SQL-expressible / heuristic): rolling_fingerprint,
-    # lang_id, dedup_minhash, dedup_simhash, ann_lsh
+    # lang_id, dedup_simhash (simhash bit votes aren't SQL-reproducible)
 }

@@ -11,10 +11,14 @@ Scale shape (the part that matters at 100 TB):
   ``groupby(band_hash)`` — the classic shingle→minhash→band→bucket plan.
   Candidate pairs are verified inside the bucket group from the carried
   signatures (no second pass over the corpus).
-* **components**: candidate pairs are orders of magnitude smaller than the
-  corpus; union-find runs on the driver.  This is the documented smallness
-  assumption — if pairs explode, raise bands' selectivity (more bands →
-  higher threshold), don't grow the driver.
+* **components**: distributed min-label propagation over the pair graph
+  (:func:`connected_components_ds`) — the pair set never lands on the
+  driver; each round is two groupby exchanges over edges only.  The small
+  driver union-find (:func:`connected_components`) remains for tests.
+* **hot buckets never silently drop** (round-1 fix): oversized buckets
+  collapse identical-signature rows into star edges around a min-id
+  representative and recurse on the distinct signatures; the emitted edge
+  set is a connected-components-equivalent cover.
 
 The final filter broadcasts the drop-set (``ray.put``) and applies it as a
 vectorized ``is_in`` mask inside ``map_batches`` — no join shuffle.
@@ -152,28 +156,109 @@ def _band_rows(t: pa.Table, id_col: str, num_perm: int, bands: int) -> pa.Table:
     return pa.concat_tables(rows)
 
 
-def _bucket_pairs(g: pa.Table, id_col: str, num_perm: int, threshold: float) -> pa.Table:
+_BUCKET_CAP = 2000  # max rows brute-force-verified within one bucket
+
+
+def _sig_row_hash(sigs: np.ndarray, cols: np.ndarray | None = None) -> np.ndarray:
+    """FNV hash of each signature row (optionally a column subset)."""
+    m = sigs if cols is None else sigs[:, cols]
+    with np.errstate(over="ignore"):
+        h = np.full(len(m), np.uint64(1469598103934665603))
+        for j in range(m.shape[1]):
+            h = (h ^ m[:, j].astype(np.uint64)) * np.uint64(1099511628211)
+    return h
+
+
+def _brute_sig_pairs(ids, sigs, threshold):
+    ii, jj = np.triu_indices(len(ids), 1)
+    est = (sigs[ii] == sigs[jj]).mean(axis=1)
+    keep = est >= threshold
+    a, b = ids[ii[keep]], ids[jj[keep]]
+    swap = a > b
+    return np.where(swap, b, a), np.where(swap, a, b), est[keep]
+
+
+def _sig_pairs_rec(ids, sigs, threshold, cap, depth=0):
+    """Verified duplicate pairs within one (possibly hot) LSH bucket.
+
+    ≤ cap rows: exact O(n²) signature verification.  Hot buckets NEVER drop
+    rows (the round-1 silent-recall bug): rows with fully identical
+    signatures are collapsed to star edges (est=1.0 — exactly what the
+    verifier would emit) around a min-id representative, and the distinct
+    representatives recurse; if distinct signatures still exceed the cap,
+    the bucket is subdivided by a rotating signature-column block (recall
+    degrades gracefully and only for pairs that disagree on that block,
+    which at est ≥ threshold is exponentially unlikely).  Output is a
+    connected-components-equivalent edge cover: members of an identical-sig
+    group connect through their representative rather than pairwise."""
+    out_a, out_b, out_e = [], [], []
+    n = len(ids)
+    if n < 2:
+        return out_a, out_b, out_e
+    if n <= cap:
+        a, b, e = _brute_sig_pairs(ids, sigs, threshold)
+        return [a], [b], [e]
+    num_perm = sigs.shape[1]
+    full = _sig_row_hash(sigs)
+    order = np.argsort(full, kind="stable")
+    ids_s, sigs_s, full_s = ids[order], sigs[order], full[order]
+    starts = np.flatnonzero(np.r_[True, full_s[1:] != full_s[:-1]])
+    ends = np.r_[starts[1:], n]
+    rep_idx = []
+    for s, e_ in zip(starts, ends):
+        grp_ids = ids_s[s:e_]
+        rep = s + int(np.argmin(grp_ids))
+        rep_idx.append(rep)
+        if e_ - s > 1:  # identical signatures → star edges, est exactly 1.0
+            others = np.concatenate([grp_ids[: rep - s], grp_ids[rep - s + 1 :]])
+            ra = np.minimum(grp_ids[rep - s], others)
+            rb = np.maximum(grp_ids[rep - s], others)
+            out_a.append(ra)
+            out_b.append(rb)
+            out_e.append(np.ones(len(others)))
+    rep_idx = np.array(rep_idx)
+    rids, rsigs = ids_s[rep_idx], sigs_s[rep_idx]
+    if len(rids) <= cap:
+        a, b, e = _brute_sig_pairs(rids, rsigs, threshold)
+        out_a.append(a); out_b.append(b); out_e.append(e)
+    elif depth < 8:  # subdivide by a rotating signature-column block
+        cols = (depth * 7919 + np.arange(max(2, num_perm // 8))) % num_perm
+        sub = _sig_row_hash(rsigs, cols)
+        sorder = np.argsort(sub, kind="stable")
+        rids, rsigs, sub_s = rids[sorder], rsigs[sorder], sub[sorder]
+        bstarts = np.flatnonzero(np.r_[True, sub_s[1:] != sub_s[:-1]])
+        bends = np.r_[bstarts[1:], len(rids)]
+        for s, e_ in zip(bstarts, bends):
+            sa, sb, se = _sig_pairs_rec(rids[s:e_], rsigs[s:e_], threshold, cap, depth + 1)
+            out_a += sa; out_b += sb; out_e += se
+    return out_a, out_b, out_e
+
+
+def _bucket_pairs(
+    g: pa.Table, id_col: str, num_perm: int, threshold: float, cap: int = _BUCKET_CAP
+) -> pa.Table:
     """Candidate pairs within one LSH bucket, verified by signature
-    agreement (unbiased Jaccard estimate)."""
+    agreement (unbiased Jaccard estimate).  Hot buckets are handled without
+    silent drops — see :func:`_sig_pairs_rec`."""
     n = g.num_rows
     empty = pa.table(
         {"a": pa.array([], g[id_col].type), "b": pa.array([], g[id_col].type),
          "est_jaccard": pa.array([], pa.float64())}
     )
-    if n < 2 or n > 2000:  # degenerate bucket guard (hot bucket = low-info band)
+    if n < 2:
         return empty
     ids = g[id_col].to_numpy(zero_copy_only=False)
     sigs = np.asarray(g["sig"].combine_chunks().flatten()).reshape(n, num_perm)
-    ii, jj = np.triu_indices(n, 1)
-    est = (sigs[ii] == sigs[jj]).mean(axis=1)
-    keep = est >= threshold
-    if not keep.any():
+    aa, bb, ee = _sig_pairs_rec(ids, sigs, threshold, cap)
+    if not aa:
         return empty
-    a, b = ids[ii[keep]], ids[jj[keep]]
-    swap = a > b
-    a2 = np.where(swap, b, a)
-    b2 = np.where(swap, a, b)
-    return pa.table({"a": pa.array(a2), "b": pa.array(b2), "est_jaccard": pa.array(est[keep])})
+    a = np.concatenate(aa)
+    if len(a) == 0:
+        return empty
+    return pa.table(
+        {"a": pa.array(a), "b": pa.array(np.concatenate(bb)),
+         "est_jaccard": pa.array(np.concatenate(ee).astype(np.float64))}
+    )
 
 
 def lsh_candidates(
@@ -185,6 +270,7 @@ def lsh_candidates(
     shingle_k: int = 5,
     threshold: float = 0.7,
     concurrency: int | tuple | None = None,
+    bucket_cap: int = _BUCKET_CAP,
 ) -> ray.data.Dataset:
     """shingle → minhash (actor pool) → band-explode → bucket groupby →
     verified candidate duplicate pairs (a < b, est_jaccard ≥ threshold)."""
@@ -199,7 +285,7 @@ def lsh_candidates(
         batch_format="pyarrow",
     )
     pairs = exploded.groupby("band_key").map_groups(
-        lambda g: _bucket_pairs(g, id_col, num_perm, threshold),
+        lambda g: _bucket_pairs(g, id_col, num_perm, threshold, cap=bucket_cap),
         batch_format="pyarrow",
     )
 
@@ -230,6 +316,86 @@ def connected_components(pairs: list[dict] | pa.Table) -> dict:
     return {k: find(k) for k in parent}
 
 
+def connected_components_ds(
+    pairs: ray.data.Dataset, max_iters: int = 25
+) -> ray.data.Dataset:
+    """Distributed connected components over candidate-pair edges by
+    min-label propagation — the scale path (no driver materialization of the
+    pair set).  Each round is two ``groupby`` exchanges over the EDGE set
+    (pairs ≪ corpus); labels only decrease, so a stable per-round checksum
+    detects the fixpoint, reached in O(component diameter) rounds (near-dup
+    graphs are star-ish: typically ≤ 4).  Returns a Dataset of
+    ``(node, lab)`` where ``lab`` is the component's min id."""
+    from .text import _RK_B  # stable multiplier for the checksum mix
+    from ..pipelines.replay import stable_hash
+
+    def sym(t: pa.Table) -> pa.Table:
+        return pa.concat_tables(
+            [pa.table({"node": t["a"], "nbr": t["b"]}),
+             pa.table({"node": t["b"], "nbr": t["a"]})]
+        )
+
+    edges = pairs.map_batches(sym, batch_format="pyarrow").materialize()
+    if edges.count() == 0:
+        sch = edges.schema()
+        empty = pa.table({"node": pa.array([], sch.types[0]), "lab": pa.array([], sch.types[0])})
+        return ray.data.from_arrow(empty)
+    node_t = edges.schema().types[0]
+
+    def init_rows(t: pa.Table) -> pa.Table:
+        return pa.concat_tables(
+            [pa.table({"node": t["node"], "lab": t["nbr"]}),
+             pa.table({"node": t["node"], "lab": t["node"]})]
+        )
+
+    def min_lab(g: pa.Table) -> pa.Table:
+        return pa.table({"node": g["node"].slice(0, 1),
+                         "lab": pa.array([pc.min(g["lab"]).as_py()], node_t)})
+
+    labels = (
+        edges.map_batches(init_rows, batch_format="pyarrow")
+        .groupby("node").map_groups(min_lab, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def checksum(t: pa.Table) -> pa.Table:
+        with np.errstate(over="ignore"):
+            h = stable_hash(t["node"].cast(pa.string())) * np.uint64(_RK_B) + stable_hash(
+                t["lab"].cast(pa.string())
+            )
+        return pa.table({"h": pa.array((h % np.uint64(2**62)).astype(np.int64))})
+
+    prev = labels.map_batches(checksum, batch_format="pyarrow").sum("h")
+    for _ in range(max_iters):
+        # one-hop propagate: group each node's label row with its edges,
+        # push the label to every neighbour, then re-minimize per node
+        def lab_rows(t: pa.Table) -> pa.Table:
+            return pa.table({"node": t["node"], "nbr": pa.nulls(t.num_rows, node_t),
+                             "lab": t["lab"]})
+
+        def edge_rows(t: pa.Table) -> pa.Table:
+            return pa.table({"node": t["node"], "nbr": t["nbr"],
+                             "lab": pa.nulls(t.num_rows, node_t)})
+
+        def push(g: pa.Table) -> pa.Table:
+            lab = pc.min(g["lab"]).as_py()  # the node's current label
+            nbrs = g["nbr"].drop_null()
+            nodes = pa.concat_arrays([nbrs.combine_chunks(), g["node"].slice(0, 1).combine_chunks()])
+            return pa.table({"node": nodes, "lab": pa.array([lab] * len(nodes), node_t)})
+
+        prop = (
+            labels.map_batches(lab_rows, batch_format="pyarrow")
+            .union(edges.map_batches(edge_rows, batch_format="pyarrow"))
+            .groupby("node").map_groups(push, batch_format="pyarrow")
+        )
+        labels = prop.groupby("node").map_groups(min_lab, batch_format="pyarrow").materialize()
+        cur = labels.map_batches(checksum, batch_format="pyarrow").sum("h")
+        if cur == prev:
+            break
+        prev = cur
+    return labels
+
+
 def minhash_dedup(
     ds: ray.data.Dataset,
     text_col: str,
@@ -237,12 +403,18 @@ def minhash_dedup(
     **lsh_kwargs,
 ) -> ray.data.Dataset:
     """Near-duplicate removal: keep each component's min-id representative.
-    The drop-set is broadcast (``ray.put``) and applied as a vectorized mask
-    — no join."""
-    pairs = lsh_candidates(ds, text_col, id_col, **lsh_kwargs).take_all()
-    comp = connected_components(pairs)
-    drop = [k for k, v in comp.items() if v != k]
-    drop_ref = ray.put(set(drop))
+    Components come from distributed label propagation (the pair set never
+    lands on the driver); only the final DROP-set — bounded by the number of
+    duplicate docs — is collected and broadcast (``ray.put``), applied as a
+    vectorized mask.  (At extreme dup rates, swap the broadcast filter for a
+    hash-bucketed anti-join on id.)"""
+    pairs = lsh_candidates(ds, text_col, id_col, **lsh_kwargs)
+    cc = connected_components_ds(pairs)
+    drop_rows = cc.map_batches(
+        lambda t: t.filter(pc.not_equal(t["lab"], t["node"])).select(["node"]),
+        batch_format="pyarrow",
+    ).take_all()
+    drop_ref = ray.put({r["node"] for r in drop_rows})
 
     def keep(t: pa.Table) -> pa.Table:
         d = ray.get(drop_ref)
@@ -304,24 +476,74 @@ def simhash_near_dups(
             parts.append(pa.table({"band_key": pa.array(key), id_col: t[id_col], "simhash": t["simhash"]}))
         return pa.concat_tables(parts)
 
+    def brute(ids, h):
+        ii, jj = np.triu_indices(len(ids), 1)
+        x = h[ii] ^ h[jj]
+        ham = np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(axis=1)
+        keep = ham <= max_hamming
+        a, b = ids[ii[keep]], ids[jj[keep]]
+        swap = a > b
+        return np.where(swap, b, a), np.where(swap, a, b), ham[keep].astype(np.int64)
+
+    def rec(ids, h, depth=0):
+        """Hot buckets collapse identical simhashes to star edges (hamming 0)
+        around a min-id representative and recurse on the distinct hashes —
+        no silent drops (round-1 fix); as a last resort distinct hashes are
+        subdivided by another 16-bit band (graceful, pairs only split if
+        they differ in that band too)."""
+        n = len(ids)
+        if n < 2:
+            return [], [], []
+        if n <= _BUCKET_CAP:
+            a, b, m = brute(ids, h)
+            return [a], [b], [m]
+        order = np.argsort(h, kind="stable")
+        ids_s, h_s = ids[order], h[order]
+        starts = np.flatnonzero(np.r_[True, h_s[1:] != h_s[:-1]])
+        ends = np.r_[starts[1:], n]
+        oa, ob, om = [], [], []
+        rep_idx = []
+        for s, e_ in zip(starts, ends):
+            grp = ids_s[s:e_]
+            rep = s + int(np.argmin(grp))
+            rep_idx.append(rep)
+            if e_ - s > 1:
+                others = np.concatenate([grp[: rep - s], grp[rep - s + 1 :]])
+                oa.append(np.minimum(grp[rep - s], others))
+                ob.append(np.maximum(grp[rep - s], others))
+                om.append(np.zeros(len(others), np.int64))
+        rep_idx = np.array(rep_idx)
+        rids, rh = ids_s[rep_idx], h_s[rep_idx]
+        if len(rids) <= _BUCKET_CAP:
+            a, b, m = brute(rids, rh)
+            oa.append(a); ob.append(b); om.append(m)
+        elif depth < 3:
+            sub = ((rh >> np.uint64(16 * ((depth + 1) % 4))) & np.uint64(0xFFFF))
+            sorder = np.argsort(sub, kind="stable")
+            rids, rh, sub = rids[sorder], rh[sorder], sub[sorder]
+            bs = np.flatnonzero(np.r_[True, sub[1:] != sub[:-1]])
+            be = np.r_[bs[1:], len(rids)]
+            for s, e_ in zip(bs, be):
+                sa, sb, sm = rec(rids[s:e_], rh[s:e_], depth + 1)
+                oa += sa; ob += sb; om += sm
+        return oa, ob, om
+
     def pairs(g: pa.Table) -> pa.Table:
         n = g.num_rows
         empty = pa.table({"a": pa.array([], g[id_col].type), "b": pa.array([], g[id_col].type),
                           "hamming": pa.array([], pa.int64())})
-        if n < 2 or n > 2000:
+        if n < 2:
             return empty
         ids = g[id_col].to_numpy(zero_copy_only=False)
         h = g["simhash"].to_numpy().view(np.uint64)
-        ii, jj = np.triu_indices(n, 1)
-        x = (h[ii] ^ h[jj])
-        ham = np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(axis=1)
-        keep = ham <= max_hamming
-        if not keep.any():
+        aa, bb, mm = rec(ids, h)
+        if not aa:
             return empty
-        a, b = ids[ii[keep]], ids[jj[keep]]
-        swap = a > b
-        return pa.table({"a": pa.array(np.where(swap, b, a)), "b": pa.array(np.where(swap, a, b)),
-                         "hamming": pa.array(ham[keep].astype(np.int64))})
+        a = np.concatenate(aa)
+        if len(a) == 0:
+            return empty
+        return pa.table({"a": pa.array(a), "b": pa.array(np.concatenate(bb)),
+                         "hamming": pa.array(np.concatenate(mm))})
 
     def pair_first(g: pa.Table) -> pa.Table:
         return g.slice(0, 1)
@@ -368,24 +590,67 @@ def embedding_near_dups(
         keys = _bucket_keys(m, planes_holder["planes"])
         return pa.table({"band_key": pa.array(keys), id_col: t[id_col], emb_col: t[emb_col]})
 
+    def brute(ids, m):
+        sims = m @ m.T
+        ii, jj = np.triu_indices(len(ids), 1)
+        keep = sims[ii, jj] >= threshold
+        a, b = ids[ii[keep]], ids[jj[keep]]
+        swap = a > b
+        return (np.where(swap, b, a), np.where(swap, a, b),
+                sims[ii, jj][keep].astype(np.float64))
+
+    def rec(ids, m, depth=0):
+        """Hot buckets subdivide with EXTRA hyperplanes (seeded by depth) —
+        near-identical vectors share the new sign bits with high probability,
+        so recall degrades gracefully instead of dropping the bucket
+        (round-1 fix).  At the depth limit each row is verified against the
+        bucket's min-id representative (an O(n·d) star pass): a complete
+        edge cover for the mutually-near case that makes buckets that hot."""
+        n = len(ids)
+        if n < 2:
+            return [], [], []
+        if n <= _BUCKET_CAP:
+            a, b, c = brute(ids, m)
+            return [a], [b], [c]
+        if depth < 6:
+            planes = _hyperplanes(m.shape[1], nbits, seed + 1000 * (depth + 1))
+            keys = _bucket_keys(m, planes)
+            order = np.argsort(keys, kind="stable")
+            ids_s, m_s, keys_s = ids[order], m[order], keys[order]
+            starts = np.flatnonzero(np.r_[True, keys_s[1:] != keys_s[:-1]])
+            ends = np.r_[starts[1:], n]
+            oa, ob, oc = [], [], []
+            if len(starts) == 1:  # subdivision made no progress → star pass
+                return rec(ids, m, depth=6)
+            for s, e_ in zip(starts, ends):
+                sa, sb, sc = rec(ids_s[s:e_], m_s[s:e_], depth + 1)
+                oa += sa; ob += sb; oc += sc
+            return oa, ob, oc
+        rep = int(np.argmin(ids))
+        sims = m @ m[rep]
+        keep = sims >= threshold
+        keep[rep] = False
+        others = ids[keep]
+        a = np.minimum(ids[rep], others)
+        b = np.maximum(ids[rep], others)
+        return [a], [b], [sims[keep].astype(np.float64)]
+
     def pairs(g: pa.Table) -> pa.Table:
         n = g.num_rows
         empty = pa.table({"a": pa.array([], g[id_col].type), "b": pa.array([], g[id_col].type),
                           "cosine": pa.array([], pa.float64())})
-        if n < 2 or n > 2000:
+        if n < 2:
             return empty
         ids = g[id_col].to_numpy(zero_copy_only=False)
         m = _normalize(_matrix(g, emb_col))
-        sims = m @ m.T
-        ii, jj = np.triu_indices(n, 1)
-        keep = sims[ii, jj] >= threshold
-        if not keep.any():
+        aa, bb, cc = rec(ids, m)
+        if not aa:
             return empty
-        a, b = ids[ii[keep]], ids[jj[keep]]
-        swap = a > b
-        return pa.table({"a": pa.array(np.where(swap, b, a)),
-                         "b": pa.array(np.where(swap, a, b)),
-                         "cosine": pa.array(sims[ii, jj][keep].astype(np.float64))})
+        a = np.concatenate(aa)
+        if len(a) == 0:
+            return empty
+        return pa.table({"a": pa.array(a), "b": pa.array(np.concatenate(bb)),
+                         "cosine": pa.array(np.concatenate(cc))})
 
     def pair_first(g: pa.Table) -> pa.Table:
         return g.slice(0, 1)

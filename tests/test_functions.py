@@ -143,6 +143,64 @@ def test_simhash_near_dups(dup_docs):
     assert all((j, 10_000 + j) in found for j in range(10))  # identical → hamming 0
 
 
+def test_hot_bucket_no_silent_recall_loss(dup_docs):
+    """Round-1 regression: buckets over the cap must NOT silently drop.
+    With bucket_cap=8 every band bucket of this 3000-row corpus is 'hot';
+    all mass is one duplicated text → identical signatures collapse to star
+    edges and dedup still keeps exactly the min-id representative."""
+    path, t = dup_docs
+    base = pq.read_table(path).slice(0, 1)
+    text = base["text"][0].as_py()
+    n = 3000
+    hot = pa.table(
+        {"doc_id": pa.array(range(n), pa.int64()), "text": pa.array([text] * n)}
+    )
+    ds = ray.data.from_arrow(hot)
+    deduped = minhash_dedup(
+        ds, "text", "doc_id", num_perm=16, bands=4, threshold=0.5, bucket_cap=8
+    )
+    kept = {r["doc_id"] for r in deduped.take_all()}
+    assert kept == {0}  # one component of 3000 identical docs → min id only
+
+
+def test_hot_bucket_mixed_clusters():
+    """Two distinct duplicate clusters inside one hot bucket stay separate
+    components (star collapse + representative recursion, not a blanket
+    merge)."""
+    from airbyte_ray.functions.dedup import minhash_dedup
+
+    a = "the quick brown fox jumps over the lazy dog again and again " * 5
+    b = "entirely different content about database replication logs " * 5
+    n = 500
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(n)) + list(range(1000, 1000 + n)), pa.int64()),
+            "text": pa.array([a] * n + [b] * n),
+        }
+    )
+    deduped = minhash_dedup(
+        ray.data.from_arrow(t), "text", "doc_id",
+        num_perm=16, bands=4, threshold=0.5, bucket_cap=16,
+    )
+    kept = {r["doc_id"] for r in deduped.take_all()}
+    assert kept == {0, 1000}
+
+
+def test_connected_components_ds_matches_driver():
+    """Distributed label propagation == driver union-find on a graph with a
+    chain (diameter > 1), a star, and singleton-free pairs."""
+    from airbyte_ray.functions.dedup import connected_components, connected_components_ds
+
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (10, 13), (20, 21)]
+    pairs = pa.table(
+        {"a": pa.array([e[0] for e in edges], pa.int64()),
+         "b": pa.array([e[1] for e in edges], pa.int64())}
+    )
+    expected = connected_components(pairs)
+    got = {r["node"]: r["lab"] for r in connected_components_ds(ray.data.from_arrow(pairs)).take_all()}
+    assert got == {k: v for k, v in expected.items()}
+
+
 # -- ann --------------------------------------------------------------------
 
 def test_brute_force_topk_matches_duckdb():
