@@ -95,6 +95,25 @@ def q_cdc_lww_latest(sf_dir: str) -> ray.data.Dataset:
     return reduced
 
 
+def q_scd_history(sf_dir: str) -> ray.data.Dataset:
+    """SCD Type-2 history over the CDC stream analog: every event becomes a
+    versioned row with _airbyte_start_at/_airbyte_end_at validity and an
+    active flag (reference stream_processor.py:884-898,966-967); 'error'
+    events are tombstones — present in history, never active."""
+    from .pipelines.scd import ACTIVE_ROW, END_AT, START_AT, scd2_history
+
+    ds = _events(sf_dir, columns=["user_id", "event_id", "event_type"])
+    hist = scd2_history(
+        ds, key="user_id", cursor="event_id",
+        deleted_mask=lambda t: pc.equal(t["event_type"], "error"),
+        num_partitions=16,
+    )
+    return hist.map_batches(
+        lambda t: t.select(["user_id", "event_id", START_AT, END_AT, ACTIVE_ROW]),
+        batch_format="pyarrow",
+    )
+
+
 def q_sync_append_dedup(sf_dir: str) -> pa.Table:
     """Full Airbyte-style sync: incremental cursor read → append_dedup
     destination (hash-partitioned latest-per-PK merge) → committed view."""
@@ -431,6 +450,7 @@ def q_ann_lsh(sf_dir: str) -> ray.data.Dataset:
 QUERIES = {
     "cdc_replay_upsert": q_cdc_replay_upsert,
     "cdc_lww_latest": q_cdc_lww_latest,
+    "scd_history": q_scd_history,
     "sync_append_dedup": q_sync_append_dedup,
     "incremental_watermark": q_incremental_watermark,
     "snapshot_filter_project": q_snapshot_filter_project,
@@ -476,6 +496,15 @@ ORACLE_SQL = {
         FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
               FROM events)
         WHERE rn = 1
+    """,
+    "scd_history": """
+        SELECT user_id, event_id,
+               event_id AS _airbyte_start_at,
+               lead(event_id) OVER w AS _airbyte_end_at,
+               CAST(CASE WHEN lead(event_id) OVER w IS NULL AND event_type <> 'error'
+                         THEN 1 ELSE 0 END AS INTEGER) AS _airbyte_active_row
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
     """,
     "sync_append_dedup": """
         SELECT user_id, event_id, ts
