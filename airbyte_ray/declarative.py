@@ -237,6 +237,12 @@ def build_pipeline(spec: dict) -> ray.data.Dataset:
         ds = ray.data.read_json(src["path"])
     elif fmt == "csv":
         ds = ray.data.read_csv(src["path"])
+    elif fmt == "paginated":
+        # the HTTP-API analog: requester + paginator + record selector over
+        # page fixtures (sources/paginated.py)
+        from .sources.paginated import read_paginated
+
+        ds = read_paginated(src)
     else:
         raise ValueError(f"unknown source format {fmt}")
 

@@ -95,6 +95,46 @@ def q_cdc_lww_latest(sf_dir: str) -> ray.data.Dataset:
     return reduced
 
 
+def q_declarative_paginated(sf_dir: str) -> ray.data.Dataset:
+    """HTTP-source analog end-to-end: the events table is exported as a
+    paginated JSON 'API' (one slice per event_type, cursor-chained pages of
+    500 — the fixture IS the simulated server), then read back through the
+    declarative requester → paginator → record-selector machinery.  Any
+    dropped page, broken cursor chain or missed slice loses rows vs the
+    plain-SQL oracle."""
+    import json
+
+    from .sources.paginated import read_paginated
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "event_id", "user_id", "value"],
+    )
+    api = tempfile.mkdtemp(prefix="pag_api_", dir="/tmp")
+    etypes = sorted(set(t["event_type"].to_pylist()))
+    page_size = 500
+    for et in etypes:
+        sub = t.filter(pc.equal(t["event_type"], et)).sort_by("event_id")
+        recs = sub.select(["event_id", "user_id", "value"]).to_pylist()
+        os.makedirs(os.path.join(api, et), exist_ok=True)
+        n_pages = max(1, -(-len(recs) // page_size))
+        for i in range(n_pages):
+            body = {"data": recs[i * page_size : (i + 1) * page_size]}
+            if i + 1 < n_pages:
+                body["next"] = i + 1
+            with open(os.path.join(api, et, f"page-{i}.json"), "w") as f:
+                json.dump(body, f)
+    spec = {
+        "api_dir": api,
+        "path_template": "{event_type}/page-{page}.json",
+        "paginator": "cursor",
+        "paginator_args": {"cursor_path": "next", "start": 0},
+        "record_path": "data",
+        "slices": [{"event_type": et} for et in etypes],
+    }
+    return read_paginated(spec)
+
+
 def q_scd_history(sf_dir: str) -> ray.data.Dataset:
     """SCD Type-2 history over the CDC stream analog: every event becomes a
     versioned row with _airbyte_start_at/_airbyte_end_at validity and an
@@ -450,6 +490,7 @@ def q_ann_lsh(sf_dir: str) -> ray.data.Dataset:
 QUERIES = {
     "cdc_replay_upsert": q_cdc_replay_upsert,
     "cdc_lww_latest": q_cdc_lww_latest,
+    "declarative_paginated": q_declarative_paginated,
     "scd_history": q_scd_history,
     "sync_append_dedup": q_sync_append_dedup,
     "incremental_watermark": q_incremental_watermark,
@@ -497,6 +538,7 @@ ORACLE_SQL = {
               FROM events)
         WHERE rn = 1
     """,
+    "declarative_paginated": "SELECT event_type, event_id, user_id, value FROM events",
     "scd_history": """
         SELECT user_id, event_id,
                event_id AS _airbyte_start_at,

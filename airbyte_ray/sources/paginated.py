@@ -1,0 +1,258 @@
+"""Paginated-API source analog (no network): requester + paginator +
+record selector over file-backed page fixtures.
+
+Reference surface being re-expressed:
+
+* the HTTP fetch loop — request page, parse, emit records, compute next
+  page token, stop when exhausted
+  (``airbyte-cdk/python/airbyte_cdk/sources/streams/http/http.py:416-465``);
+* pagination strategies — cursor-from-response, offset increment, page
+  increment, each with a stop condition
+  (``declarative/requesters/paginators/strategies/*.py``);
+* record selection from the response body
+  (``declarative/extractors/record_selector.py``);
+* retry/backoff with server-driven waits
+  (``http/rate_limiting.py`` — our :mod:`..stages.retry`).
+
+This sandbox has no network, so the Requester is an interface and the
+shipped implementation serves JSON pages from a directory — the page files
+ARE the HTTP responses.  Everything above the requester (the fetch loop,
+pagination, selection, retries, Ray parallelism) is the real machinery a
+network-backed requester would plug into.
+
+Ray-Data-first parallelism model: a *slice* (parent id, date window …) is
+the unit of parallelism, exactly as in the reference — slices fan out as a
+Dataset, and each slice's page loop runs sequentially inside an actor-pool
+task (pagination is inherently sequential *within* a slice: the next
+request depends on the previous response).  Records convert to Arrow at
+the boundary, one table per page batch.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Any, Callable, Iterator
+
+import pyarrow as pa
+import ray.data
+
+from ..stages.retry import with_retries
+
+
+# ---------------------------------------------------------------------------
+# responses + requesters
+# ---------------------------------------------------------------------------
+
+@dataclass
+class Response:
+    """Minimal HTTP-response analog."""
+
+    status: int
+    body: Any = None
+    headers: dict = field(default_factory=dict)
+
+
+class TransientError(RuntimeError):
+    """Retryable failure (429/5xx analog).  ``retry_after`` carries the
+    server-driven wait (Retry-After header analog)."""
+
+    def __init__(self, status: int, retry_after: float | None = None):
+        super().__init__(f"transient status {status}")
+        self.status = status
+        self.retry_after = retry_after
+
+
+class FileFixtureRequester:
+    """Serve pages from ``api_dir`` — request params format ``path_template``
+    into a relative file path.  A missing file is a 404 (end of data, the
+    empty-page stop condition).  ``flaky`` optionally injects transient
+    failures: ``{path: n}`` fails the first n requests for that path with a
+    429 carrying a Retry-After hint — the retry/backoff test hook."""
+
+    def __init__(self, api_dir: str, path_template: str, flaky: dict | None = None,
+                 retry_after: float = 0.01):
+        self.api_dir = api_dir
+        self.template = path_template
+        self.flaky = dict(flaky or {})
+        self.retry_after = retry_after
+        self.request_count = 0
+
+    def request(self, params: dict) -> Response:
+        rel = self.template.format(**params)
+        self.request_count += 1
+        if self.flaky.get(rel, 0) > 0:
+            self.flaky[rel] -= 1
+            raise TransientError(429, retry_after=self.retry_after)
+        path = os.path.join(self.api_dir, rel)
+        if not os.path.exists(path):
+            return Response(404)
+        with open(path) as f:
+            return Response(200, body=json.load(f))
+
+
+# ---------------------------------------------------------------------------
+# pagination strategies (cursor / offset / page)
+# ---------------------------------------------------------------------------
+
+class CursorPaginator:
+    """Next token comes from the response body (``cursor_path``), stop when
+    absent — ``CursorPaginationStrategy``."""
+
+    def __init__(self, cursor_path: str = "next", start: Any = 0):
+        self.cursor_path, self.start = cursor_path, start
+
+    def first_params(self) -> dict:
+        return {"page": self.start}
+
+    def next_params(self, resp: Response, records: list) -> dict | None:
+        token = (resp.body or {}).get(self.cursor_path)
+        return None if token is None else {"page": token}
+
+
+class OffsetPaginator:
+    """Advance by len(records); stop when a page comes back short —
+    ``OffsetIncrement``."""
+
+    def __init__(self, page_size: int):
+        self.page_size = page_size
+        self._offset = 0
+
+    def first_params(self) -> dict:
+        self._offset = 0
+        return {"offset": 0, "limit": self.page_size}
+
+    def next_params(self, resp: Response, records: list) -> dict | None:
+        if len(records) < self.page_size:
+            return None
+        self._offset += len(records)
+        return {"offset": self._offset, "limit": self.page_size}
+
+
+class PagePaginator:
+    """Advance the page number; stop on a short (or empty) page —
+    ``PageIncrement``."""
+
+    def __init__(self, page_size: int, start_page: int = 0):
+        self.page_size, self.start_page = page_size, start_page
+        self._page = start_page
+
+    def first_params(self) -> dict:
+        self._page = self.start_page
+        return {"page": self._page}
+
+    def next_params(self, resp: Response, records: list) -> dict | None:
+        if len(records) < self.page_size:
+            return None
+        self._page += 1
+        return {"page": self._page}
+
+
+PAGINATORS: dict[str, Callable[..., Any]] = {
+    "cursor": CursorPaginator,
+    "offset": OffsetPaginator,
+    "page": PagePaginator,
+}
+
+
+def select_records(body: Any, record_path: str | None) -> list:
+    """Record selector: descend ``record_path`` ('a.b' dpath-lite) into the
+    response body; a missing path or 404 body yields no records."""
+    node = body
+    if record_path:
+        for part in record_path.split("."):
+            if not isinstance(node, dict) or part not in node:
+                return []
+            node = node[part]
+    if node is None:
+        return []
+    return node if isinstance(node, list) else [node]
+
+
+# ---------------------------------------------------------------------------
+# the fetch loop + Ray integration
+# ---------------------------------------------------------------------------
+
+def read_pages(
+    requester,
+    paginator,
+    record_path: str | None = None,
+    slice_params: dict | None = None,
+    max_retries: int = 5,
+    sleep: Callable[[float], None] | None = None,
+) -> Iterator[list]:
+    """The reference fetch loop (``http.py:416-465``): request → select →
+    yield → next token, with exponential backoff and server-driven waits
+    around each request.  Yields one record list per page."""
+    import time as _time
+
+    call = with_retries(
+        max_retries=max_retries,
+        base_delay=0.05,
+        retry_on=(TransientError,),
+        backoff_hint=lambda e: getattr(e, "retry_after", None),
+        sleep=sleep or _time.sleep,
+    )(requester.request)
+
+    params = paginator.first_params()
+    while params is not None:
+        resp = call({**(slice_params or {}), **params})
+        if resp.status == 404:
+            return
+        records = select_records(resp.body, record_path)
+        if records:
+            yield records
+        params = paginator.next_params(resp, records)
+
+
+class _SliceFetcher:
+    """Actor-pool stage: one task = one slice's full page loop.  The
+    requester is constructed once per actor (the per-worker CachedSession
+    analog); batches arrive as 1-row tables of slice params."""
+
+    def __init__(self, spec: dict):
+        self.spec = spec
+        self.requester = FileFixtureRequester(
+            spec["api_dir"], spec["path_template"], flaky=spec.get("flaky")
+        )
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        spec = self.spec
+        out: list[dict] = []
+        for row in t.to_pylist():
+            sl = json.loads(row["slice_json"])
+            pag = PAGINATORS[spec.get("paginator", "page")](
+                **spec.get("paginator_args", {"page_size": 100})
+            )
+            for records in read_pages(
+                self.requester, pag,
+                record_path=spec.get("record_path"),
+                slice_params=sl,
+                max_retries=spec.get("max_retries", 5),
+            ):
+                for r in records:
+                    out.append({**sl, **r})
+        if not out:
+            return pa.Table.from_pylist([], schema=pa.schema([]))
+        tbl = pa.Table.from_pylist(out)
+        return tbl.select(sorted(tbl.schema.names))  # stable cross-slice schema
+
+
+def read_paginated(spec: dict, concurrency: tuple | int = (1, 8)) -> ray.data.Dataset:
+    """Declarative paginated source → Dataset.
+
+    spec keys: ``api_dir``, ``path_template`` (formatted with slice params +
+    paginator params), ``paginator`` ('cursor'|'offset'|'page'),
+    ``paginator_args``, ``record_path``, ``slices`` (list of param dicts —
+    the unit of parallelism; defaults to one empty slice), ``flaky``,
+    ``max_retries``."""
+    slices = spec.get("slices") or [{}]
+    items = [{"slice_json": json.dumps(sl, sort_keys=True)} for sl in slices]
+    return ray.data.from_items(items).map_batches(
+        _SliceFetcher,
+        fn_constructor_args=(spec,),
+        batch_size=1,
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
