@@ -59,6 +59,9 @@ from ..state.manifest import Manifest, PartitionEntry
 _META_COLS = ("lsn", "op", CDC_UPDATED_AT, CDC_DELETED_AT, "part", "part_salt", "n_src")
 #: internal columns stored in lake segments alongside the payload
 LSN_COL = "_ab_lsn"
+#: tombstone marker column — present only in DELTA segment files (a delete
+#: must survive as a row so merge-on-read can drop the base row it shadows)
+DELETED_COL = "_ab_deleted"
 
 
 def stable_hash(ids: pa.ChunkedArray | pa.Array | np.ndarray) -> np.ndarray:
@@ -112,24 +115,62 @@ def _lww_group(t: pa.Table) -> pa.Table:
     return lww_reduce(t)
 
 
-def _merge_partition(group: pa.Table, ctx: dict) -> pa.Table:
-    """Reconcile + merge one hash partition; write its new segment; return a
-    one-row lineage table.  Runs as a stateless Ray task per partition
-    (groupby path) or inside a merge-applier actor (scatter path)."""
-    t = lww_reduce(group)
-    part = int(t["part"][0].as_py())
-    out_schema = pa.ipc.read_schema(pa.BufferReader(ctx["schema"]))
-    seg_schema = pa.schema(
+def _seg_schema_of(out_schema: pa.Schema) -> pa.Schema:
+    return pa.schema(
         list(out_schema)
         + [pa.field(LSN_COL, pa.int64()), pa.field(CDC_UPDATED_AT, pa.timestamp("us", tz="UTC"))]
     )
+
+
+def _resolve_partition(lake_dir: str, paths: list[str], deltas: list[str],
+                       seg_schema: pa.Schema) -> pa.Table:
+    """The live state of one partition: concat of base files (disjoint key
+    sets) with any delta files LWW-resolved on top (max ``_ab_lsn`` per
+    doc_id wins; surviving tombstones drop).  Runs inside the per-partition
+    task — never on the driver for the whole table."""
+    tbls = [conform_table(pq.read_table(os.path.join(lake_dir, p)), seg_schema) for p in paths]
+    base = pa.concat_tables(tbls) if tbls else seg_schema.empty_table()
+    if not deltas:
+        return base
+    dead_schema = pa.schema(list(seg_schema) + [pa.field(DELETED_COL, pa.bool_())])
+    parts = [
+        base.append_column(DELETED_COL, pa.array(np.zeros(base.num_rows, bool)))
+    ] if base.num_rows else []
+    for p in deltas:
+        parts.append(conform_table(pq.read_table(os.path.join(lake_dir, p)), dead_schema))
+    allt = pa.concat_tables(parts) if parts else dead_schema.empty_table()
+    if allt.num_rows == 0:
+        return seg_schema.empty_table()
+    # LWW by _ab_lsn per doc_id (lsns are disjoint across files — strictly
+    # increasing per apply), then drop shadowed tombstones
+    order = pc.array_sort_indices(allt[LSN_COL], order="descending").to_numpy()
+    ids = allt["doc_id"].to_numpy(zero_copy_only=False)
+    inv, _ = pd.factorize(ids[order], sort=False)
+    keep_idx = order[~pd.Index(inv).duplicated(keep="first")]
+    live = allt.take(pa.array(keep_idx))
+    live = live.filter(pc.invert(pc.fill_null(live[DELETED_COL], False)))
+    return live.drop_columns([DELETED_COL])
+
+
+def _merge_partition(group: pa.Table, ctx: dict) -> pa.Table:
+    """Reconcile + merge one hash partition; write its new segment (or, in
+    delta mode, only this run's changes as a delta file); return a one-row
+    lineage table.  Runs as a stateless Ray task per partition (groupby
+    path) or inside a merge-applier actor (scatter path)."""
+    t = lww_reduce(group)
+    part = int(t["part"][0].as_py())
+    out_schema = pa.ipc.read_schema(pa.BufferReader(ctx["schema"]))
+    seg_schema = _seg_schema_of(out_schema)
 
     lsn_lo = int(pc.min(t["lsn"]).as_py())
     lsn_hi = int(pc.max(t["lsn"]).as_py())
     n_events = int(pc.sum(t["n_src"]).as_py()) if "n_src" in t.schema.names else t.num_rows
 
-    # survivors of this run's changes (deletes drop out — tombstones)
-    live = t.filter(pc.not_equal(t["op"], "delete"))
+    delta_mode = bool(ctx.get("delta_mode"))
+    is_del = pc.equal(t["op"], "delete")
+    # survivors of this run's changes; in delta mode tombstones are KEPT as
+    # rows (flagged) so merge-on-read can shadow the base
+    live = t if delta_mode else t.filter(pc.invert(is_del))
     upserts = conform_table(live, out_schema)
     upserts = upserts.append_column(LSN_COL, live["lsn"])
     ts_type = pa.timestamp("us", tz="UTC")
@@ -138,21 +179,32 @@ def _merge_partition(group: pa.Table, ctx: dict) -> pa.Table:
     else:
         upserts = upserts.append_column(CDC_UPDATED_AT, pa.nulls(live.num_rows, ts_type))
 
-    # previous partition state minus touched keys (touched keys are fully
-    # replaced: changes always carry lsn > committed watermark >= old lsn)
-    old_rel = ctx["old_segments"].get(part)
-    if old_rel is not None:
-        old = pq.read_table(os.path.join(ctx["lake_dir"], old_rel))
-        keep = old.filter(pc.invert(pc.is_in(old["doc_id"], value_set=t["doc_id"].combine_chunks())))
-        keep = conform_table(keep, seg_schema)
-        new_seg = pa.concat_tables([keep, conform_table(upserts, seg_schema)])
+    old_entry = ctx["old_segments"].get(part)
+    if delta_mode and old_entry is not None:
+        # O(delta) write: only this run's changes land on disk
+        new_seg = conform_table(upserts, seg_schema).append_column(
+            DELETED_COL, is_del.combine_chunks()
+        )
+        rel = os.path.join(f"part={part:05d}", f"delta-{ctx['run_lsn_hi']:014d}.parquet")
     else:
-        new_seg = conform_table(upserts, seg_schema)
-
-    new_seg = new_seg.take(pc.sort_indices(new_seg, sort_keys=[("doc_id", "ascending")]))
+        if delta_mode:  # no base yet: the delta IS the base (drop tombstones)
+            upserts = conform_table(upserts.filter(pc.invert(is_del)), seg_schema)
+        # previous partition state minus touched keys (touched keys are fully
+        # replaced: changes always carry lsn > committed watermark >= old lsn)
+        if old_entry is not None:
+            old = _resolve_partition(
+                ctx["lake_dir"], old_entry["paths"], old_entry["deltas"], seg_schema
+            )
+            keep = old.filter(
+                pc.invert(pc.is_in(old["doc_id"], value_set=t["doc_id"].combine_chunks()))
+            )
+            new_seg = pa.concat_tables([keep, conform_table(upserts, seg_schema)])
+        else:
+            new_seg = conform_table(upserts, seg_schema)
+        new_seg = new_seg.take(pc.sort_indices(new_seg, sort_keys=[("doc_id", "ascending")]))
+        rel = os.path.join(f"part={part:05d}", f"seg-{ctx['run_lsn_hi']:014d}.parquet")
 
     # deterministic segment path → idempotent under task retry / crash replay
-    rel = os.path.join(f"part={part:05d}", f"seg-{ctx['run_lsn_hi']:014d}.parquet")
     abs_path = os.path.join(ctx["lake_dir"], rel)
     os.makedirs(os.path.dirname(abs_path), exist_ok=True)
     tmp = abs_path + f".tmp-{os.getpid()}"
@@ -173,8 +225,57 @@ def _merge_partition(group: pa.Table, ctx: dict) -> pa.Table:
             "lsn_hi": pa.array([lsn_hi], pa.int64()),
             "n_events": pa.array([n_events], pa.int64()),
             "checksum": pa.array([checksum], pa.int64()),
+            "is_delta": pa.array([delta_mode and old_entry is not None]),
         }
     )
+
+
+def _bootstrap_block(t: pa.Table, ctx: dict) -> pa.Table:
+    """Zero-exchange bootstrap task: split one input block by key hash and
+    append a file per touched partition.  File names are content-derived
+    (hash of the block's doc_ids) so task retries rewrite identical bytes."""
+    import hashlib as _hl
+
+    if t.num_rows == 0:
+        return _LINEAGE_SCHEMA.empty_table()
+    out_schema = pa.ipc.read_schema(pa.BufferReader(ctx["schema"]))
+    seg_schema = _seg_schema_of(out_schema)
+    P = ctx["num_partitions"]
+    h = stable_hash(t["doc_id"])
+    part = (h % np.uint64(P)).astype(np.int64)
+    order = np.argsort(part, kind="stable")
+    sorted_t = t.take(pa.array(order))
+    sorted_part = part[order]
+    bounds = np.searchsorted(sorted_part, np.arange(P + 1))
+    block_id = _hl.md5(
+        (str(t.num_rows) + "|" + str(t["doc_id"][0].as_py()) + "|"
+         + str(t["doc_id"][-1].as_py())).encode()
+    ).hexdigest()[:10]
+    rows = []
+    for p in range(P):
+        lo, hi = bounds[p], bounds[p + 1]
+        if hi == lo:
+            continue
+        sub = conform_table(sorted_t.slice(lo, hi - lo), out_schema)
+        sub = sub.append_column(LSN_COL, pa.array(np.zeros(sub.num_rows, np.int64)))
+        sub = sub.append_column(
+            CDC_UPDATED_AT, pa.nulls(sub.num_rows, pa.timestamp("us", tz="UTC"))
+        )
+        sub = conform_table(sub, seg_schema)
+        rel = os.path.join(f"part={p:05d}", f"seg-{0:014d}-{block_id}.parquet")
+        abs_path = os.path.join(ctx["lake_dir"], rel)
+        os.makedirs(os.path.dirname(abs_path), exist_ok=True)
+        tmp = abs_path + f".tmp-{os.getpid()}"
+        pq.write_table(sub, tmp)
+        os.replace(tmp, abs_path)
+        checksum = int(
+            stable_hash(sub["doc_id"]).sum() % np.uint64(2**63 - 1)
+        )
+        rows.append(
+            {"part": p, "path": rel, "rows": sub.num_rows, "lsn_lo": 0, "lsn_hi": 0,
+             "n_events": sub.num_rows, "checksum": checksum, "is_delta": False}
+        )
+    return pa.Table.from_pylist(rows, schema=_LINEAGE_SCHEMA)
 
 
 _LINEAGE_SCHEMA = pa.schema(
@@ -186,6 +287,7 @@ _LINEAGE_SCHEMA = pa.schema(
         ("lsn_hi", pa.int64()),
         ("n_events", pa.int64()),
         ("checksum", pa.int64()),
+        ("is_delta", pa.bool_()),
     ]
 )
 
@@ -315,6 +417,9 @@ class ReplayConfig:
     exchange: str = "shuffle"
     #: applier-actor pool size for exchange="actors"
     num_appliers: int = 16
+    #: write per-run delta files instead of rewriting touched partitions'
+    #: full segments (O(delta) apply cost; resolve at read or via compact())
+    delta_mode: bool = False
     #: per-partition buffered rows before in-actor LWW compaction
     compact_rows: int = 200_000
 
@@ -341,16 +446,58 @@ class LakeTable:
 
     # -- write path --------------------------------------------------------
     def init_snapshot(self, base: ray.data.Dataset) -> dict:
-        """Bootstrap the lake from an initial snapshot (op=insert @ lsn 0)."""
-        return self._apply_ds(snapshot_as_events(base, lsn=0))
+        """Bootstrap the lake from an initial snapshot.
 
-    def apply_log(self, paths: str | list[str], max_lsn: int | None = None) -> dict:
-        """Apply a change log from parquet (only lsn > watermark is read)."""
+        Empty lake → ZERO-exchange fast path: every input block splits by
+        key hash in-task and appends one file per touched partition
+        (``part=N/seg-…-<blockhash>.parquet``) — one pass over the data, no
+        shuffle, no merge (there is nothing to merge with).  Snapshot rows
+        have unique keys by contract, so multi-file partitions hold disjoint
+        key sets and reads stay plain concats.  File names derive from block
+        content → a retried task rewrites identical bytes (idempotent).
+        Non-empty lake falls back to the full merge path (snapshot-as-events
+        at lsn 0)."""
+        m = self.manifest
+        if m.watermark >= 0 or m.partitions:
+            return self._apply_ds(snapshot_as_events(base, lsn=0))
+
+        schema = base.schema()
+        payload = pa.schema(
+            [pa.field(n, t) for n, t in zip(schema.names, schema.types)
+             if n not in _META_COLS and n != "op"]
+        )
+        out_schema = payload if m.schema is None else unify_schemas(m.schema, payload)
+        ctx = {
+            "lake_dir": self.lake_dir,
+            "schema": out_schema.serialize().to_pybytes(),
+            "num_partitions": m.num_partitions,
+        }
+        t0 = time.perf_counter()
+        lineage = (
+            base.map_batches(
+                partial(_bootstrap_block, ctx=ctx),
+                batch_format="pyarrow",
+                batch_size=self.config.batch_size,
+            ).take_all()
+        )
+        return self._commit(lineage, wm=-1, out_schema=out_schema,
+                            elapsed=time.perf_counter() - t0)
+
+    def apply_log(self, paths: str | list[str], max_lsn: int | None = None,
+                  delta: bool | None = None) -> dict:
+        """Apply a change log from parquet (only lsn > watermark is read).
+        ``delta=True`` writes per-run delta files instead of rewriting each
+        touched partition's full segment — apply cost O(changes), bounded
+        write amplification for hot partitions; resolve happens at read or
+        via :meth:`compact`."""
         from ..sources.event_log import unified_event_schema
 
         ds = read_event_log(paths, min_lsn=self.manifest.watermark, max_lsn=max_lsn)
         # schema from footers (metadata-only) — avoids a partial execution
-        return self._apply_ds(ds, already_filtered=True, schema_hint=unified_event_schema(paths))
+        return self._apply_ds(
+            ds, already_filtered=True, schema_hint=unified_event_schema(paths),
+            delta=self.config.delta_mode if delta is None else delta,
+        )
 
     def apply_chunked(self, paths: str | list[str], chunk_lsns: int) -> list[dict]:
         """Checkpointed replay: apply in LSN windows of ``chunk_lsns``, one
@@ -382,6 +529,7 @@ class LakeTable:
         events: ray.data.Dataset,
         already_filtered: bool = False,
         schema_hint: pa.Schema | None = None,
+        delta: bool = False,
     ) -> dict:
         m = self.manifest
         wm = m.watermark
@@ -426,7 +574,11 @@ class LakeTable:
         ctx = {
             "lake_dir": self.lake_dir,
             "schema": out_schema.serialize().to_pybytes(),
-            "old_segments": {p: e.path for p, e in m.partitions.items()},
+            "old_segments": {
+                p: {"paths": e.paths, "deltas": e.delta_paths}
+                for p, e in m.partitions.items()
+            },
+            "delta_mode": delta,
             "run_lsn_hi": 0,  # patched below once known? no — must be deterministic
         }
         # Deterministic run id: the previous watermark (unique per committed
@@ -479,23 +631,45 @@ class LakeTable:
 
         new_wm = max(r["lsn_hi"] for r in lineage)
         n_events = int(sum(r["n_events"] for r in lineage))
+        # group lineage by partition: a bootstrap emits several base rows per
+        # partition (one per input block — disjoint keys, paths concatenate);
+        # a delta row LAYERS onto the existing entry; a full-merge row
+        # REPLACES it (the merge folded base+deltas into one file)
+        by_part: dict[int, list[dict]] = {}
         for r in lineage:
-            prev = m.partitions.get(int(r["part"]))
-            m.partitions[int(r["part"])] = PartitionEntry(
-                part=int(r["part"]),
-                path=r["path"],
-                rows=int(r["rows"]),
-                lsn_lo=int(r["lsn_lo"]),
-                lsn_hi=int(r["lsn_hi"]),
-                n_events=int(r["n_events"]) + (prev.n_events if prev else 0),
-                checksum=int(r["checksum"]),
-            )
+            by_part.setdefault(int(r["part"]), []).append(r)
+        for part, rows in by_part.items():
+            prev = m.partitions.get(part)
+            if rows[0].get("is_delta"):
+                assert prev is not None and len(rows) == 1
+                m.partitions[part] = PartitionEntry(
+                    part=part,
+                    paths=prev.paths,
+                    delta_paths=prev.delta_paths + [rows[0]["path"]],
+                    rows=prev.rows + int(rows[0]["rows"]),
+                    lsn_lo=int(rows[0]["lsn_lo"]),
+                    lsn_hi=int(rows[0]["lsn_hi"]),
+                    n_events=int(rows[0]["n_events"]) + prev.n_events,
+                    checksum=int(rows[0]["checksum"]),
+                )
+            else:
+                m.partitions[part] = PartitionEntry(
+                    part=part,
+                    paths=[r["path"] for r in rows],
+                    delta_paths=[],
+                    rows=int(sum(r["rows"] for r in rows)),
+                    lsn_lo=int(min(r["lsn_lo"] for r in rows)),
+                    lsn_hi=int(max(r["lsn_hi"] for r in rows)),
+                    n_events=int(sum(r["n_events"] for r in rows))
+                    + (prev.n_events if prev else 0),
+                    checksum=int(sum(r["checksum"] for r in rows) % (2**63 - 1)),
+                )
         m.runs.append(
             {
                 "prev_watermark": wm,
                 "watermark": int(new_wm),
                 "applied_events": n_events,
-                "partitions": len(lineage),
+                "partitions": len(by_part),
                 "sec": round(elapsed, 3),
             }
         )
@@ -504,12 +678,13 @@ class LakeTable:
         m.commit(self.lake_dir)
         return {
             "applied_events": n_events,
-            "partitions": len(lineage),
+            "partitions": len(by_part),
             "watermark": m.watermark,
             "sec": elapsed,
         }
 
-    def apply_partitioned(self, root: str, validate_alignment: bool = True) -> dict:
+    def apply_partitioned(self, root: str, validate_alignment: bool = True,
+                          delta: bool | None = None) -> dict:
         """Apply a key-partitioned change log laid out as
         ``<root>/part=NNNNN/*.parquet`` — the sharded-WAL / changelog-topic
         case (Debezium→Kafka topics are key-partitioned; a 10^10-event log
@@ -557,7 +732,11 @@ class LakeTable:
         ctx = {
             "lake_dir": self.lake_dir,
             "schema": out_schema.serialize().to_pybytes(),
-            "old_segments": {p: e.path for p, e in m.partitions.items()},
+            "old_segments": {
+                p: {"paths": e.paths, "deltas": e.delta_paths}
+                for p, e in m.partitions.items()
+            },
+            "delta_mode": delta,
             "run_lsn_hi": wm + 1,
             "event_schema": ev_schema.serialize().to_pybytes(),
             "min_lsn": wm,
@@ -591,50 +770,166 @@ class LakeTable:
         wm = Manifest.load(self.lake_dir)
         committed_wm = wm.watermark if wm is not None else self.manifest.watermark
         removed = 0
-        for f in _g.glob(os.path.join(self.lake_dir, "part=*", "seg-*.parquet")):
-            if os.path.normpath(f) in live:
-                continue
-            m = _re.search(r"seg-(\d+)\.parquet$", f)
-            # segments are named seg-<start_wm+1>; one from an in-flight run
-            # has suffix committed_wm+1 — anything beyond the committed
-            # watermark may still be awaiting its commit
-            if m and int(m.group(1)) > committed_wm:
-                continue
-            os.remove(f)
-            removed += 1
+        for pat in ("seg-*.parquet", "delta-*.parquet"):
+            for f in _g.glob(os.path.join(self.lake_dir, "part=*", pat)):
+                if os.path.normpath(f) in live:
+                    continue
+                m = _re.search(r"(?:seg|delta)-(\d+)", os.path.basename(f))
+                # segments are named (seg|delta)-<start_wm+1>[-block]; one
+                # from an in-flight run has suffix committed_wm+1 — anything
+                # beyond the committed watermark may still await its commit
+                if m and int(m.group(1)) > committed_wm:
+                    continue
+                os.remove(f)
+                removed += 1
         return removed
+
+    def compact(self, parts: list[int] | None = None) -> int:
+        """Fold each multi-file partition (bootstrap blocks and/or run
+        deltas) into a single base segment — the bounded-write-amplification
+        counterpart to delta-mode applies (write O(delta) per run, pay the
+        full rewrite once per compaction cycle).  Distributed: one Ray task
+        per partition.  Commits the manifest, then removes the superseded
+        files (after the commit lands — same discipline as vacuum).
+        Returns the number of partitions compacted."""
+        m = self.manifest
+        todo = [
+            e for p, e in sorted(m.partitions.items())
+            if (parts is None or p in parts) and len(e.all_paths) > 1
+        ]
+        if not todo:
+            return 0
+        schema_bytes = (m.schema or pa.schema([])).serialize().to_pybytes()
+        lake_dir = self.lake_dir
+        wm = m.watermark
+
+        def compact_one(batch: pa.Table) -> pa.Table:
+            out_schema = pa.ipc.read_schema(pa.BufferReader(schema_bytes))
+            seg_schema = _seg_schema_of(out_schema)
+            rows = []
+            for r in batch.to_pylist():
+                part = int(r["part"])
+                live_t = _resolve_partition(
+                    lake_dir, r["paths"].split("\n"),
+                    r["deltas"].split("\n") if r["deltas"] else [], seg_schema
+                )
+                live_t = live_t.take(
+                    pc.sort_indices(live_t, sort_keys=[("doc_id", "ascending")])
+                )
+                rel = os.path.join(f"part={part:05d}", f"seg-{wm + 1:014d}-compact.parquet")
+                abs_path = os.path.join(lake_dir, rel)
+                os.makedirs(os.path.dirname(abs_path), exist_ok=True)
+                tmp = abs_path + f".tmp-{os.getpid()}"
+                pq.write_table(live_t, tmp)
+                os.replace(tmp, abs_path)
+                checksum = int(
+                    (stable_hash(live_t["doc_id"])
+                     + live_t[LSN_COL].to_numpy().astype(np.uint64)).sum()
+                    % np.uint64(2**63 - 1)
+                ) if live_t.num_rows else 0
+                rows.append({"part": part, "path": rel, "rows": live_t.num_rows,
+                             "checksum": checksum})
+            return pa.Table.from_pylist(rows)
+
+        items = [
+            {"part": e.part, "paths": "\n".join(e.paths), "deltas": "\n".join(e.delta_paths)}
+            for e in todo
+        ]
+        lineage = (
+            ray.data.from_items(items)
+            .map_batches(compact_one, batch_format="pyarrow", batch_size=1)
+            .take_all()
+        )
+        old_files = []
+        for r in lineage:
+            e = m.partitions[int(r["part"])]
+            old_files.extend(e.all_paths)
+            m.partitions[int(r["part"])] = PartitionEntry(
+                part=e.part, paths=[r["path"]], delta_paths=[],
+                rows=int(r["rows"]), lsn_lo=e.lsn_lo, lsn_hi=e.lsn_hi,
+                n_events=e.n_events, checksum=int(r["checksum"]),
+            )
+        m.commit(self.lake_dir)
+        for rel in old_files:  # only after the commit landed
+            try:
+                os.remove(os.path.join(self.lake_dir, rel))
+            except FileNotFoundError:
+                pass
+        return len(lineage)
 
     # -- read path ---------------------------------------------------------
     def segment_paths(self) -> list[str]:
-        return [os.path.join(self.lake_dir, e.path) for e in self.manifest.partitions.values()]
+        return [
+            os.path.join(self.lake_dir, p)
+            for e in self.manifest.partitions.values()
+            for p in e.all_paths
+        ]
 
     def read(self, payload_only: bool = True) -> ray.data.Dataset:
-        """The committed table as a Dataset (only manifest-visible segments)."""
+        """The committed table as a Dataset (only manifest-visible segments).
+        Partitions carrying delta files resolve in per-partition tasks
+        (merge-on-read); delta-free partitions stream directly — base files
+        hold disjoint key sets, so plain concat is exact."""
         m = self.manifest
-        paths = self.segment_paths()
-        if not paths:
-            return ray.data.from_arrow((m.schema or pa.schema([])).empty_table())
         schema = m.schema
-        seg_schema = pa.schema(
-            list(schema)
-            + [pa.field(LSN_COL, pa.int64()), pa.field(CDC_UPDATED_AT, pa.timestamp("us", tz="UTC"))]
-        )
-        ds = ray.data.read_parquet(paths, partitioning=None)
+        if not m.partitions:
+            return ray.data.from_arrow((schema or pa.schema([])).empty_table())
+        seg_schema = _seg_schema_of(schema)
         target = schema if payload_only else seg_schema
-        return ds.map_batches(partial(conform_table, schema=target), batch_format="pyarrow")
+        plain = [e for e in m.partitions.values() if not e.delta_paths]
+        layered = [e for e in m.partitions.values() if e.delta_paths]
+        parts_ds = []
+        if plain:
+            ds = ray.data.read_parquet(
+                [os.path.join(self.lake_dir, p) for e in plain for p in e.paths],
+                partitioning=None,
+            )
+            parts_ds.append(
+                ds.map_batches(partial(conform_table, schema=target), batch_format="pyarrow")
+            )
+        if layered:
+            lake_dir = self.lake_dir
+            schema_bytes = seg_schema.serialize().to_pybytes()
+
+            def resolve(batch: pa.Table) -> pa.Table:
+                seg = pa.ipc.read_schema(pa.BufferReader(schema_bytes))
+                outs = []
+                for r in batch.to_pylist():
+                    t = _resolve_partition(
+                        lake_dir, r["paths"].split("\n"),
+                        r["deltas"].split("\n"), seg
+                    )
+                    outs.append(conform_table(t, target))
+                return pa.concat_tables(outs) if outs else target.empty_table()
+
+            items = [
+                {"paths": "\n".join(e.paths), "deltas": "\n".join(e.delta_paths)}
+                for e in layered
+            ]
+            parts_ds.append(
+                ray.data.from_items(items).map_batches(
+                    resolve, batch_format="pyarrow", batch_size=1
+                )
+            )
+        out = parts_ds[0]
+        for extra in parts_ds[1:]:
+            out = out.union(extra)
+        return out
 
     def to_table(self, payload_only: bool = True) -> pa.Table:
         """Small-result helper for tests: full table sorted by doc_id
         (driver-side read — do not use at scale)."""
-        tbls = [pq.read_table(p) for p in self.segment_paths()]
         schema = self.manifest.schema
-        if not tbls:
+        if not self.manifest.partitions:
             return schema.empty_table() if schema else pa.table({})
-        target = schema
-        if not payload_only:
-            target = pa.schema(
-                list(schema)
-                + [pa.field(LSN_COL, pa.int64()), pa.field(CDC_UPDATED_AT, pa.timestamp("us", tz="UTC"))]
+        seg_schema = _seg_schema_of(schema)
+        target = schema if payload_only else seg_schema
+        tbls = [
+            conform_table(
+                _resolve_partition(self.lake_dir, e.paths, e.delta_paths, seg_schema),
+                target,
             )
-        out = pa.concat_tables([conform_table(t, target) for t in tbls])
+            for _, e in sorted(self.manifest.partitions.items())
+        ]
+        out = pa.concat_tables(tbls)
         return out.take(pc.sort_indices(out, sort_keys=[("doc_id", "ascending")]))

@@ -29,12 +29,22 @@ import pyarrow as pa
 @dataclass
 class PartitionEntry:
     part: int
-    path: str  # segment path relative to lake root
-    rows: int
+    #: base segment files (disjoint key sets — a bootstrap writes one per
+    #: input block; a full merge collapses to exactly one)
+    paths: list[str]
+    #: ordered run-delta files layered on top of the base: overlapping keys +
+    #: tombstone rows, resolved by LWW on ``_ab_lsn`` at read/compaction —
+    #: bounds write amplification to O(delta) for hot partitions
+    delta_paths: list[str]
+    rows: int  # physical rows across ALL files (base + deltas)
     lsn_lo: int  # lowest lsn applied into this segment's lineage (this run chain)
     lsn_hi: int  # highest lsn applied
     n_events: int  # events applied across the partition's lifetime
-    checksum: int  # order-insensitive hash of (doc_id, lsn) pairs in the segment
+    checksum: int  # order-insensitive hash of (doc_id, lsn) pairs in the newest file
+
+    @property
+    def all_paths(self) -> list[str]:
+        return list(self.paths) + list(self.delta_paths)
 
 
 @dataclass
@@ -75,7 +85,12 @@ class Manifest:
             schema_b64=d.get("schema_b64"),
             runs=d.get("runs", []),
         )
-        m.partitions = {int(k): PartitionEntry(**v) for k, v in d.get("partitions", {}).items()}
+        parts = {}
+        for k, v in d.get("partitions", {}).items():
+            if "path" in v:  # legacy single-file entry
+                v = {**v, "paths": [v.pop("path")], "delta_paths": []}
+            parts[int(k)] = PartitionEntry(**v)
+        m.partitions = parts
         return m
 
     def commit(self, lake_dir: str) -> None:

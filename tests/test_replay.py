@@ -83,6 +83,66 @@ def test_chunked_replay_matches_single_shot(fixtures, tmp_path):
     assert single.to_table().equals(lake.to_table())
 
 
+def test_delta_mode_matches_full_merge(fixtures, tmp_path):
+    """Delta-segment applies (O(changes) writes) commit the SAME logical
+    table as full-merge applies — tombstones shadow base rows at read; a
+    compaction folds everything back to one file per partition with no
+    logical change."""
+    base, events, ev_path, lake_dir = fixtures
+    # split the log into two epochs so deltas layer
+    lsn = events["lsn"].to_numpy()
+    cut = int(np.median(lsn))
+    e1 = events.filter(pc.less_equal(events["lsn"], cut))
+    e2 = events.filter(pc.greater(events["lsn"], cut))
+    p1, p2 = tmp_path / "e1.parquet", tmp_path / "e2.parquet"
+    pq.write_table(e1, p1)
+    pq.write_table(e2, p2)
+
+    lake = LakeTable(lake_dir, ReplayConfig(num_partitions=4, salt_factor=1))
+    lake.init_snapshot(ray.data.from_arrow(base))
+    s1 = lake.apply_log(str(p1), delta=True)
+    s2 = lake.apply_log(str(p2), delta=True)
+    assert s1["applied_events"] > 0 and s2["applied_events"] > 0
+    m = Manifest.load(lake_dir)
+    assert any(e.delta_paths for e in m.partitions.values())  # deltas really layered
+    _assert_matches_oracle(lake, base, [events])
+    # Dataset read path resolves deltas too
+    via_ds = pa.Table.from_pylist(lake.read().take_all(), schema=lake.manifest.schema)
+    via_ds = via_ds.take(pc.sort_indices(via_ds, sort_keys=[("doc_id", "ascending")]))
+    assert via_ds.equals(lake.to_table())
+
+    # compaction: same logical table, single file per partition, files GC'd
+    before = lake.to_table()
+    n = lake.compact()
+    assert n > 0
+    lake2 = LakeTable(lake_dir)  # reload manifest
+    assert lake2.to_table().equals(before)
+    m2 = Manifest.load(lake_dir)
+    assert all(len(e.all_paths) == 1 for e in m2.partitions.values())
+    # apply after compaction still works and matches
+    ev3 = gen.gen_events(300, N_BASE, seed=77, start_lsn=gen.next_lsn(events))
+    p3 = tmp_path / "e3.parquet"
+    pq.write_table(ev3, p3)
+    lake2.apply_log(str(p3), delta=True)
+    _assert_matches_oracle(lake2, base, [events, ev3])
+
+
+def test_bootstrap_fast_path_used_and_correct(fixtures):
+    """Empty-lake init_snapshot takes the zero-exchange path (multi-file
+    base partitions) and matches the oracle byte-exactly."""
+    base, events, ev_path, lake_dir = fixtures
+    lake = LakeTable(lake_dir, ReplayConfig(num_partitions=4, salt_factor=1))
+    st = lake.init_snapshot(ray.data.from_arrow(base))
+    assert st["applied_events"] == N_BASE
+    m = Manifest.load(lake_dir)
+    # fast path leaves content-hashed block files
+    assert any("-" in e.paths[0].split("seg-")[1] for e in m.partitions.values())
+    _assert_matches_oracle(lake, base, [])
+    # a normal apply over the bootstrap merges to single-file partitions
+    lake.apply_log(ev_path)
+    _assert_matches_oracle(lake, base, [events])
+
+
 def test_chunked_replay_survives_lsn_gap(fixtures, tmp_path):
     """A WAL gap wider than chunk_lsns (quiet period / shared log) must not
     hang the checkpointed loop: empty windows advance the local cursor even
@@ -121,9 +181,10 @@ def test_lineage_invariants(fixtures):
     for a, b in zip(runs, runs[1:]):
         assert b["prev_watermark"] == a["watermark"]
     assert runs[-1]["watermark"] == m.watermark
-    # every segment on disk referenced by the manifest exists
+    # every file referenced by the manifest exists; rows = physical rows
     for e in m.partitions.values():
-        assert (pq.read_table(f"{lake_dir}/{e.path}").num_rows) == e.rows
+        n = sum(pq.read_table(f"{lake_dir}/{p}").num_rows for p in e.all_paths)
+        assert n == e.rows
 
 
 def test_resume_after_crash_before_commit(fixtures):
