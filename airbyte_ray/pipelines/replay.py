@@ -473,6 +473,13 @@ class LakeTable:
             "num_partitions": m.num_partitions,
         }
         t0 = time.perf_counter()
+        # A small snapshot in few blocks (e.g. one single-row-group file)
+        # would run the whole bootstrap in one task — split it first.  Only
+        # for small inputs: at scale the source already has thousands of
+        # blocks and an extra repartition pass would be pure waste.
+        size = base.size_bytes() or 0
+        if 0 < size < (1 << 30):
+            base = base.repartition(max(8, min(256, size // (4 << 20) + 1)))
         lineage = (
             base.map_batches(
                 partial(_bootstrap_block, ctx=ctx),
