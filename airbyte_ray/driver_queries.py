@@ -154,6 +154,42 @@ def q_scd_history(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_lww_policy(sf_dir: str) -> pa.Table:
+    """Pluggable MergePolicy through the FULL lake path (SURVEY §2.12): the
+    winner per key is chosen by (ts desc, lsn desc) — the reference's
+    `cursor desc, …, log_pos desc` ORDER BY chain — applied in two epochs so
+    a committed old row can beat a later-lsn/older-cursor change."""
+    from .pipelines.replay import LakeTable, ReplayConfig
+
+    def envelope(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lsn": t["event_id"],
+                "op": pa.array(["update"] * t.num_rows),
+                "doc_id": t["user_id"].cast(pa.string()),
+                "ts": t["ts"],
+                "value": t["value"],
+            }
+        )
+
+    src = os.path.join(sf_dir, "events.parquet")
+    mid = int(pq.read_metadata(src).num_rows // 2)
+    tmp = tempfile.mkdtemp(prefix="lww_policy_", dir="/tmp")
+    try:
+        ev_dir = os.path.join(tmp, "events")
+        _events(sf_dir).map_batches(envelope, batch_format="pyarrow").write_parquet(ev_dir)
+        lake = LakeTable(
+            os.path.join(tmp, "lake"),
+            ReplayConfig(num_partitions=8,
+                         merge_policy=(("ts", "descending"), ("lsn", "descending"))),
+        )
+        lake.apply_log(ev_dir, max_lsn=mid)
+        lake.apply_log(ev_dir)
+        return lake.to_table()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_sync_append_dedup(sf_dir: str) -> pa.Table:
     """Full Airbyte-style sync: incremental cursor read → append_dedup
     destination (hash-partitioned latest-per-PK merge) → committed view."""
@@ -491,6 +527,7 @@ QUERIES = {
     "cdc_replay_upsert": q_cdc_replay_upsert,
     "cdc_lww_latest": q_cdc_lww_latest,
     "declarative_paginated": q_declarative_paginated,
+    "lww_policy": q_lww_policy,
     "scd_history": q_scd_history,
     "sync_append_dedup": q_sync_append_dedup,
     "incremental_watermark": q_incremental_watermark,
@@ -539,6 +576,13 @@ ORACLE_SQL = {
         WHERE rn = 1
     """,
     "declarative_paginated": "SELECT event_type, event_id, user_id, value FROM events",
+    "lww_policy": """
+        SELECT CAST(user_id AS VARCHAR) AS doc_id, ts, value FROM (
+          SELECT user_id, ts, value,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) rn
+          FROM events) WHERE rn = 1
+    """,
     "scd_history": """
         SELECT user_id, event_id,
                event_id AS _airbyte_start_at,

@@ -440,6 +440,8 @@ class SimHasher:
 
     @staticmethod
     def simhash(text: str) -> np.uint64:
+        """Scalar reference kernel (tests use it); the batch path below is
+        the vectorized equivalent."""
         toks = text.lower().split()
         if not toks:
             return np.uint64(0)
@@ -450,10 +452,37 @@ class SimHasher:
         return out.view(np.uint64)[0]
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        vals = np.array(
-            [self.simhash(v or "") for v in t[self.col].cast(pa.string()).to_pylist()],
-            np.uint64,
-        )
+        """Batch-vectorized (round-1 fix): tokenize the whole batch with the
+        Arrow whitespace splitter, hash ALL tokens in one ``hash_array``
+        call, then per-doc bit votes via a column-wise cumsum sliced at the
+        list offsets — bit-identical to the scalar kernel."""
+        n = t.num_rows
+        if n == 0:
+            return t.append_column(self.out, pa.array([], pa.int64()))
+        col = pc.utf8_lower(pc.fill_null(t[self.col].cast(pa.string()), ""))
+        toks = pc.utf8_split_whitespace(col)
+        la = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        offs = la.offsets.to_numpy().astype(np.int64)
+        offs = offs - offs[0]
+        flat = la.flatten().to_numpy(zero_copy_only=False)
+        counts = np.diff(offs)
+        if len(flat) == 0:
+            return t.append_column(self.out, pa.array(np.zeros(n, np.int64)))
+        hs = pd.util.hash_array(flat, categorize=False)
+        bits = np.unpackbits(
+            hs.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+        ).astype(np.int64)
+        # Arrow's splitter emits an empty token for empty/whitespace-only
+        # strings where Python's split() emits none — neutralize them
+        nonempty = flat != ""
+        bits[~nonempty] = 0
+        cs = np.vstack([np.zeros((1, 64), np.int64), np.cumsum(bits, axis=0)])
+        sums = cs[offs[1:]] - cs[offs[:-1]]
+        cne = np.concatenate([[0], np.cumsum(nonempty.astype(np.int64))])
+        counts = cne[offs[1:]] - cne[offs[:-1]]
+        votes = sums * 2 - counts[:, None]
+        packed = np.packbits((votes > 0).astype(np.uint8), axis=1, bitorder="little")
+        vals = np.ascontiguousarray(packed).view(np.uint64).ravel()
         return t.append_column(self.out, pa.array(vals.view(np.int64)))
 
 

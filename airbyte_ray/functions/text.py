@@ -93,24 +93,39 @@ class LangId:
         self.tables = [frozenset(_STOPWORDS[l]) for l in self.langs]
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        texts = t[self.col].cast(pa.string()).to_pylist()
-        preds = []
-        for txt in texts:
-            if not txt:
-                preds.append("unk")
-                continue
-            cjk = sum(1 for ch in txt[:200] if "一" <= ch <= "鿿")
-            if cjk > len(txt[:200]) * 0.2:
-                preds.append("zh")
-                continue
-            words = txt.lower().split()
-            if not words:
-                preds.append("unk")
-                continue
-            scores = [sum(w in tbl for w in words) for tbl in self.tables]
-            best = int(np.argmax(scores))
-            preds.append(self.langs[best] if scores[best] > 0 else "unk")
-        return t.append_column(self.out, pa.array(preds))
+        """Fully vectorized (round-1 fix: no per-row Python loop): CJK ratio
+        via a C++ regex count over the first 200 codepoints; stopword scores
+        via whitespace-split → flat ``is_in`` per language → per-doc sums
+        with a cumulative-sum/offset trick."""
+        n = t.num_rows
+        if n == 0:
+            return t.append_column(self.out, pa.array([], pa.string()))
+        col = pc.fill_null(t[self.col].cast(pa.string()), "")
+        head = pc.utf8_slice_codeunits(col, 0, 200)
+        hlen = pc.utf8_length(head).to_numpy(zero_copy_only=False).astype(np.int64)
+        cjk = pc.count_substring_regex(head, "[一-鿿]").to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+
+        toks = pc.utf8_split_whitespace(pc.utf8_lower(col))
+        la = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        offs = la.offsets.to_numpy().astype(np.int64)
+        offs = offs - offs[0]
+        flat = la.flatten().to_numpy(zero_copy_only=False)
+        nwords = np.diff(offs)
+        scores = np.zeros((len(self.langs), n), np.int64)
+        for i, words in enumerate(self.tables):
+            mask = pc.is_in(
+                pa.array(flat, pa.string()), value_set=pa.array(sorted(words))
+            ).to_numpy(zero_copy_only=False).astype(np.int64)
+            cs = np.concatenate([[0], np.cumsum(mask)])
+            scores[i] = cs[offs[1:]] - cs[offs[:-1]]
+        best = scores.argmax(axis=0)
+        best_score = scores.max(axis=0)
+        preds = np.array(self.langs, object)[best]
+        preds[(best_score == 0) | (nwords == 0)] = "unk"
+        preds[cjk > hlen * 0.2] = "zh"  # overrides, as in the scalar version
+        return t.append_column(self.out, pa.array(preds, pa.string()))
 
 
 def fingerprint_md5(col: str, out: str = "fp") -> Callable[[pa.Table], pa.Table]:

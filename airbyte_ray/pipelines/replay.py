@@ -73,18 +73,32 @@ def stable_hash(ids: pa.ChunkedArray | pa.Array | np.ndarray) -> np.ndarray:
     return pd.util.hash_array(np.asarray(ids, dtype=object), categorize=False)
 
 
-def lww_reduce(t: pa.Table) -> pa.Table:
-    """Vectorized last-writer-wins: keep the max-lsn row per doc_id.
+#: default merge policy — max-lsn wins (the unique monotonic WAL cursor)
+DEFAULT_POLICY: tuple = (("lsn", "descending"),)
 
-    Identical redeliveries (same lsn) collapse to one row.  If an ``n_src``
-    column is present it is summed per key (applied-event lineage count).
-    Mirrors the reference's ``row_number() = 1`` window (stream_processor.py:
-    884-898) for a unique monotonic cursor."""
+
+def lww_reduce(t: pa.Table, policy: tuple | None = None) -> pa.Table:
+    """Vectorized last-writer-wins: keep the winning row per doc_id under
+    ``policy`` — an ordered ``((col, direction), …)`` comparator chain, the
+    reference's ``row_number() over (order by cursor desc,
+    _ab_cdc_updated_at desc, log_pos desc) = 1`` window
+    (stream_processor.py:750-805, 884-898).  Default: max lsn.
+
+    A trailing ``("lsn", "descending")`` tiebreaker is appended when absent
+    so the winner is total-ordered (identical redeliveries still collapse).
+    If an ``n_src`` column is present it is summed per key (applied-event
+    lineage count)."""
     if t.num_rows == 0:
         return t
-    # single-take plan: argsort by lsn desc → first occurrence per key in
-    # that order → ONE gather of the surviving rows (no full sorted copy)
-    order = pc.array_sort_indices(t["lsn"], order="descending").to_numpy()
+    policy = tuple(policy) if policy else DEFAULT_POLICY
+    if not any(c == "lsn" for c, _ in policy):
+        policy = policy + (("lsn", "descending"),)
+    # single-take plan: argsort by the policy chain → first occurrence per
+    # key in that order → ONE gather of survivors (no full sorted copy)
+    if len(policy) == 1:
+        order = pc.array_sort_indices(t[policy[0][0]], order=policy[0][1]).to_numpy()
+    else:
+        order = pc.sort_indices(t, sort_keys=list(policy)).to_numpy()
     ids = t["doc_id"].to_numpy(zero_copy_only=False)
     inv, _ = pd.factorize(ids[order], sort=False)
     first = ~pd.Index(inv).duplicated(keep="first")
@@ -96,13 +110,14 @@ def lww_reduce(t: pa.Table) -> pa.Table:
     return t.take(pa.array(keep_idx))
 
 
-def _pre_reduce(t: pa.Table, num_partitions: int, salt_factor: int) -> pa.Table:
+def _pre_reduce(t: pa.Table, num_partitions: int, salt_factor: int,
+                policy: tuple | None = None) -> pa.Table:
     """Per-batch combiner + partition keys.  Runs before any shuffle."""
     if t.num_rows == 0:
         return t
     if "n_src" not in t.schema.names:
         t = t.append_column("n_src", pa.array(np.ones(t.num_rows, np.int64)))
-    t = lww_reduce(t)
+    t = lww_reduce(t, policy)
     h = stable_hash(t["doc_id"])
     part = (h % np.uint64(num_partitions)).astype(np.int64)
     lsn = t["lsn"].to_numpy()
@@ -111,8 +126,8 @@ def _pre_reduce(t: pa.Table, num_partitions: int, salt_factor: int) -> pa.Table:
     return t.append_column("part_salt", pa.array(part * salt_factor + salt))
 
 
-def _lww_group(t: pa.Table) -> pa.Table:
-    return lww_reduce(t)
+def _lww_group(t: pa.Table, policy: tuple | None = None) -> pa.Table:
+    return lww_reduce(t, policy)
 
 
 def _seg_schema_of(out_schema: pa.Schema) -> pa.Schema:
@@ -157,7 +172,8 @@ def _merge_partition(group: pa.Table, ctx: dict) -> pa.Table:
     delta mode, only this run's changes as a delta file); return a one-row
     lineage table.  Runs as a stateless Ray task per partition (groupby
     path) or inside a merge-applier actor (scatter path)."""
-    t = lww_reduce(group)
+    policy = tuple(map(tuple, ctx["policy"])) if ctx.get("policy") else None
+    t = lww_reduce(group, policy)
     part = int(t["part"][0].as_py())
     out_schema = pa.ipc.read_schema(pa.BufferReader(ctx["schema"]))
     seg_schema = _seg_schema_of(out_schema)
@@ -166,7 +182,40 @@ def _merge_partition(group: pa.Table, ctx: dict) -> pa.Table:
     lsn_hi = int(pc.max(t["lsn"]).as_py())
     n_events = int(pc.sum(t["n_src"]).as_py()) if "n_src" in t.schema.names else t.num_rows
 
+    if policy:
+        # custom comparator: an OLD row may beat an incoming change (e.g.
+        # out-of-order cursor updates under `cursor desc, lsn desc`), so the
+        # touched old rows are lifted back into event space (lsn=_ab_lsn,
+        # op='update', n_src=0) and the policy decides the winner —
+        # the reference's whole-raw-table dedup window semantics.
+        old_entry = ctx["old_segments"].get(part)
+        if old_entry is not None:
+            old = _resolve_partition(
+                ctx["lake_dir"], old_entry["paths"], old_entry["deltas"], seg_schema
+            )
+            touched_mask = pc.is_in(old["doc_id"], value_set=t["doc_id"].combine_chunks())
+            touched = old.filter(touched_mask)
+            if touched.num_rows:
+                lifted = conform_table(touched, out_schema)
+                lifted = lifted.append_column("lsn", touched[LSN_COL])
+                lifted = lifted.append_column(
+                    "op", pa.array(["update"] * touched.num_rows)
+                )
+                if CDC_UPDATED_AT in t.schema.names and CDC_UPDATED_AT not in lifted.schema.names:
+                    lifted = lifted.append_column(
+                        CDC_UPDATED_AT, touched[CDC_UPDATED_AT]
+                    )
+                if "n_src" in t.schema.names:
+                    lifted = lifted.append_column(
+                        "n_src", pa.array(np.zeros(touched.num_rows, np.int64))
+                    )
+                lifted = conform_table(lifted, t.schema)
+                t = lww_reduce(pa.concat_tables([t, lifted]), policy)
+
     delta_mode = bool(ctx.get("delta_mode"))
+    if delta_mode and policy:
+        raise ValueError("delta_mode requires the default lsn merge policy "
+                         "(delta resolve orders by _ab_lsn)")
     is_del = pc.equal(t["op"], "delete")
     # survivors of this run's changes; in delta mode tombstones are KEPT as
     # rows (flagged) so merge-on-read can shadow the base
@@ -313,7 +362,9 @@ def _apply_partition_shard(batch: pa.Table, ctx: dict) -> pa.Table:
                     "input is not aligned with the lake partitioning; use apply_log()"
                 )
         t = t.append_column("n_src", pa.array(np.ones(t.num_rows, np.int64)))
-        t = lww_reduce(t)
+        t = lww_reduce(
+            t, tuple(map(tuple, ctx["policy"])) if ctx.get("policy") else None
+        )
         t = t.append_column("part", pa.array(np.full(t.num_rows, part, np.int64)))
         outs.append(_merge_partition(t, ctx))
     if not outs:
@@ -347,7 +398,8 @@ class MergeApplier:
         self.buf[part].append(sub)
         self.rows[part] += sub.num_rows
         if self.rows[part] > self.compact_rows:
-            merged = lww_reduce(pa.concat_tables(self.buf[part]))
+            pol = tuple(map(tuple, self.ctx["policy"])) if self.ctx.get("policy") else None
+            merged = lww_reduce(pa.concat_tables(self.buf[part]), pol)
             self.buf[part] = [merged]
             self.rows[part] = merged.num_rows
         return sub.num_rows
@@ -420,6 +472,13 @@ class ReplayConfig:
     #: write per-run delta files instead of rewriting touched partitions'
     #: full segments (O(delta) apply cost; resolve at read or via compact())
     delta_mode: bool = False
+    #: pluggable merge comparator (SURVEY §2.12): ordered (column, direction)
+    #: chain deciding the winning row per key — the reference's
+    #: `cursor desc, _ab_cdc_updated_at desc, log_pos desc` ORDER BY
+    #: (stream_processor.py:750-805).  None → max-lsn LWW.  A trailing
+    #: ("lsn","descending") tiebreaker is implied.  Incompatible with
+    #: delta_mode (delta resolve orders by _ab_lsn).
+    merge_policy: tuple | None = None
     #: per-partition buffered rows before in-actor LWW compaction
     compact_rows: int = 200_000
 
@@ -540,6 +599,9 @@ class LakeTable:
     ) -> dict:
         m = self.manifest
         wm = m.watermark
+        if delta and self.config.merge_policy:
+            raise ValueError("delta_mode requires the default lsn merge policy "
+                             "(delta resolve orders by _ab_lsn)")
         if not already_filtered:
             events = events.map_batches(
                 lambda t: t.filter(pc.greater(t["lsn"], pa.scalar(wm, pa.int64()))),
@@ -568,18 +630,23 @@ class LakeTable:
             dctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
 
         t0 = time.perf_counter()
+        pol = self.config.merge_policy
         pre = events.map_batches(
-            partial(_pre_reduce, num_partitions=m.num_partitions, salt_factor=m.salt_factor),
+            partial(_pre_reduce, num_partitions=m.num_partitions,
+                    salt_factor=m.salt_factor, policy=pol),
             batch_format="pyarrow",
             batch_size=self.config.batch_size,
         )
         if m.salt_factor > 1:
-            reduced = pre.groupby("part_salt").map_groups(_lww_group, batch_format="pyarrow")
+            reduced = pre.groupby("part_salt").map_groups(
+                partial(_lww_group, policy=pol), batch_format="pyarrow"
+            )
         else:
             reduced = pre
 
         ctx = {
             "lake_dir": self.lake_dir,
+            "policy": pol,
             "schema": out_schema.serialize().to_pybytes(),
             "old_segments": {
                 p: {"paths": e.paths, "deltas": e.delta_paths}
@@ -707,6 +774,7 @@ class LakeTable:
 
         m = self.manifest
         wm = m.watermark
+        delta = self.config.delta_mode if delta is None else delta
         part_dirs = sorted(_g.glob(os.path.join(root, "part=*")))
         if not part_dirs:
             raise FileNotFoundError(f"no part=* shard dirs under {root}")
@@ -744,6 +812,7 @@ class LakeTable:
                 for p, e in m.partitions.items()
             },
             "delta_mode": delta,
+            "policy": self.config.merge_policy,
             "run_lsn_hi": wm + 1,
             "event_schema": ev_schema.serialize().to_pybytes(),
             "min_lsn": wm,

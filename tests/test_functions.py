@@ -265,3 +265,18 @@ def test_embedding_near_dups_finds_planted_pair(tmp_path):
     found = {(r["a"], r["b"]) for r in pairs}
     hits = sum((j, 1000 + j) in found for j in range(5))
     assert hits >= 4  # LSH recall: near-identical vectors share buckets
+
+
+def test_simhash_batch_matches_scalar_kernel():
+    """The vectorized batch path must be bit-identical to the scalar kernel."""
+    from airbyte_ray.functions.dedup import SimHasher
+
+    texts = [
+        "the quick brown fox", "", "one", "répété répété tokens",
+        "The Quick BROWN fox", "a b c d e f g h i j k l m n o p",
+        "multi   space\t\ttabs\nnewlines", "ünïcode wörds here",
+    ]
+    t = pa.table({"text": pa.array(texts)})
+    out = SimHasher("text")(t)["simhash"].to_numpy().view(np.uint64)
+    exp = np.array([SimHasher.simhash(x) for x in texts], np.uint64)
+    assert (out == exp).all()

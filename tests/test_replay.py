@@ -260,3 +260,60 @@ def test_partition_aligned_apply(tmp_path):
     c = LakeTable(str(tmp_path / "lake_c"), ReplayConfig(num_partitions=P))
     with pytest.raises(Exception, match="not aligned|other partitions"):
         c.apply_partitioned(str(tmp_path / "bad"))
+
+
+def test_merge_policy_cursor_chain(tmp_path):
+    """Pluggable MergePolicy (SURVEY §2.12): winner per key by
+    (ts desc, lsn desc) — the reference's `cursor desc, _ab_cdc_updated_at
+    desc, log_pos desc` ORDER BY chain — verified against a DuckDB
+    row_number() oracle, across TWO applies so an old committed row can beat
+    a later-lsn-but-older-cursor incoming change."""
+    import duckdb
+
+    rng = np.random.default_rng(9)
+    n, keys = 2000, 300
+    lsn = np.arange(1, n + 1, dtype=np.int64)
+    doc = np.array([f"d{rng.integers(0, keys):04d}" for _ in range(n)], object)
+    ts = rng.integers(0, 10_000, n).astype(np.int64)  # NOT aligned with lsn
+    val = rng.integers(0, 1_000_000, n).astype(np.int64)
+    t = pa.table({"lsn": lsn, "op": pa.array(["update"] * n),
+                  "doc_id": pa.array(doc, pa.string()),
+                  "ts": pa.array(ts), "val": pa.array(val)})
+    cut = n // 2
+    p1, p2 = tmp_path / "p1.parquet", tmp_path / "p2.parquet"
+    pq.write_table(t.slice(0, cut), p1)
+    pq.write_table(t.slice(cut), p2)
+
+    lake = LakeTable(
+        str(tmp_path / "lake"),
+        ReplayConfig(num_partitions=4, salt_factor=1,
+                     merge_policy=(("ts", "descending"), ("lsn", "descending"))),
+    )
+    lake.apply_log(str(p1))
+    lake.apply_log(str(p2))
+    got = lake.to_table()
+
+    exp = duckdb.connect().execute(f"""
+        SELECT doc_id, ts, val FROM (
+          SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY ts DESC, lsn DESC) rn
+          FROM read_parquet(['{p1}', '{p2}'])) WHERE rn = 1
+        ORDER BY doc_id
+    """).arrow()
+    assert got.select(["doc_id", "ts", "val"]).equals(
+        exp.cast(got.select(["doc_id", "ts", "val"]).schema)
+    )
+
+
+def test_merge_policy_rejects_delta_mode(tmp_path):
+    lake = LakeTable(
+        str(tmp_path / "lake"),
+        ReplayConfig(num_partitions=2, merge_policy=(("ts", "descending"),),
+                     delta_mode=True),
+    )
+    t = pa.table({"lsn": pa.array([1, 2], pa.int64()), "op": ["update", "update"],
+                  "doc_id": ["a", "b"], "ts": pa.array([1, 2], pa.int64())})
+    p = tmp_path / "e.parquet"
+    pq.write_table(t, p)
+    with pytest.raises(ValueError, match="merge policy"):
+        lake.apply_log(str(p))
