@@ -60,6 +60,15 @@ def main(argv: list[str] | None = None) -> int:
     st = sub.add_parser("status", help="print manifest summary")
     st.add_argument("--lake", required=True)
 
+    ck = sub.add_parser("check", help="connection check on a source")
+    ck.add_argument("--src", required=True, nargs="+")
+    ck.add_argument("--format", default="parquet", choices=["parquet", "json", "csv"])
+
+    dc = sub.add_parser("discover", help="schema discovery → catalog JSON")
+    dc.add_argument("--src", required=True, nargs="+")
+    dc.add_argument("--format", default="parquet", choices=["parquet", "json", "csv"])
+    dc.add_argument("--name", default=None, help="stream name (default: file stem)")
+
     vc = sub.add_parser("vacuum", help="remove unreferenced segment files")
     vc.add_argument("--lake", required=True)
 
@@ -95,6 +104,22 @@ def main(argv: list[str] | None = None) -> int:
                 }
             )
         )
+        return 0
+
+    if args.cmd == "check":  # metadata-only — no Ray needed
+        from .discover import check
+
+        out = check(args.src if len(args.src) > 1 else args.src[0], fmt=args.format)
+        print(json.dumps(out))
+        return 0 if out["status"] == "SUCCEEDED" else 1
+
+    if args.cmd == "discover":
+        from .discover import discover
+
+        print(json.dumps(discover(
+            args.src if len(args.src) > 1 else args.src[0],
+            fmt=args.format, stream_name=args.name,
+        )))
         return 0
 
     if args.cmd == "vacuum":
