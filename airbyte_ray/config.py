@@ -37,6 +37,15 @@ class StreamConfig:
     #: Parquet/JSONL/CSV serialized buffers, base-java-s3 §2.2);
     #: append_dedup always writes parquet (merge re-reads segments).
     format: str = "parquet"  # parquet | json | csv
+    #: DatetimeBasedCursor analog (declarative/incremental/
+    #: datetime_based_cursor.py:88-137): split the incremental read into
+    #: cursor windows of this many seconds/units (None = one slice) …
+    slice_window_s: float | None = None
+    #: … and re-read this far behind the committed cursor every sync
+    #: (lookback_window — catches late-arriving rows; append_dedup makes the
+    #: re-read idempotent, plain append will duplicate and must dedup
+    #: downstream, as in the reference).
+    lookback_s: float = 0.0
 
     def __post_init__(self):
         self.sync_mode = SyncMode(self.sync_mode)

@@ -413,6 +413,35 @@ def q_unnest(sf_dir: str) -> ray.data.Dataset:
     ).map_batches(explode, batch_format="pyarrow")
 
 
+def q_nested_children(sf_dir: str) -> ray.data.Dataset:
+    """Catalog-driven child-stream normalization (stream_processor.py:
+    386-426): a list<struct> column — constructed deterministically from the
+    embeddings table — explodes into a child stream keyed by the parent's
+    hashid + _airbyte_index, exactly what the unnest-with-ordinality SQL
+    oracle computes."""
+    from .stages.nested import normalize_nested
+
+    def pack(t: pa.Table) -> pa.Table:
+        lists = t["embedding"].combine_chunks()
+        flat = lists.flatten()
+        lengths = pc.list_value_length(lists).to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = (
+            np.concatenate([np.arange(n) for n in lengths])
+            if lengths.sum() else np.array([], np.int64)
+        )
+        st = pa.StructArray.from_arrays(
+            [pa.array(pos.astype(np.int64)), flat], names=["pos", "val"]
+        )
+        items = pa.ListArray.from_arrays(lists.offsets, st)
+        return pa.table({"vec_id": t["vec_id"], "items": items})
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    ).map_batches(pack, batch_format="pyarrow")
+    streams = normalize_nested(ds, "emb", key_cols=["vec_id"])
+    return streams["emb_items"]
+
+
 def q_token_count(sf_dir: str) -> ray.data.Dataset:
     return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
         token_count("text"), batch_format="pyarrow"
@@ -528,6 +557,7 @@ QUERIES = {
     "cdc_lww_latest": q_cdc_lww_latest,
     "declarative_paginated": q_declarative_paginated,
     "lww_policy": q_lww_policy,
+    "nested_children": q_nested_children,
     "scd_history": q_scd_history,
     "sync_append_dedup": q_sync_append_dedup,
     "incremental_watermark": q_incremental_watermark,
@@ -576,6 +606,14 @@ ORACLE_SQL = {
         WHERE rn = 1
     """,
     "declarative_paginated": "SELECT event_type, event_id, user_id, value FROM events",
+    "nested_children": """
+        SELECT md5(CAST(vec_id AS VARCHAR)) AS _airbyte_emb_hashid,
+               i - 1 AS _airbyte_index,
+               i - 1 AS pos,
+               embedding[i] AS val
+        FROM embeddings,
+             LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i)
+    """,
     "lww_policy": """
         SELECT CAST(user_id AS VARCHAR) AS doc_id, ts, value FROM (
           SELECT user_id, ts, value,

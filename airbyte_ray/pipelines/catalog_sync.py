@@ -18,6 +18,7 @@ import os
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
+import pyarrow.compute as pc
 import ray.data
 
 from .replay import LakeTable, ReplayConfig
@@ -69,3 +70,64 @@ class CdcCatalogEngine:
 
     def read(self, name: str) -> ray.data.Dataset:
         return self.lake(name).read()
+
+    # -- GLOBAL (shared-offset) state --------------------------------------
+    def _global_state_path(self) -> str:
+        return os.path.join(self.root, "_global_state.json")
+
+    def load_global(self) -> dict:
+        import json
+
+        p = self._global_state_path()
+        if not os.path.exists(p):
+            return {"watermark": -1, "runs": []}
+        with open(p) as f:
+            return json.load(f)
+
+    def _commit_global(self, state: dict) -> None:
+        import json
+
+        os.makedirs(self.root, exist_ok=True)
+        tmp = self._global_state_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(state, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._global_state_path())
+
+    def sync_shared(self, log_paths: str | list[str], stream_col: str = "stream") -> dict:
+        """GLOBAL state: many streams tail ONE shared WAL (the single
+        Debezium offset shared across streams —
+        ``connector_state_manager.py:96-146``, ``airbyte-protocol.md:
+        444-506``).  The log carries a ``stream_col`` discriminator; every
+        stream applies its own rows up to one shared target LSN, and the
+        GLOBAL offset commits only after ALL streams landed.  A crash
+        mid-catalog leaves the global offset unchanged; on rerun,
+        already-applied streams no-op via their per-lake watermarks
+        (exactly-once per stream), so the catalog converges and then the
+        offset commits — the offset-store flush-after-sync discipline."""
+        from ..sources.event_log import log_max_lsn, read_event_log
+
+        gs = self.load_global()
+        top_ = log_max_lsn(log_paths)
+        if top_ is None or top_ <= gs["watermark"]:
+            return {"watermark": gs["watermark"], "streams": {}, "applied_events": 0}
+        top = int(top_)
+        results: dict = {}
+        total = 0
+        for name in sorted(self.streams):
+            lake = self.lake(name)
+            ds = read_event_log(log_paths, min_lsn=lake.manifest.watermark, max_lsn=top)
+            own = ds.map_batches(
+                lambda t, _n=name: t.filter(
+                    pc.equal(t[stream_col], _n)
+                ).drop_columns([stream_col]),
+                batch_format="pyarrow",
+            )
+            st = lake._apply_ds(own, already_filtered=True)
+            results[name] = st
+            total += st["applied_events"]
+        gs["watermark"] = top
+        gs["runs"].append({"watermark": top, "applied_events": total})
+        self._commit_global(gs)
+        return {"watermark": top, "streams": results, "applied_events": total}

@@ -79,6 +79,19 @@ def _cursor_scalar(value, typ: pa.DataType) -> pa.Scalar:
     return pa.scalar(value, typ)
 
 
+def _cursor_lowered(value, typ: pa.DataType, lookback_s: float) -> pa.Scalar:
+    """State cursor minus the lookback window (DatetimeBasedCursor's
+    ``lookback_window`` re-read, ``datetime_based_cursor.py:88-137``)."""
+    if not lookback_s:
+        return _cursor_scalar(value, typ)
+    if pa.types.is_timestamp(typ):
+        import datetime as _dt
+
+        v = _dt.datetime.fromisoformat(value) - _dt.timedelta(seconds=lookback_s)
+        return pa.scalar(v, typ)
+    return pa.scalar(type(value)(value - lookback_s), typ)
+
+
 def _cursor_json(scalar) -> object:
     v = scalar.as_py() if isinstance(scalar, pa.Scalar) else scalar
     if hasattr(v, "isoformat"):
@@ -168,8 +181,28 @@ class SyncEngine:
         flt = None
         if cfg.sync_mode is SyncMode.incremental and state["cursor"] is not None:
             cur_type = src_schema.field(cfg.cursor_field).type
-            flt = pc.field(cfg.cursor_field) > _cursor_scalar(state["cursor"], cur_type)
-        ds = ray.data.read_parquet(src_paths, filter=flt)
+            flt = pc.field(cfg.cursor_field) > _cursor_lowered(
+                state["cursor"], cur_type, cfg.lookback_s
+            )
+        if cfg.sync_mode is SyncMode.incremental and cfg.slice_window_s:
+            # window-sliced read (DatetimeBasedCursor stream_slices): one
+            # pushdown-filtered read per cursor window, unioned — bounds a
+            # task's cursor range (row-group pruning per window) and gives
+            # the reference's per-slice request granularity
+            windows = self.stream_slices(cfg, src_paths, state)
+            parts = [
+                ray.data.read_parquet(
+                    src_paths,
+                    filter=(pc.field(cfg.cursor_field) > lo)
+                    & (pc.field(cfg.cursor_field) <= hi),
+                )
+                for lo, hi in windows
+            ]
+            ds = parts[0]
+            for extra in parts[1:]:
+                ds = ds.union(extra)
+        else:
+            ds = ray.data.read_parquet(src_paths, filter=flt)
 
         sdir = self._stream_dir(cfg.name)
         stats: dict = {"stream": cfg.name, "sync_id": sync_id, "mode": cfg.sync_mode.value}
@@ -223,6 +256,41 @@ class SyncEngine:
         if rows is not None:
             stats["rows"] = rows
         return stats
+
+    def stream_slices(self, cfg: StreamConfig, src_paths, state: dict) -> list[tuple]:
+        """Cursor windows for a sliced incremental read — the
+        ``DatetimeBasedCursor.stream_slices`` analog: half-open (lo, hi]
+        windows of ``cfg.slice_window_s`` from the (lookback-lowered) state
+        cursor to the source's footer max.  Metadata-only."""
+        import datetime as _dt
+
+        files = [src_paths] if isinstance(src_paths, str) else list(src_paths)
+        typ = pq.read_schema(files[0]).field(cfg.cursor_field).type
+        mn = mx = None
+        for f in files:
+            md = pq.read_metadata(f)
+            idx = md.schema.to_arrow_schema().get_field_index(cfg.cursor_field)
+            for rg in range(md.num_row_groups):
+                s = md.row_group(rg).column(idx).statistics
+                if s is not None and s.has_min_max:
+                    mn = s.min if mn is None or s.min < mn else mn
+                    mx = s.max if mx is None or s.max > mx else mx
+        if mx is None:
+            return []
+        is_ts = pa.types.is_timestamp(typ)
+        step = (
+            _dt.timedelta(seconds=cfg.slice_window_s) if is_ts else cfg.slice_window_s
+        )
+        if state.get("cursor") is not None:
+            lo = _cursor_lowered(state["cursor"], typ, cfg.lookback_s).as_py()
+        else:
+            lo = mn - step  # first sync: everything (strict > lo)
+        out = []
+        while lo < mx:
+            hi = min(lo + step, mx)
+            out.append((pa.scalar(lo, typ), pa.scalar(hi, typ)))
+            lo = hi
+        return out
 
     def _write_dedup(self, cfg, ds, sdir, sync_id, state) -> tuple[int, object]:
         pk = cfg.primary_key

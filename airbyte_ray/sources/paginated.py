@@ -239,15 +239,46 @@ class _SliceFetcher:
         return tbl.select(sorted(tbl.schema.names))  # stable cross-slice schema
 
 
+def substream_slices(
+    parent: "ray.data.Dataset | pa.Table | str",
+    parent_key: str,
+    slice_field: str | None = None,
+    extra: dict | None = None,
+) -> list[dict]:
+    """SubstreamPartitionRouter: derive child-stream slices from a parent
+    stream's records — one slice per distinct parent key, stamped as
+    ``{slice_field: key}``
+    (``declarative/partition_routers/substream_partition_router.py`` /
+    ``HttpSubStream.stream_slices``).  The parent read prunes to the key
+    column; distinct keys come back via a Ray aggregate, NOT a driver scan
+    of parent rows."""
+    slice_field = slice_field or parent_key
+    if isinstance(parent, str):
+        parent = ray.data.read_parquet(parent, columns=[parent_key])
+    if isinstance(parent, pa.Table):
+        keys = sorted(set(parent[parent_key].to_pylist()))
+    else:
+        keys = sorted(parent.select_columns([parent_key]).unique(parent_key))
+    return [{slice_field: k, **(extra or {})} for k in keys]
+
+
 def read_paginated(spec: dict, concurrency: tuple | int = (1, 8)) -> ray.data.Dataset:
     """Declarative paginated source → Dataset.
 
     spec keys: ``api_dir``, ``path_template`` (formatted with slice params +
     paginator params), ``paginator`` ('cursor'|'offset'|'page'),
     ``paginator_args``, ``record_path``, ``slices`` (list of param dicts —
-    the unit of parallelism; defaults to one empty slice), ``flaky``,
+    the unit of parallelism; defaults to one empty slice) OR
+    ``parent_stream`` ({path, key, field?, extra?} — slices derived from a
+    parent table, the SubstreamPartitionRouter), ``flaky``,
     ``max_retries``."""
-    slices = spec.get("slices") or [{}]
+    slices = spec.get("slices")
+    if slices is None and spec.get("parent_stream"):
+        ps = spec["parent_stream"]
+        slices = substream_slices(
+            ps["path"], ps["key"], ps.get("field"), ps.get("extra")
+        )
+    slices = slices or [{}]
     items = [{"slice_json": json.dumps(sl, sort_keys=True)} for sl in slices]
     return ray.data.from_items(items).map_batches(
         _SliceFetcher,
