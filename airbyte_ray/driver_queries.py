@@ -340,11 +340,13 @@ def q_agg_partial(sf_dir: str) -> ray.data.Dataset:
     )
 
     def combine(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
-            part_qty=("l_quantity", "sum"), part_n=("l_quantity", "size")
+        # Arrow-native combiner (round-1 cleanup: no pandas round-trip)
+        g = pa.TableGroupBy(t, ["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ("l_quantity", "count")]
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "part_qty", "part_n"]
+        )
 
     partial_ = li.map_batches(combine, batch_format="pyarrow")
     out = partial_.groupby(["l_returnflag", "l_linestatus"]).aggregate(

@@ -214,6 +214,17 @@ class SyncEngine:
                 dset.write_json(path)
             elif cfg.format == "csv":
                 dset.write_csv(path)
+            elif cfg.format == "avro":
+                # Avro serialized buffer (AvroSerializedBuffer.java analog).
+                # fastavro is not in this container — real plumbing, gated.
+                try:
+                    import fastavro  # noqa: F401
+                except ImportError as e:
+                    raise NotImplementedError(
+                        "avro sink requires fastavro (unavailable in this "
+                        "environment); use parquet/json/csv"
+                    ) from e
+                _write_avro(dset, path)
             else:
                 dset.write_parquet(path)
 
@@ -352,6 +363,31 @@ class SyncEngine:
         if format == "csv":
             return ray.data.read_csv(paths)
         return ray.data.read_parquet(paths, partitioning=None)
+
+
+def _write_avro(dset: ray.data.Dataset, path: str) -> None:
+    """Distributed Avro writer: one container file per block (fastavro,
+    schema from the Arrow schema via JSON-type mapping)."""
+    from fastavro import parse_schema, writer as avro_writer
+
+    from ..discover import _arrow_to_json_schema
+
+    _J2A = {"integer": "long", "number": "double", "string": "string", "boolean": "boolean"}
+
+    def to_avro(t: pa.Table) -> pa.Table:
+        fields = [
+            {"name": f.name,
+             "type": ["null", _J2A.get(_arrow_to_json_schema(f.type)["type"], "string")]}
+            for f in t.schema
+        ]
+        sch = parse_schema({"type": "record", "name": "rec", "fields": fields})
+        os.makedirs(path, exist_ok=True)
+        fn = os.path.join(path, f"block-{os.getpid()}-{id(t):x}.avro")
+        with open(fn, "wb") as f:
+            avro_writer(f, sch, t.to_pylist())
+        return pa.table({"written": pa.array([t.num_rows], pa.int64())})
+
+    dset.map_batches(to_avro, batch_format="pyarrow").sum("written")
 
 
 def _footer_max(seg_dir: str, col: str):

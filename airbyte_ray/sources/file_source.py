@@ -17,7 +17,6 @@ from __future__ import annotations
 import glob as _glob
 import os
 from dataclasses import dataclass
-from functools import partial
 
 import pyarrow as pa
 import ray.data
@@ -41,15 +40,6 @@ def list_files(
     return out
 
 
-def _stamp(t: pa.Table, path: str, mtime: float) -> pa.Table:
-    n = t.num_rows
-    t = t.append_column("_ab_source_file", pa.array([path] * n))
-    return t.append_column(
-        "_ab_source_file_last_modified",
-        pa.array([mtime] * n, pa.float64()),
-    )
-
-
 def read_files_incremental(
     root: str,
     pattern: str = "**/*.parquet",
@@ -63,28 +53,33 @@ def read_files_incremental(
     if not slices:
         return None, cursor
     new_cursor = max(s.mtime for s in slices)
+    paths = [s.path for s in slices]
 
+    # ONE dataset over all files (round-1 fix: no O(files) dataset union) —
+    # Ray's include_paths stamps each row's source file; mtimes join in-task
+    # from a broadcast path→mtime map.
+    kwargs = {"include_paths": True} if stamp_provenance else {}
     if pattern.endswith(".json"):
-        ds = ray.data.read_json([s.path for s in slices])
+        ds = ray.data.read_json(paths, **kwargs)
     elif pattern.endswith(".csv"):
-        ds = ray.data.read_csv([s.path for s in slices])
+        ds = ray.data.read_csv(paths, **kwargs)
     else:
-        ds = ray.data.read_parquet([s.path for s in slices], partitioning=None)
+        ds = ray.data.read_parquet(paths, partitioning=None, **kwargs)
 
     if stamp_provenance:
-        # per-file datasets so provenance is exact; union preserves laziness
-        parts = []
-        for s in slices:
-            if pattern.endswith(".json"):
-                d = ray.data.read_json(s.path)
-            elif pattern.endswith(".csv"):
-                d = ray.data.read_csv(s.path)
-            else:
-                d = ray.data.read_parquet(s.path, partitioning=None)
-            parts.append(
-                d.map_batches(partial(_stamp, path=s.path, mtime=s.mtime), batch_format="pyarrow")
+        import ray as _ray
+
+        mt_ref = _ray.put({s.path: s.mtime for s in slices})
+
+        def stamp(t: pa.Table) -> pa.Table:
+            mt = _ray.get(mt_ref)
+            file_paths = t["path"]
+            mtimes = pa.array(
+                [mt.get(p) for p in file_paths.to_pylist()], pa.float64()
             )
-        ds = parts[0]
-        for p in parts[1:]:
-            ds = ds.union(p)
+            t = t.drop_columns(["path"])
+            t = t.append_column("_ab_source_file", file_paths)
+            return t.append_column("_ab_source_file_last_modified", mtimes)
+
+        ds = ds.map_batches(stamp, batch_format="pyarrow")
     return ds, new_cursor

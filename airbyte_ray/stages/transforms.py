@@ -77,11 +77,15 @@ def flatten_json(
     keep: list[str] | None = None,
     prefix: str = "",
     drop_source: bool = True,
+    deep: bool = False,
 ) -> Callable[[pa.Table], pa.Table]:
     """Parse a string column of single-line JSON objects into typed columns
     using pyarrow's C++ JSON-Lines reader (vectorized — no per-row Python).
 
-    Null / empty cells become all-null extracted columns."""
+    ``deep=True`` recursively flattens nested objects into ``a_b_c`` columns
+    (the multi-level DpathExtractor path — round-1 gap; ``keep`` then
+    selects flattened names).  Null / empty cells become all-null extracted
+    columns."""
     import pyarrow.json as pj
 
     def fn(t: pa.Table) -> pa.Table:
@@ -97,6 +101,10 @@ def flatten_json(
             io.BytesIO(payload.encode()),
             parse_options=pj.ParseOptions(newlines_in_values=False),
         )
+        if deep:
+            from .nested import _flatten_structs
+
+            parsed = _flatten_structs(parsed)
         names = keep if keep is not None else parsed.schema.names
         out = t.drop_columns([column]) if drop_source else t
         for n in names:

@@ -53,6 +53,11 @@ class Manifest:
     salt_factor: int = 1
     watermark: int = -1  # highest committed LSN, exclusive filter `lsn > watermark`
     schema_b64: str | None = None  # serialized unified Arrow schema
+    #: schema-evolution DDL log (AirbyteSchemaHistoryStorage analog,
+    #: ``internals/AirbyteSchemaHistoryStorage.java``): one entry per schema
+    #: CHANGE — {run, watermark, schema_b64, added, removed} — so any past
+    #: run's schema is reconstructable, not just the latest
+    schema_history: list[dict] = field(default_factory=list)
     runs: list[dict] = field(default_factory=list)
     partitions: dict[int, PartitionEntry] = field(default_factory=dict)
 
@@ -64,7 +69,25 @@ class Manifest:
         return pa.ipc.read_schema(pa.BufferReader(base64.b64decode(self.schema_b64)))
 
     def set_schema(self, schema: pa.Schema) -> None:
-        self.schema_b64 = base64.b64encode(schema.serialize().to_pybytes()).decode()
+        new_b64 = base64.b64encode(schema.serialize().to_pybytes()).decode()
+        if new_b64 != self.schema_b64:  # record the evolution in the DDL log
+            old = self.schema
+            old_names = set(old.names) if old is not None else set()
+            self.schema_history.append(
+                {
+                    "run": len(self.runs),
+                    "watermark": self.watermark,
+                    "schema_b64": new_b64,
+                    "added": sorted(set(schema.names) - old_names),
+                    "removed": sorted(old_names - set(schema.names)),
+                }
+            )
+        self.schema_b64 = new_b64
+
+    def schema_at(self, idx: int) -> pa.Schema:
+        """Reconstruct the schema as of history entry ``idx``."""
+        b = base64.b64decode(self.schema_history[idx]["schema_b64"])
+        return pa.ipc.read_schema(pa.BufferReader(b))
 
     # -- persistence -------------------------------------------------------
     @staticmethod
@@ -83,6 +106,7 @@ class Manifest:
             salt_factor=d.get("salt_factor", 1),
             watermark=d["watermark"],
             schema_b64=d.get("schema_b64"),
+            schema_history=d.get("schema_history", []),
             runs=d.get("runs", []),
         )
         parts = {}

@@ -64,3 +64,35 @@ def test_single_run_mixed_epochs(evolved):
     lake.init_snapshot(ray.data.from_arrow(base))
     lake.apply_log([str(tmp / "ev1.parquet"), str(tmp / "ev2.parquet")])
     assert lake.to_table().equals(replay_oracle(base, [ev1, ev2]))
+
+
+def test_schema_history_ddl_log(tmp_path):
+    """AirbyteSchemaHistoryStorage analog: every schema CHANGE appends a
+    reconstructable entry — not just the latest schema (round-1 gap)."""
+    import ray.data
+    from airbyte_ray import gen
+    from airbyte_ray.pipelines.replay import LakeTable, ReplayConfig
+    from airbyte_ray.state.manifest import Manifest
+
+    base = gen.gen_base(100, seed=41)
+    ev1 = gen.gen_events(300, 100, seed=42)
+    ev2 = gen.gen_events(200, 100, seed=43, v2=True, start_lsn=gen.next_lsn(ev1))
+    p1, p2 = tmp_path / "e1.parquet", tmp_path / "e2.parquet"
+    pq.write_table(ev1, p1)
+    pq.write_table(ev2, p2)
+
+    lake = LakeTable(str(tmp_path / "lake"), ReplayConfig(num_partitions=4))
+    lake.init_snapshot(ray.data.from_arrow(base))
+    lake.apply_log(str(p1))  # same schema → no new entry
+    lake.apply_log(str(p2))  # v2 adds columns → one new entry
+
+    m = Manifest.load(str(tmp_path / "lake"))
+    assert len(m.schema_history) == 2  # initial + v2 evolution
+    first, second = m.schema_history
+    assert second["added"]  # v2's new columns recorded
+    assert not second["removed"]
+    # any past schema reconstructs byte-exactly
+    assert m.schema_at(0).equals(
+        pa.ipc.read_schema(pa.BufferReader(__import__("base64").b64decode(first["schema_b64"])))
+    )
+    assert m.schema_at(1).equals(m.schema)
