@@ -271,9 +271,13 @@ def lsh_candidates(
     threshold: float = 0.7,
     concurrency: int | tuple | None = None,
     bucket_cap: int = _BUCKET_CAP,
+    dedup_pairs: bool = True,
 ) -> ray.data.Dataset:
     """shingle → minhash (actor pool) → band-explode → bucket groupby →
-    verified candidate duplicate pairs (a < b, est_jaccard ≥ threshold)."""
+    verified candidate duplicate pairs (a < b, est_jaccard ≥ threshold).
+    ``dedup_pairs=False`` skips the final pair-dedup exchange — connected
+    components tolerate duplicate edges, so the dedup flow saves a
+    groupby."""
     sigged = ds.select_columns([id_col, text_col]).map_batches(
         MinHasher,
         fn_constructor_args=(text_col, num_perm, shingle_k),
@@ -288,6 +292,9 @@ def lsh_candidates(
         lambda g: _bucket_pairs(g, id_col, num_perm, threshold, cap=bucket_cap),
         batch_format="pyarrow",
     )
+
+    if not dedup_pairs:
+        return pairs
 
     # the same pair can surface from several bands — dedup pairs
     def pair_first(g: pa.Table) -> pa.Table:
@@ -400,21 +407,33 @@ def minhash_dedup(
     ds: ray.data.Dataset,
     text_col: str,
     id_col: str,
+    driver_cc_max_pairs: int = 2_000_000,
     **lsh_kwargs,
 ) -> ray.data.Dataset:
     """Near-duplicate removal: keep each component's min-id representative.
-    Components come from distributed label propagation (the pair set never
-    lands on the driver); only the final DROP-set — bounded by the number of
-    duplicate docs — is collected and broadcast (``ray.put``), applied as a
-    vectorized mask.  (At extreme dup rates, swap the broadcast filter for a
-    hash-bucketed anti-join on id.)"""
-    pairs = lsh_candidates(ds, text_col, id_col, **lsh_kwargs)
-    cc = connected_components_ds(pairs)
-    drop_rows = cc.map_batches(
-        lambda t: t.filter(pc.not_equal(t["lab"], t["node"])).select(["node"]),
-        batch_format="pyarrow",
-    ).take_all()
-    drop_ref = ray.put({r["node"] for r in drop_rows})
+
+    Component strategy is ADAPTIVE: the candidate-pair count (a cheap
+    aggregate over the already-materialized pair set) picks between driver
+    union-find (exact, no per-round scheduling overhead — right whenever
+    pairs ≪ corpus, the common case) and distributed min-label propagation
+    (:func:`connected_components_ds` — the scale path when a boilerplate-
+    heavy corpus explodes pairs past ``driver_cc_max_pairs``; the pair set
+    then never lands on the driver).  Only the final DROP-set — bounded by
+    the number of duplicate docs — is collected and broadcast (``ray.put``),
+    applied as a vectorized mask.  (At extreme dup rates, swap the broadcast
+    filter for a hash-bucketed anti-join on id.)"""
+    pairs = lsh_candidates(ds, text_col, id_col, dedup_pairs=False, **lsh_kwargs).materialize()
+    if pairs.count() <= driver_cc_max_pairs:
+        comp = connected_components(pairs.take_all())
+        drop = {k for k, v in comp.items() if v != k}
+    else:
+        cc = connected_components_ds(pairs)
+        drop_rows = cc.map_batches(
+            lambda t: t.filter(pc.not_equal(t["lab"], t["node"])).select(["node"]),
+            batch_format="pyarrow",
+        ).take_all()
+        drop = {r["node"] for r in drop_rows}
+    drop_ref = ray.put(drop)
 
     def keep(t: pa.Table) -> pa.Table:
         d = ray.get(drop_ref)

@@ -179,11 +179,18 @@ def run_bench() -> dict:
         timings[name] = round(time.perf_counter() - t, 3)
 
     if os.environ.get("BENCH_QUERIES", "1") != "0":
+        from airbyte_ray.driver_queries import (
+            q_dedup_minhash,
+            q_scd_history,
+        )
+
         timed("agg_partial", q_agg_partial)
         timed("join_partitioned", q_join_partitioned)
         timed("dedup_exact", q_dedup_exact)
         timed("token_count", q_token_count)
         timed("ann_topk", q_ann_topk)
+        timed("scd_history", q_scd_history)
+        timed("dedup_minhash", q_dedup_minhash)
 
     ray.shutdown()
     return {
