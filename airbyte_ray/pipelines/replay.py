@@ -56,7 +56,10 @@ from ..sources.event_log import read_event_log, snapshot_as_events
 from ..state.manifest import Manifest, PartitionEntry
 
 #: event-envelope columns that are not payload
-_META_COLS = ("lsn", "op", CDC_UPDATED_AT, CDC_DELETED_AT, "part", "part_salt", "n_src")
+_META_COLS = (
+    "lsn", "op", CDC_UPDATED_AT, CDC_DELETED_AT, "part", "part_salt", "n_src",
+    "_ab_cdc_snapshot",  # explicit snapshot-event flag (envelope, not payload)
+)
 #: internal columns stored in lake segments alongside the payload
 LSN_COL = "_ab_lsn"
 #: tombstone marker column — present only in DELTA segment files (a delete

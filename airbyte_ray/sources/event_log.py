@@ -93,14 +93,20 @@ def read_event_log(
     return ds
 
 
+SNAPSHOT_COL = "_ab_cdc_snapshot"
+
+
 def snapshot_as_events(base: ray.data.Dataset, lsn: int = 0) -> ray.data.Dataset:
     """Bootstrap: treat an initial snapshot as ``op=insert`` events at a fixed
-    LSN (default 0, below every real change)."""
+    LSN (default 0, below every real change), carrying an explicit
+    ``_ab_cdc_snapshot`` flag (``ChangeEventWithMetadata.isSnapshotEvent``)
+    — an envelope column, never payload."""
 
     def to_events(t: pa.Table) -> pa.Table:
         n = t.num_rows
         t = t.add_column(0, "lsn", pa.array([lsn] * n, pa.int64()))
         t = t.add_column(1, "op", pa.array(["insert"] * n, pa.string()))
+        t = t.append_column(SNAPSHOT_COL, pa.array([True] * n, pa.bool_()))
         return t.append_column(CDC_UPDATED_AT, pa.nulls(n, pa.timestamp("us", tz="UTC")))
 
     return base.map_batches(to_events, batch_format="pyarrow")

@@ -317,3 +317,31 @@ def test_merge_policy_rejects_delta_mode(tmp_path):
     pq.write_table(t, p)
     with pytest.raises(ValueError, match="merge policy"):
         lake.apply_log(str(p))
+
+
+def test_vacuum_guards_inflight_removes_superseded(fixtures):
+    """Vacuum removes superseded/orphaned segment files but SKIPS anything
+    newer than the committed watermark — those may belong to an apply whose
+    manifest commit hasn't landed (round-1 ADVICE fix)."""
+    import os
+
+    base, events, ev_path, lake_dir = fixtures
+    lake = LakeTable(lake_dir, ReplayConfig(num_partitions=4, salt_factor=1))
+    lake.init_snapshot(ray.data.from_arrow(base))
+    lake.apply_log(ev_path)  # supersedes the bootstrap block files
+
+    wm = Manifest.load(lake_dir).watermark
+    # simulate an in-flight run's segment (suffix = committed_wm + 1)
+    inflight = os.path.join(lake_dir, "part=00000", f"seg-{wm + 1:014d}.parquet")
+    pq.write_table(pa.table({"doc_id": ["x"], "_ab_lsn": pa.array([wm + 1], pa.int64())}), inflight)
+    # and an old orphan from a crashed past run (suffix <= committed wm)
+    orphan = os.path.join(lake_dir, "part=00000", f"seg-{max(wm - 5, 1):014d}.parquet")
+    pq.write_table(pa.table({"doc_id": ["y"], "_ab_lsn": pa.array([1], pa.int64())}), orphan)
+
+    before = lake.to_table()
+    removed = lake.vacuum()
+    assert removed > 0  # superseded bootstrap files + the orphan went away
+    assert os.path.exists(inflight)  # in-flight segment survived
+    assert not os.path.exists(orphan)
+    assert lake.to_table().equals(before)  # committed view untouched
+    os.remove(inflight)
