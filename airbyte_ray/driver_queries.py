@@ -320,7 +320,12 @@ def q_window_sliding(sf_dir: str) -> ray.data.Dataset:
 
 
 def q_window_session(sf_dir: str) -> ray.data.Dataset:
-    out = session(_events(sf_dir, columns=["user_id", "ts"]), "user_id", "ts", gap_s=1800)
+    """Session windows via the SCALE plan: (key, 6h bucket) partial sessions
+    stitched per key — the oracle proves two-phase == single-pass."""
+    out = session(
+        _events(sf_dir, columns=["user_id", "ts"]), "user_id", "ts",
+        gap_s=1800, bucket_s=6 * 3600,
+    )
     return out.map_batches(
         lambda t: t.select(["user_id", "session_id", "s_start", "s_end", "n"]),
         batch_format="pyarrow",
@@ -538,6 +543,20 @@ def q_ann_topk(sf_dir: str) -> ray.data.Dataset:
     return out.map_batches(lambda t: t.select(["query_id", "vec_id"]), batch_format="pyarrow")
 
 
+def q_ann_ivf(sf_dir: str) -> ray.data.Dataset:
+    """IVF ANN with planted probes (corpus vectors scaled x3 — colinear, so
+    a probe's top-1 is its source at cosine exactly 1.0 and probe + source
+    always share the argmax centroid cell): verifies quantizer training,
+    cell assignment and probe routing end-to-end against the exhaustive SQL
+    top-1."""
+    from .functions.ann import ivf_topk
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    probes = _queries_matrix(sf_dir, n=5) * np.float32(3.0)
+    out = ivf_topk(ds, probes, k=1, n_cells=16, nprobe=4)
+    return out.map_batches(lambda t: t.select(["query_id", "vec_id"]), batch_format="pyarrow")
+
+
 def q_ann_lsh(sf_dir: str) -> ray.data.Dataset:
     """LSH-filtered nearest neighbour with PLANTED probes: each probe is a
     corpus vector scaled ×3 (colinear), so its true top-1 is its source at
@@ -588,6 +607,7 @@ QUERIES = {
     "dedup_embedding": q_dedup_embedding,
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
 }
 
 _CANON = "md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
@@ -725,6 +745,16 @@ ORACLE_SQL = {
                    PARTITION BY q.qid
                    ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC, e.vec_id) rn
           FROM q CROSS JOIN embeddings e) WHERE rn <= 5
+    """,
+    "ann_ivf": """
+        WITH q AS (SELECT vec_id AS qid, list_transform(embedding, x -> x * 3) AS qe
+                   FROM embeddings WHERE vec_id < 5)
+        SELECT qid AS query_id, vec_id FROM (
+          SELECT q.qid, e.vec_id,
+                 row_number() OVER (
+                   PARTITION BY q.qid
+                   ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC, e.vec_id) rn
+          FROM q CROSS JOIN embeddings e) WHERE rn = 1
     """,
     "ann_lsh": """
         WITH q AS (SELECT vec_id AS qid, list_transform(embedding, x -> x * 3) AS qe

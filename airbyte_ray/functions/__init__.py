@@ -14,4 +14,4 @@ from .dedup import (  # noqa: F401
     minhash_dedup,
     simhash_near_dups,
 )
-from .ann import brute_force_topk, lsh_topk  # noqa: F401
+from .ann import assign_cells, brute_force_topk, ivf_topk, lsh_topk, train_ivf_centroids  # noqa: F401

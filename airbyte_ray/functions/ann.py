@@ -138,3 +138,99 @@ def lsh_topk(
 
     filtered = ds.select_columns([id_col, col]).map_batches(bucket_filter, batch_format="pyarrow")
     return brute_force_topk(filtered, q, k=k, col=col, id_col=id_col)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — data-adaptive coarse quantizer
+# ---------------------------------------------------------------------------
+
+def train_ivf_centroids(
+    ds: ray.data.Dataset,
+    col: str = "embedding",
+    n_cells: int = 64,
+    sample: int = 20_000,
+    iters: int = 10,
+    seed: int = 7,
+) -> np.ndarray:
+    """Spherical k-means coarse quantizer trained on a corpus SAMPLE —
+    the only driver-side data is the sample matrix (bounded by ``sample``,
+    never the corpus).  Returns L2-normalized centroids (n_cells × d).
+    Deterministic given the seed."""
+    rows = ds.limit(sample).take_all()
+    m = _normalize(np.asarray([r[col] for r in rows], np.float32))
+    n_cells = min(n_cells, len(m))
+    rng = np.random.default_rng(seed)
+    c = m[rng.choice(len(m), n_cells, replace=False)]
+    for _ in range(iters):
+        assign = (m @ c.T).argmax(axis=1)
+        for j in range(n_cells):
+            members = m[assign == j]
+            if len(members):
+                c[j] = members.mean(axis=0)
+            else:  # dead cell: reseed to a random sample point
+                c[j] = m[rng.integers(len(m))]
+        c = _normalize(c)
+    return c
+
+
+def ivf_topk(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    k: int = 10,
+    col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 64,
+    nprobe: int = 4,
+    centroids: np.ndarray | None = None,
+) -> ray.data.Dataset:
+    """IVF approximate top-k: assign every corpus row to its nearest
+    centroid cell in-batch (one matmul against the broadcast centroids),
+    keep only rows in the union of each query's ``nprobe`` nearest cells,
+    then score survivors exactly (brute-force combiner).  The scale path
+    beyond sign-LSH: cells adapt to the data distribution, so probes touch
+    ~nprobe/n_cells of the corpus.  For a persisted index, write the corpus
+    partitioned by the cell id (``assign_cells`` + ``write_parquet``
+    partitioned layout) and read only the probed cells — same centroids,
+    zero scan of unprobed partitions."""
+    q = _normalize(np.asarray(queries, np.float32))
+    c = centroids if centroids is not None else train_ivf_centroids(
+        ds, col=col, n_cells=n_cells
+    )
+    probe = set()
+    order = np.argsort(-(q @ c.T), axis=1, kind="stable")[:, : min(nprobe, len(c))]
+    probe.update(order.ravel().tolist())
+    ref = ray.put((c, frozenset(probe)))
+
+    def cell_filter(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        c_, probe_ = ray.get(ref)
+        m = _normalize(_matrix(t, col))
+        assign = (m @ c_.T).argmax(axis=1)
+        mask = np.isin(assign, np.fromiter(probe_, np.int64))
+        return t.filter(pa.array(mask))
+
+    filtered = ds.select_columns([id_col, col]).map_batches(cell_filter, batch_format="pyarrow")
+    return brute_force_topk(filtered, q, k=k, col=col, id_col=id_col)
+
+
+def assign_cells(
+    ds: ray.data.Dataset,
+    centroids: np.ndarray,
+    col: str = "embedding",
+    cell_col: str = "cell",
+) -> ray.data.Dataset:
+    """Stamp each row's IVF cell id — feed ``write_parquet`` with a
+    cell-partitioned layout for a persisted, scan-pruned index."""
+    ref = ray.put(np.asarray(centroids, np.float32))
+
+    def fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column(cell_col, pa.array([], pa.int64()))
+        c = ray.get(ref)
+        m = _normalize(_matrix(t, col))
+        return t.append_column(
+            cell_col, pa.array((m @ c.T).argmax(axis=1).astype(np.int64))
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -53,21 +53,94 @@ def sliding(
     )
 
 
-def session(ds: ray.data.Dataset, key: str, ts: str, gap_s: int) -> ray.data.Dataset:
+def session(
+    ds: ray.data.Dataset, key: str, ts: str, gap_s: int, bucket_s: int | None = None
+) -> ray.data.Dataset:
     """Gap-based session windows: per key, a new session starts when the
     inter-event gap exceeds ``gap_s``.  Returns one row per session:
-    (key, session_id starting at 1, s_start, s_end, n)."""
+    (key, session_id starting at 1, s_start, s_end, n).
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(ts, kind="stable")
-        gaps = g[ts].diff()
-        brk = (gaps.isna()) | (gaps > pd.Timedelta(seconds=gap_s))
-        sid = brk.cumsum()
-        out = g.groupby(sid).agg(
-            s_start=(ts, "min"), s_end=(ts, "max"), n=(ts, "size")
-        ).reset_index(drop=True)
-        out.insert(0, key, g[key].iloc[0])
-        out.insert(1, "session_id", np.arange(1, len(out) + 1, dtype=np.int64))
-        return out
+    ``bucket_s=None`` runs the single-pass plan (one group per key — fine
+    while every key's history fits a task).  ``bucket_s`` set runs the
+    SCALE plan (the round-1 100-TB flag): events group by
+    ``(key, coarse time bucket)`` so a hot key's history splits across
+    tasks; each bucket emits *partial* sessions vectorized, and a second,
+    tiny per-key pass stitches partials whose boundary gap ≤ ``gap_s`` —
+    the standard interval-merge identity reconstructs the exact global
+    sessions (pytest-equivalence-verified).  Stitch groups hold one row per
+    partial session, never raw events, so the per-key group is bounded by
+    the session count regardless of event volume."""
+    if bucket_s is None:
+        def sessions(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(ts, kind="stable")
+            gaps = g[ts].diff()
+            brk = (gaps.isna()) | (gaps > pd.Timedelta(seconds=gap_s))
+            sid = brk.cumsum()
+            out = g.groupby(sid).agg(
+                s_start=(ts, "min"), s_end=(ts, "max"), n=(ts, "size")
+            ).reset_index(drop=True)
+            out.insert(0, key, g[key].iloc[0])
+            out.insert(1, "session_id", np.arange(1, len(out) + 1, dtype=np.int64))
+            return out
 
-    return ds.groupby(key).map_groups(sessions, batch_format="pandas")
+        return ds.groupby(key).map_groups(sessions, batch_format="pandas")
+
+    gap_us = gap_s * 1_000_000
+    ts_type = None
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        b = (t[ts].cast(pa.int64()).to_numpy() // (bucket_s * 1_000_000)).astype(np.int64)
+        return t.select([key, ts]).append_column("__bucket", pa.array(b))
+
+    def partial_sessions(g: pa.Table) -> pa.Table:
+        g = g.take(pa.compute.sort_indices(g, sort_keys=[(ts, "ascending")]))
+        us = g[ts].cast(pa.int64()).to_numpy()
+        brk = np.r_[True, np.diff(us) > gap_us]
+        sid = np.cumsum(brk) - 1
+        starts = np.flatnonzero(brk)
+        ends = np.r_[starts[1:], len(us)] - 1
+        n = (ends - starts + 1).astype(np.int64)
+        return pa.table(
+            {
+                key: g[key].slice(0, 1).combine_chunks().take(
+                    pa.array(np.zeros(len(starts), np.int64))
+                ),
+                "s_start_us": pa.array(us[starts]),
+                "s_end_us": pa.array(us[ends]),
+                "n": pa.array(n),
+            }
+        )
+
+    def stitch(g: pa.Table) -> pa.Table:
+        g = g.take(pa.compute.sort_indices(g, sort_keys=[("s_start_us", "ascending")]))
+        s0 = g["s_start_us"].to_numpy()
+        e0 = g["s_end_us"].to_numpy()
+        n0 = g["n"].to_numpy()
+        brk = np.r_[True, (s0[1:] - e0[:-1]) > gap_us]
+        sid = np.cumsum(brk) - 1
+        starts = np.flatnonzero(brk)
+        stops = np.r_[starts[1:], len(s0)]
+        cs = np.r_[0, np.cumsum(n0)]
+        k = len(starts)
+        tt = pa.timestamp("us", tz="UTC") if ts_type is None else ts_type
+        return pa.table(
+            {
+                key: g[key].slice(0, 1).combine_chunks().take(
+                    pa.array(np.zeros(k, np.int64))
+                ),
+                "session_id": pa.array(np.arange(1, k + 1, dtype=np.int64)),
+                "s_start": pa.array(s0[starts]).cast(tt),
+                "s_end": pa.array(e0[stops - 1]).cast(tt),
+                "n": pa.array(cs[stops] - cs[starts]),
+            }
+        )
+
+    sch = ds.schema()
+    ts_type = sch.types[sch.names.index(ts)]
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby([key, "__bucket"])
+        .map_groups(partial_sessions, batch_format="pyarrow")
+        .groupby(key)
+        .map_groups(stitch, batch_format="pyarrow")
+    )

@@ -280,3 +280,74 @@ def test_simhash_batch_matches_scalar_kernel():
     out = SimHasher("text")(t)["simhash"].to_numpy().view(np.uint64)
     exp = np.array([SimHasher.simhash(x) for x in texts], np.uint64)
     assert (out == exp).all()
+
+
+def test_session_bucketed_matches_single_pass():
+    """Two-phase (bucketed + stitch) session windows == single-pass, incl.
+    sessions spanning bucket boundaries."""
+    from airbyte_ray.functions.windows import session
+
+    rng = np.random.default_rng(7)
+    rows = []
+    base = 1_700_000_000_000_000  # us
+    for u in range(30):
+        t = base + int(rng.integers(0, 3600 * 48)) * 1_000_000
+        for _ in range(rng.integers(5, 60)):
+            # mixture of short gaps (same session) and long gaps (new one),
+            # with bucket_s chosen so many sessions straddle buckets
+            t += int(rng.choice([30, 300, 2400, 7200])) * 1_000_000
+            rows.append({"user_id": u, "ts": t})
+    t = pa.table(
+        {"user_id": pa.array([r["user_id"] for r in rows], pa.int64()),
+         "ts": pa.array([r["ts"] for r in rows], pa.int64()).cast(pa.timestamp("us", tz="UTC"))}
+    )
+
+    def canon(ds):
+        out = pa.Table.from_pylist(ds.take_all())
+        out = out.select(["user_id", "session_id", "s_start", "s_end", "n"])
+        idx = pc.sort_indices(out, sort_keys=[("user_id", "ascending"), ("session_id", "ascending")])
+        return out.take(idx)
+
+    single = canon(session(ray.data.from_arrow(t), "user_id", "ts", gap_s=1800))
+    two = canon(session(ray.data.from_arrow(t), "user_id", "ts", gap_s=1800, bucket_s=3600))
+    assert two.equals(single.cast(two.schema))
+
+
+def test_ivf_topk_recall_and_persisted_layout(tmp_path):
+    """IVF recall vs brute force on the real corpus, plus the persisted
+    cell-partitioned layout: reading ONLY probed cells reproduces the
+    filter-based answer."""
+    from airbyte_ray.functions.ann import (
+        assign_cells, brute_force_topk, ivf_topk, train_ivf_centroids,
+    )
+
+    ds = ray.data.read_parquet(EMB)
+    q = np.stack([np.asarray(r["embedding"], np.float32) for r in ds.take(5)])
+    cents = train_ivf_centroids(ds, n_cells=8)
+
+    exact = brute_force_topk(ds, q, k=5).take_all()
+    approx = ivf_topk(ds, q, k=5, centroids=cents, nprobe=4).take_all()
+    exact_ids = {(r["query_id"], r["vec_id"]) for r in exact}
+    approx_ids = {(r["query_id"], r["vec_id"]) for r in approx}
+    # probes are corpus members: their own top-1 must always survive
+    for qi in range(5):
+        assert (qi, qi) in approx_ids
+    recall = len(exact_ids & approx_ids) / len(exact_ids)
+    assert recall >= 0.5  # 4/8 cells probed on random data
+
+    # persisted index: write partitioned by cell, read only probed cells
+    stamped = assign_cells(ds, cents)
+    root = str(tmp_path / "ivf")
+    stamped.write_parquet(root, partition_cols=["cell"])
+    probe = np.argsort(-(q @ cents.T), axis=1)[:, :4]
+    cells = sorted(set(probe.ravel().tolist()))
+    import glob
+    import os
+
+    files = [
+        f for c in cells
+        for f in glob.glob(os.path.join(root, f"cell={c}", "*.parquet"))
+    ]
+    pruned = ray.data.read_parquet(files, partitioning=None)
+    from_disk = brute_force_topk(pruned, q, k=5).take_all()
+    assert {(r["query_id"], r["vec_id"]) for r in from_disk} == approx_ids
