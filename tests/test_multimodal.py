@@ -44,3 +44,29 @@ def test_frame_sample_flatmap():
     out = FrameSample(n_frames=3)(t)
     assert out.num_rows == 15
     assert out["frame_idx"].to_pylist()[:3] == [0, 1, 2]
+
+
+def test_image_resize_nearest_neighbour():
+    from airbyte_ray.functions.multimodal import ImageDecode, ImageResize, gen_media
+    import numpy as np
+
+    t = gen_media(6, seed=5)
+    decoded = ImageDecode()(t)
+    resized = ImageResize(side=4)(decoded)
+    flat = np.asarray(resized["pixels"].combine_chunks().flatten(), np.uint8)
+    out = flat.reshape(6, 4, 4, 3)
+    src = np.asarray(decoded["pixels"].combine_chunks().flatten(), np.uint8).reshape(6, 8, 8, 3)
+    # nearest-neighbour: out[i, y, x] == src[i, 2y, 2x]
+    assert (out == src[:, ::2, ::2]).all()
+
+
+def test_audio_chunk_explosion():
+    from airbyte_ray.functions.multimodal import AudioChunk, gen_media
+
+    t = gen_media(3, seed=6, payload_bytes=2500)
+    out = AudioChunk(chunk_s=1.0, bytes_per_s=1000)(t)
+    assert out.num_rows == 9  # ceil(2500/1000)=3 chunks per row
+    per = out.filter(pa.compute.equal(out["media_id"], "m-000000"))
+    assert per["chunk_idx"].to_pylist() == [0, 1, 2]
+    assert per["byte_start"].to_pylist() == [0, 1000, 2000]
+    assert per["byte_end"].to_pylist() == [1000, 2000, 2500]
