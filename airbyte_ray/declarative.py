@@ -172,6 +172,128 @@ def _eval_expr(node: ast.AST, t: pa.Table):
     raise AssertionError("unreachable: validated at compile time")
 
 
+# ---------------------------------------------------------------------------
+# config interpolation + macro library (no Jinja, no eval)
+#
+# Reference: InterpolatedString/Boolean evaluate `{{ … }}` placeholders over
+# {config, stream_state, stream_slice} with a small macro library
+# (``declarative/interpolation/jinja.py``, ``macros.py:18-131`` — now_utc,
+# today_utc, timestamp, max, day_delta, duration, format_datetime).  Same
+# surface here, but through the AST whitelist: names resolve to the context
+# dicts (one dotted attribute deep), calls only to the macro table.
+# ---------------------------------------------------------------------------
+
+import datetime as _dt
+import re as _re
+
+_DURATION_RE = _re.compile(
+    r"^P(?:(?P<d>\d+)D)?(?:T(?:(?P<h>\d+)H)?(?:(?P<m>\d+)M)?(?:(?P<s>\d+)S)?)?$"
+)
+
+
+def _macro_duration(s: str) -> _dt.timedelta:
+    m = _DURATION_RE.match(s)
+    if not m:
+        raise ValueError(f"bad ISO8601 duration {s!r}")
+    g = {k: int(v) for k, v in m.groupdict().items() if v}
+    return _dt.timedelta(days=g.get("d", 0), hours=g.get("h", 0),
+                         minutes=g.get("m", 0), seconds=g.get("s", 0))
+
+
+def _macro_timestamp(x) -> float:
+    if isinstance(x, (int, float)):
+        return float(x)
+    return _dt.datetime.fromisoformat(str(x).replace("Z", "+00:00")).timestamp()
+
+
+def _macros(now: _dt.datetime | None) -> dict:
+    clock = now or _dt.datetime.now(_dt.timezone.utc)
+    return {
+        "now_utc": lambda: clock,
+        "today_utc": lambda: clock.date(),
+        "timestamp": _macro_timestamp,
+        "max": max,
+        "min": min,
+        "day_delta": lambda n: (clock + _dt.timedelta(days=n)).strftime(
+            "%Y-%m-%dT%H:%M:%S.%f%z"
+        ),
+        "duration": _macro_duration,
+        "format_datetime": lambda dt, fmt: (
+            _dt.datetime.fromisoformat(str(dt).replace("Z", "+00:00"))
+            if isinstance(dt, str) else dt
+        ).strftime(fmt),
+    }
+
+
+_INTERP_RE = _re.compile(r"\{\{(.*?)\}\}")
+
+
+def _eval_interp(node: ast.AST, ns: dict, macros: dict):
+    if isinstance(node, ast.Expression):
+        return _eval_interp(node.body, ns, macros)
+    if isinstance(node, ast.Constant):
+        if not isinstance(node.value, (int, float, str, bool, type(None))):
+            raise ValueError(f"unsupported constant {node.value!r}")
+        return node.value
+    if isinstance(node, ast.Name):
+        if node.id in ns:
+            return ns[node.id]
+        raise ValueError(f"unknown interpolation variable {node.id!r}")
+    if isinstance(node, ast.Attribute) and isinstance(node.value, ast.Name):
+        base = _eval_interp(node.value, ns, macros)
+        if isinstance(base, dict) and node.attr in base:
+            return base[node.attr]
+        raise ValueError(f"unknown key {node.attr!r} in {node.value.id}")
+    if isinstance(node, ast.Subscript) and isinstance(node.slice, ast.Constant):
+        base = _eval_interp(node.value, ns, macros)
+        return base[node.slice.value]
+    if isinstance(node, ast.BinOp) and type(node.op) in (ast.Add, ast.Sub, ast.Mult, ast.Div):
+        lhs = _eval_interp(node.left, ns, macros)
+        rhs = _eval_interp(node.right, ns, macros)
+        op = type(node.op)
+        return (lhs + rhs if op is ast.Add else lhs - rhs if op is ast.Sub
+                else lhs * rhs if op is ast.Mult else lhs / rhs)
+    if isinstance(node, ast.Call) and isinstance(node.func, ast.Name):
+        if node.func.id not in macros:
+            raise ValueError(f"unknown macro {node.func.id!r}")
+        if node.keywords:
+            raise ValueError("keyword args not supported in interpolation")
+        return macros[node.func.id](*[_eval_interp(a, ns, macros) for a in node.args])
+    raise ValueError(f"unsupported interpolation node: {type(node).__name__}")
+
+
+def interpolate(value, context: dict | None = None, now: "_dt.datetime | None" = None):
+    """Evaluate ``{{ … }}`` placeholders in a config string — the
+    InterpolatedString analog.  A string that IS a single placeholder
+    returns the native value; mixed strings stringify each placeholder.
+    ``now`` pins the macro clock (testability)."""
+    if not isinstance(value, str):
+        return value
+    ns = dict(context or {})
+    macros = _macros(now)
+    whole = _INTERP_RE.fullmatch(value.strip())
+    if whole:
+        return _eval_interp(ast.parse(whole.group(1).strip(), mode="eval"), ns, macros)
+    return _INTERP_RE.sub(
+        lambda m: str(_eval_interp(ast.parse(m.group(1).strip(), mode="eval"), ns, macros)),
+        value,
+    )
+
+
+def interpolate_spec(spec, context: dict | None = None, now: "_dt.datetime | None" = None):
+    """Recursively interpolate every string in a spec tree (dicts/lists),
+    skipping ``expr`` values (those are per-batch column expressions, not
+    config)."""
+    if isinstance(spec, dict):
+        return {
+            k: (v if k in ("expr", "fields") else interpolate_spec(v, context, now))
+            for k, v in spec.items()
+        }
+    if isinstance(spec, list):
+        return [interpolate_spec(v, context, now) for v in spec]
+    return interpolate(spec, context, now)
+
+
 def _expr_fn(expr: str) -> Callable[[pa.Table], pa.Array]:
     """Compile a spec expression over batch columns to a pyarrow.compute
     evaluator.  Names resolve to columns; only whitelisted kernels are
@@ -221,7 +343,10 @@ def _emitted_at(cfg: dict):
 
 
 def build_pipeline(spec: dict) -> ray.data.Dataset:
-    """Assemble and return the (lazy) Dataset for a declarative spec."""
+    """Assemble and return the (lazy) Dataset for a declarative spec.
+    ``{{ … }}`` placeholders in spec strings interpolate over
+    ``{"config": spec["config"]}`` plus the macro library first."""
+    spec = interpolate_spec(spec, {"config": spec.get("config", {})})
     src = spec["source"]
     fmt = src.get("format", "parquet")
     if fmt == "parquet":

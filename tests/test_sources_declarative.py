@@ -80,3 +80,40 @@ def test_declarative_custom_component():
     }
     ds = build_pipeline(spec)
     assert sorted(r["r_regionkey"] for r in ds.take_all()) == [0, 2, 4, 6, 8]
+
+
+def test_interpolation_macros_and_config():
+    """InterpolatedString analog (macros.py:18-131): {{ }} placeholders over
+    config + the macro library, AST-whitelisted — no Jinja, no eval."""
+    import datetime as dt
+
+    from airbyte_ray.declarative import interpolate, interpolate_spec
+
+    now = dt.datetime(2026, 3, 1, 12, 0, 0, tzinfo=dt.timezone.utc)
+    ctx = {"config": {"start_date": "2024-01-02", "base": "api"},
+           "stream_state": {"cursor": 41}}
+
+    assert interpolate("{{ config.start_date }}", ctx) == "2024-01-02"
+    assert interpolate("{{ stream_state.cursor + 1 }}", ctx) == 42
+    assert interpolate("{{ config['base'] }}/v1", ctx) == "api/v1"
+    assert interpolate("{{ now_utc() }}", ctx, now=now) == now
+    assert interpolate("{{ timestamp('1970-01-01T00:01:00+00:00') }}", ctx) == 60.0
+    assert interpolate("{{ day_delta(1) }}", ctx, now=now).startswith("2026-03-02T12:00:00")
+    assert interpolate("{{ duration('P1DT2H') }}", ctx) == dt.timedelta(days=1, hours=2)
+    assert interpolate(
+        "{{ format_datetime(config.start_date, '%Y/%m/%d') }}", ctx) == "2024/01/02"
+    assert interpolate("{{ max(3, stream_state.cursor) }}", ctx) == 41
+
+    # spec-tree walk leaves per-batch exprs alone
+    spec = {"source": {"path": "{{ config.base }}/x.parquet"},
+            "transforms": [{"type": "record_filter", "expr": "value > 0"}]}
+    out = interpolate_spec(spec, ctx)
+    assert out["source"]["path"] == "api/x.parquet"
+    assert out["transforms"][0]["expr"] == "value > 0"
+
+    # code execution stays impossible
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        interpolate("{{ __import__('os') }}", ctx)
+    with _pytest.raises(ValueError):
+        interpolate("{{ config.__class__ }}", ctx)
