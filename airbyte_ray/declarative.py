@@ -382,6 +382,47 @@ def build_pipeline(spec: dict) -> ray.data.Dataset:
     return ds
 
 
+def run_sync(spec: dict) -> dict:
+    """Declarative INCREMENTAL sync — the full connector loop as one spec:
+    source + transform chain + cursor state + destination mode
+    (the ManifestDeclarativeSource → SyncEngine composition).
+
+    Spec additions over :func:`build_pipeline`::
+
+        "incremental": {"cursor_field": "ts", "lookback_s": 0,
+                         "slice_window_s": null},
+        "sink": {"path": DEST_DIR, "stream": "events",
+                  "mode": "append"|"overwrite"|"append_dedup",
+                  "primary_key": [...], "state_dir": optional}
+
+    State commits after the write lands; a re-run reads only
+    ``cursor > state`` (minus lookback).  Transforms must preserve the
+    cursor column."""
+    from .config import StreamConfig
+    from .pipelines.incremental import SyncEngine
+    from .stages import transforms as _T
+
+    spec = interpolate_spec(spec, {"config": spec.get("config", {})})
+    src, sink, inc = spec["source"], spec["sink"], spec.get("incremental") or {}
+    stages = [
+        _REGISTRY[t["type"]](t) for t in spec.get("transforms", [])
+    ]
+    transform = _T.compose(*stages) if stages else None
+    cfg = StreamConfig(
+        sink["stream"],
+        "incremental" if inc.get("cursor_field") else "full_refresh",
+        sink.get("mode", "append"),
+        cursor_field=inc.get("cursor_field"),
+        primary_key=sink.get("primary_key", []),
+        num_partitions=sink.get("num_partitions", 64),
+        format=sink.get("format", "parquet"),
+        slice_window_s=inc.get("slice_window_s"),
+        lookback_s=inc.get("lookback_s", 0.0),
+    )
+    eng = SyncEngine(sink["path"], state_dir=sink.get("state_dir"))
+    return eng.sync(cfg, src["path"], transform=transform)
+
+
 def run_pipeline(spec: dict) -> dict:
     """Build and, if a sink is configured, write; returns summary stats."""
     ds = build_pipeline(spec)

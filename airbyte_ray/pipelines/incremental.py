@@ -169,7 +169,12 @@ class SyncEngine:
     def _stream_dir(self, name: str) -> str:
         return os.path.join(self.dest_dir, name)
 
-    def sync(self, cfg: StreamConfig, src_paths: str | list[str]) -> dict:
+    def sync(self, cfg: StreamConfig, src_paths: str | list[str],
+             transform=None) -> dict:
+        """Run one sync.  ``transform`` (optional ``pa.Table → pa.Table``,
+        e.g. a composed declarative component chain) applies between read
+        and write; it must preserve the cursor column for incremental
+        state to advance."""
         st = StreamState(self.state_dir, cfg.name)
         state = st.load()
         sync_id = state["sync_id"] + 1
@@ -203,6 +208,8 @@ class SyncEngine:
                 ds = ds.union(extra)
         else:
             ds = ray.data.read_parquet(src_paths, filter=flt)
+        if transform is not None:
+            ds = ds.map_batches(transform, batch_format="pyarrow")
 
         sdir = self._stream_dir(cfg.name)
         stats: dict = {"stream": cfg.name, "sync_id": sync_id, "mode": cfg.sync_mode.value}

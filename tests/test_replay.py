@@ -206,6 +206,32 @@ def test_resume_after_crash_before_commit(fixtures):
     assert resumed.to_table().equals(done)
 
 
+def test_resume_after_crash_delta_mode(fixtures):
+    """Crash-before-commit with DELTA applies: the orphaned delta file is
+    invisible (manifest-only visibility), the resumed apply rewrites the
+    same deterministic path, and the final table matches byte-exactly."""
+    base, events, ev_path, lake_dir = fixtures
+    lake = LakeTable(lake_dir, ReplayConfig(num_partitions=4, salt_factor=1))
+    lake.init_snapshot(ray.data.from_arrow(base))
+    lake.apply_log(ev_path)  # establish a base so deltas layer
+    saved = Manifest.load(lake_dir)
+
+    ev2 = gen.gen_events(400, N_BASE, seed=55, start_lsn=gen.next_lsn(events))
+    import pyarrow.parquet as _pq
+
+    p2 = f"{lake_dir}-ev2.parquet"
+    _pq.write_table(ev2, p2)
+    lake.apply_log(p2, delta=True)
+    done = lake.to_table()
+
+    saved.commit(lake_dir)  # crash: delta files on disk, commit rolled back
+    resumed = LakeTable(lake_dir)
+    assert resumed.to_table().equals(replay_oracle(base, [events]))  # delta invisible
+    resumed.apply_log(p2, delta=True)
+    assert resumed.to_table().equals(done)
+    _assert_matches_oracle(resumed, base, [events, ev2])
+
+
 def test_actor_exchange_matches_shuffle(fixtures, tmp_path):
     """exchange='actors' (merge-applier scatter) produces the identical
     committed table as the groupby-shuffle path."""

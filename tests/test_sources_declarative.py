@@ -117,3 +117,46 @@ def test_interpolation_macros_and_config():
         interpolate("{{ __import__('os') }}", ctx)
     with _pytest.raises(ValueError):
         interpolate("{{ config.__class__ }}", ctx)
+
+
+def test_declarative_incremental_sync(tmp_path):
+    """One spec = source + transforms + cursor state + append_dedup dest;
+    the second run reads only cursor > state and the committed view matches
+    latest-per-PK SQL over the full input."""
+    import duckdb
+
+    from airbyte_ray.declarative import run_sync
+    from airbyte_ray.pipelines.incremental import SyncEngine
+
+    full = pq.read_table("/root/testdata/sf0.001/events.parquet",
+                         columns=["event_id", "user_id", "ts", "value"])
+    full = full.sort_by("event_id")
+    cut = full.num_rows // 2
+    src = tmp_path / "src.parquet"
+    pq.write_table(full.slice(0, cut), src)
+
+    spec = {
+        "config": {"dest": str(tmp_path / "dest")},
+        "source": {"format": "parquet", "path": str(src)},
+        "transforms": [{"type": "add_fields", "fields": {"v2": "value * 2"}}],
+        "incremental": {"cursor_field": "event_id"},
+        "sink": {"path": "{{ config.dest }}", "stream": "events",
+                 "mode": "append_dedup", "primary_key": ["user_id"],
+                 "num_partitions": 4},
+    }
+    s1 = run_sync(spec)
+    assert s1["cursor"] == full["event_id"][cut - 1].as_py()
+
+    pq.write_table(full, src)  # more data arrives
+    s2 = run_sync(spec)
+    assert s2["cursor"] == full["event_id"][-1].as_py()
+
+    eng = SyncEngine(str(tmp_path / "dest"))
+    got = pa.Table.from_pylist(eng.read("events", dedup=True).take_all())
+    got = got.select(["user_id", "event_id", "v2"]).sort_by("user_id")
+    exp = duckdb.connect().execute("""
+        SELECT user_id, event_id, value * 2 AS v2 FROM (
+          SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+          FROM read_parquet('{}')) WHERE rn = 1 ORDER BY user_id
+    """.format(src)).arrow()
+    assert got.equals(exp.cast(got.schema))
