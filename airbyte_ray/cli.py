@@ -56,6 +56,13 @@ def main(argv: list[str] | None = None) -> int:
         "--partitioned", action="store_true",
         help="log is key-partitioned part=NNNNN shards aligned with the lake (zero-exchange apply)",
     )
+    ap.add_argument(
+        "--delta", action="store_true",
+        help="write per-run delta files (O(changes) write amplification; fold with compact)",
+    )
+
+    cp = sub.add_parser("compact", help="fold multi-file partitions (deltas/bootstrap blocks) into one segment each")
+    cp.add_argument("--lake", required=True)
 
     st = sub.add_parser("status", help="print manifest summary")
     st.add_argument("--lake", required=True)
@@ -144,11 +151,16 @@ def main(argv: list[str] | None = None) -> int:
 
             lake = LakeTable(args.lake)
             if args.partitioned:
-                out = lake.apply_partitioned(args.log[0])
+                out = lake.apply_partitioned(args.log[0], delta=args.delta)
             elif args.chunk:
                 out = {"runs": lake.apply_chunked(args.log, chunk_lsns=args.chunk)}
             else:
-                out = lake.apply_log(args.log)
+                out = lake.apply_log(args.log, delta=args.delta)
+        elif args.cmd == "compact":
+            from .pipelines.replay import LakeTable
+
+            lake = LakeTable(args.lake)
+            out = {"compacted_partitions": lake.compact()}
         elif args.cmd == "sync":
             from .config import StreamConfig
             from .pipelines.incremental import SyncEngine
