@@ -50,7 +50,14 @@ def exact_dedup(
 ) -> ray.data.Dataset:
     """Keep one row per exact content match (md5 over ``cols``), choosing the
     min ``keep_by`` row — deterministic, SQL-oracle-reproducible
-    (``row_number() over (partition by md5(...) order by keep_by) = 1``)."""
+    (``row_number() over (partition by md5(...) order by keep_by) = 1``).
+
+    Multi-column note: the fingerprint is md5 over the ``'|'``-joined,
+    null-skipped string casts (concat_ws semantics, matching the DuckDB
+    oracle) — ambiguous for values containing ``'|'`` or null-vs-missing
+    boundaries, exactly as it is in the reference's SQL.  Pick cols whose
+    values can't collide that way, or fingerprint a single canonical
+    column."""
     if len(cols) == 1:
         fp = fingerprint_md5(cols[0], out=fp_col)
     else:  # fingerprint over the joined canonical columns
@@ -114,14 +121,23 @@ class MinHasher:
         self.b = rng.integers(0, _MERSENNE, num_perm, dtype=np.uint64)
         self.col, self.k, self.num_perm = col, shingle_k, num_perm
 
+    #: shingles per chunk of the (perm × shingle) hash matrix — bounds the
+    #: temporary to ~num_perm × 256k × 8B ≈ 128 MiB; a multi-MB document
+    #: would otherwise materialize a GiB-scale outer product (review finding)
+    _CHUNK = 1 << 18
+
     def signature(self, text: str) -> np.ndarray:
         sh = _shingle_hashes(text, self.k)
         if len(sh) == 0:
             return np.zeros(self.num_perm, np.uint64)
+        out = np.full(self.num_perm, np.iinfo(np.uint64).max, np.uint64)
         with np.errstate(over="ignore"):
-            # (perm × shingle) universal hash; min over shingles
-            m = (np.outer(self.a, sh) + self.b[:, None]) % np.uint64(_MERSENNE)
-        return m.min(axis=1)
+            for lo in range(0, len(sh), self._CHUNK):
+                # (perm × shingle-chunk) universal hash; running min
+                m = (np.outer(self.a, sh[lo : lo + self._CHUNK])
+                     + self.b[:, None]) % np.uint64(_MERSENNE)
+                np.minimum(out, m.min(axis=1), out=out)
+        return out
 
     def __call__(self, t: pa.Table) -> pa.Table:
         sigs = np.stack(
@@ -228,9 +244,25 @@ def _sig_pairs_rec(ids, sigs, threshold, cap, depth=0):
         rids, rsigs, sub_s = rids[sorder], rsigs[sorder], sub[sorder]
         bstarts = np.flatnonzero(np.r_[True, sub_s[1:] != sub_s[:-1]])
         bends = np.r_[bstarts[1:], len(rids)]
-        for s, e_ in zip(bstarts, bends):
-            sa, sb, se = _sig_pairs_rec(rids[s:e_], rsigs[s:e_], threshold, cap, depth + 1)
+        if len(bstarts) == 1:  # no progress: go straight to the star pass
+            sa, sb, se = _sig_pairs_rec(rids, rsigs, threshold, cap, 8)
             out_a += sa; out_b += sb; out_e += se
+        else:
+            for s, e_ in zip(bstarts, bends):
+                sa, sb, se = _sig_pairs_rec(rids[s:e_], rsigs[s:e_], threshold, cap, depth + 1)
+                out_a += sa; out_b += sb; out_e += se
+    else:
+        # depth exhausted with >cap distinct signatures: verify every
+        # representative against the min-id rep (O(n·perm) star pass) so the
+        # mutually-similar core still connects — degraded recall, NEVER a
+        # silent empty result (review finding)
+        rep = int(np.argmin(rids))
+        est = (rsigs == rsigs[rep]).mean(axis=1)
+        keep = (est >= threshold) & (np.arange(len(rids)) != rep)
+        others = rids[keep]
+        out_a.append(np.minimum(rids[rep], others))
+        out_b.append(np.maximum(rids[rep], others))
+        out_e.append(est[keep])
     return out_a, out_b, out_e
 
 
@@ -433,13 +465,16 @@ def minhash_dedup(
             batch_format="pyarrow",
         ).take_all()
         drop = {r["node"] for r in drop_rows}
-    drop_ref = ray.put(drop)
+    # broadcast the PREBUILT Arrow array — rebuilding it from the Python set
+    # inside every batch would be O(|drop|) conversion work per batch
+    # (review finding)
+    drop_ref = ray.put(pa.array(sorted(drop)) if drop else None)
 
     def keep(t: pa.Table) -> pa.Table:
         d = ray.get(drop_ref)
-        if not d:
+        if d is None:
             return t
-        mask = pc.invert(pc.is_in(t[id_col], value_set=pa.array(list(d), t[id_col].type)))
+        mask = pc.invert(pc.is_in(t[id_col], value_set=d.cast(t[id_col].type)))
         return t.filter(mask)
 
     return ds.map_batches(keep, batch_format="pyarrow")
@@ -574,6 +609,17 @@ def simhash_near_dups(
             for s, e_ in zip(bs, be):
                 sa, sb, sm = rec(rids[s:e_], rh[s:e_], depth + 1)
                 oa += sa; ob += sb; om += sm
+        else:
+            # bands exhausted: hamming-verify everyone against the min-id
+            # rep — degraded recall, never a silent empty result
+            rep = int(np.argmin(rids))
+            x = rh ^ rh[rep]
+            ham = np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(axis=1)
+            keep = (ham <= max_hamming) & (np.arange(len(rids)) != rep)
+            others = rids[keep]
+            oa.append(np.minimum(rids[rep], others))
+            ob.append(np.maximum(rids[rep], others))
+            om.append(ham[keep].astype(np.int64))
         return oa, ob, om
 
     def pairs(g: pa.Table) -> pa.Table:

@@ -52,7 +52,7 @@ import pyarrow.parquet as pq
 import ray.data
 
 from ..schemas import CDC_DELETED_AT, CDC_UPDATED_AT, conform_table, unify_schemas
-from ..sources.event_log import read_event_log, snapshot_as_events
+from ..sources.event_log import read_event_log
 from ..state.manifest import Manifest, PartitionEntry
 
 #: event-envelope columns that are not payload
@@ -185,17 +185,19 @@ def _merge_partition(group: pa.Table, ctx: dict) -> pa.Table:
     lsn_hi = int(pc.max(t["lsn"]).as_py())
     n_events = int(pc.sum(t["n_src"]).as_py()) if "n_src" in t.schema.names else t.num_rows
 
+    old_entry = ctx["old_segments"].get(part)
+    old_resolved = None  # resolved at most ONCE per task (review finding)
     if policy:
         # custom comparator: an OLD row may beat an incoming change (e.g.
         # out-of-order cursor updates under `cursor desc, lsn desc`), so the
         # touched old rows are lifted back into event space (lsn=_ab_lsn,
         # op='update', n_src=0) and the policy decides the winner —
         # the reference's whole-raw-table dedup window semantics.
-        old_entry = ctx["old_segments"].get(part)
         if old_entry is not None:
-            old = _resolve_partition(
+            old_resolved = _resolve_partition(
                 ctx["lake_dir"], old_entry["paths"], old_entry["deltas"], seg_schema
             )
+            old = old_resolved
             touched_mask = pc.is_in(old["doc_id"], value_set=t["doc_id"].combine_chunks())
             touched = old.filter(touched_mask)
             if touched.num_rows:
@@ -231,7 +233,6 @@ def _merge_partition(group: pa.Table, ctx: dict) -> pa.Table:
     else:
         upserts = upserts.append_column(CDC_UPDATED_AT, pa.nulls(live.num_rows, ts_type))
 
-    old_entry = ctx["old_segments"].get(part)
     if delta_mode and old_entry is not None:
         # O(delta) write: only this run's changes land on disk
         new_seg = conform_table(upserts, seg_schema).append_column(
@@ -244,7 +245,7 @@ def _merge_partition(group: pa.Table, ctx: dict) -> pa.Table:
         # previous partition state minus touched keys (touched keys are fully
         # replaced: changes always carry lsn > committed watermark >= old lsn)
         if old_entry is not None:
-            old = _resolve_partition(
+            old = old_resolved if old_resolved is not None else _resolve_partition(
                 ctx["lake_dir"], old_entry["paths"], old_entry["deltas"], seg_schema
             )
             keep = old.filter(
@@ -389,7 +390,14 @@ class MergeApplier:
 
     On a multi-node cluster the actors spread across nodes and each ingests
     only its own partitions' bytes — aggregate exchange bandwidth scales
-    with nodes, unlike a single-node sort."""
+    with nodes, unlike a single-node sort.
+
+    Counter semantics under Ray task retry: a retried ROUTER task re-sends
+    its sub-batches, and duplicate (doc_id, lsn) rows collapse in the LWW
+    reduce — committed DATA stays exactly-once — but ``n_src`` sums, so the
+    ``applied_events``/``n_events`` lineage counters are at-least-once on a
+    retry-afflicted run (the shuffle and partition-aligned paths do not
+    share this: their retries recompute whole deterministic tasks)."""
 
     def __init__(self, parts: list[int], ctx: dict, compact_rows: int = 200_000):
         self.buf: dict[int, list[pa.Table]] = {p: [] for p in parts}
@@ -517,11 +525,18 @@ class LakeTable:
         have unique keys by contract, so multi-file partitions hold disjoint
         key sets and reads stay plain concats.  File names derive from block
         content → a retried task rewrites identical bytes (idempotent).
-        Non-empty lake falls back to the full merge path (snapshot-as-events
-        at lsn 0)."""
+
+        An already-initialized lake raises: snapshot events carry lsn 0,
+        which the ``lsn > watermark`` replay guard would silently drop in
+        full — a no-op that LOOKS like a successful re-snapshot (review
+        finding).  Re-snapshot into a fresh lake dir instead."""
         m = self.manifest
         if m.watermark >= 0 or m.partitions:
-            return self._apply_ds(snapshot_as_events(base, lsn=0))
+            raise ValueError(
+                "lake is already initialized (watermark "
+                f"{m.watermark}); snapshot rows at lsn 0 would be dropped by "
+                "the replay guard — bootstrap into a fresh lake directory"
+            )
 
         schema = base.schema()
         payload = pa.schema(
@@ -845,9 +860,19 @@ class LakeTable:
         import glob as _g
         import re as _re
 
-        live = {os.path.normpath(p) for p in self.segment_paths()}
-        wm = Manifest.load(self.lake_dir)
-        committed_wm = wm.watermark if wm is not None else self.manifest.watermark
+        # the live set MUST come from the freshly loaded committed manifest,
+        # not this handle's possibly-stale in-memory copy: another process
+        # may have committed newer segments (suffix ≤ new watermark) that a
+        # stale live set would classify as removable — data loss
+        committed = Manifest.load(self.lake_dir)
+        if committed is None:
+            committed = self.manifest
+        live = {
+            os.path.normpath(os.path.join(self.lake_dir, p))
+            for e in committed.partitions.values()
+            for p in e.all_paths
+        }
+        committed_wm = committed.watermark
         removed = 0
         for pat in ("seg-*.parquet", "delta-*.parquet"):
             for f in _g.glob(os.path.join(self.lake_dir, "part=*", pat)):
@@ -861,6 +886,17 @@ class LakeTable:
                     continue
                 os.remove(f)
                 removed += 1
+        # crashed writers leave full-size *.tmp-<pid> temporaries next to
+        # the atomic-replace target; an AGE guard (1h) avoids racing a
+        # writer that is mid-write right now
+        cutoff = time.time() - 3600
+        for f in _g.glob(os.path.join(self.lake_dir, "part=*", "*.parquet.tmp-*")):
+            try:
+                if os.path.getmtime(f) < cutoff:
+                    os.remove(f)
+                    removed += 1
+            except FileNotFoundError:
+                pass
         return removed
 
     def compact(self, parts: list[int] | None = None) -> int:
