@@ -52,8 +52,9 @@ class CdcCatalogEngine:
                 ray.data.read_parquet(cfg.snapshot_path, partitioning=None)
             )
         if cfg.partitioned:
-            paths = cfg.log_paths if isinstance(cfg.log_paths, str) else cfg.log_paths[0]
-            out["apply"] = lake.apply_partitioned(paths)
+            roots = [cfg.log_paths] if isinstance(cfg.log_paths, str) else list(cfg.log_paths)
+            applies = [lake.apply_partitioned(r) for r in roots]  # every root
+            out["apply"] = applies[0] if len(applies) == 1 else {"roots": applies}
         else:
             out["apply"] = lake.apply_log(cfg.log_paths)
         return out
@@ -116,7 +117,14 @@ class CdcCatalogEngine:
         results: dict = {}
         total = 0
         for name in sorted(self.streams):
+            cfg = self.streams[name]
             lake = self.lake(name)
+            if cfg.snapshot_path and lake.manifest.watermark < 0:
+                # same bootstrap as _sync_one — without it a shared-WAL sync
+                # silently started from an empty lake (review finding)
+                lake.init_snapshot(
+                    ray.data.read_parquet(cfg.snapshot_path, partitioning=None)
+                )
             ds = read_event_log(log_paths, min_lsn=lake.manifest.watermark, max_lsn=top)
             own = ds.map_batches(
                 lambda t, _n=name: t.filter(

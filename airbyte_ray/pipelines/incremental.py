@@ -180,9 +180,7 @@ class SyncEngine:
         sync_id = state["sync_id"] + 1
         t0 = time.perf_counter()
 
-        src_schema = pq.read_schema(
-            src_paths if isinstance(src_paths, str) else src_paths[0]
-        )
+        src_schema = pq.read_schema(_first_parquet(src_paths))
         flt = None
         if cfg.sync_mode is SyncMode.incremental and state["cursor"] is not None:
             cur_type = src_schema.field(cfg.cursor_field).type
@@ -195,17 +193,20 @@ class SyncEngine:
             # task's cursor range (row-group pruning per window) and gives
             # the reference's per-slice request granularity
             windows = self.stream_slices(cfg, src_paths, state)
-            parts = [
-                ray.data.read_parquet(
-                    src_paths,
-                    filter=(pc.field(cfg.cursor_field) > lo)
-                    & (pc.field(cfg.cursor_field) <= hi),
-                )
-                for lo, hi in windows
-            ]
-            ds = parts[0]
-            for extra in parts[1:]:
-                ds = ds.union(extra)
+            if not windows:  # no new data / no footer stats: plain filtered
+                ds = ray.data.read_parquet(src_paths, filter=flt)
+            else:
+                parts = [
+                    ray.data.read_parquet(
+                        src_paths,
+                        filter=(pc.field(cfg.cursor_field) > lo)
+                        & (pc.field(cfg.cursor_field) <= hi),
+                    )
+                    for lo, hi in windows
+                ]
+                ds = parts[0]
+                for extra in parts[1:]:
+                    ds = ds.union(extra)
         else:
             ds = ray.data.read_parquet(src_paths, filter=flt)
         if transform is not None:
@@ -270,6 +271,19 @@ class SyncEngine:
         # committed-after-flush discipline; round-1 ADVICE fix).
         for e in stale_dirs:
             shutil.rmtree(os.path.join(sdir, e), ignore_errors=True)
+        if cfg.destination_sync_mode is DestinationSyncMode.append_dedup:
+            # GC superseded per-partition segments (each merge rewrites its
+            # partition; without this every sync left a full table copy —
+            # review finding).  Runs after the commit, same discipline.
+            import glob as _g
+
+            live = {
+                os.path.normpath(os.path.join(sdir, e["path"]))
+                for e in state.get("dedup_segments", {}).values()
+            }
+            for f in _g.glob(os.path.join(sdir, "part=*", "seg-*.parquet")):
+                if os.path.normpath(f) not in live:
+                    os.remove(f)
         stats["cursor"] = state["cursor"]
         if rows is not None:
             stats["rows"] = rows
@@ -282,7 +296,7 @@ class SyncEngine:
         cursor to the source's footer max.  Metadata-only."""
         import datetime as _dt
 
-        files = [src_paths] if isinstance(src_paths, str) else list(src_paths)
+        files = _parquet_files(src_paths)
         typ = pq.read_schema(files[0]).field(cfg.cursor_field).type
         mn = mx = None
         for f in files:
@@ -387,14 +401,41 @@ def _write_avro(dset: ray.data.Dataset, path: str) -> None:
              "type": ["null", _J2A.get(_arrow_to_json_schema(f.type)["type"], "string")]}
             for f in t.schema
         ]
+        import uuid
+
         sch = parse_schema({"type": "record", "name": "rec", "fields": fields})
         os.makedirs(path, exist_ok=True)
-        fn = os.path.join(path, f"block-{os.getpid()}-{id(t):x}.avro")
+        # uuid, not id(t): CPython recycles object addresses, which silently
+        # overwrote earlier blocks (review finding)
+        fn = os.path.join(path, f"block-{os.getpid()}-{uuid.uuid4().hex[:12]}.avro")
         with open(fn, "wb") as f:
             avro_writer(f, sch, t.to_pylist())
         return pa.table({"written": pa.array([t.num_rows], pa.int64())})
 
     dset.map_batches(to_avro, batch_format="pyarrow").sum("written")
+
+
+def _parquet_files(src_paths) -> list[str]:
+    """Expand files / dirs / globs to concrete parquet files (schema and
+    footer reads need real files even though ray.data accepts dirs)."""
+    import glob as _g
+
+    out = []
+    for p in [src_paths] if isinstance(src_paths, str) else list(src_paths):
+        if os.path.isdir(p):
+            out.extend(sorted(_g.glob(os.path.join(p, "**", "*.parquet"), recursive=True)))
+        elif any(ch in p for ch in "*?["):
+            out.extend(sorted(_g.glob(p)))
+        else:
+            out.append(p)
+    return out
+
+
+def _first_parquet(src_paths) -> str:
+    files = _parquet_files(src_paths)
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {src_paths}")
+    return files[0]
 
 
 def _footer_max(seg_dir: str, col: str):

@@ -133,6 +133,53 @@ def _lww_group(t: pa.Table, policy: tuple | None = None) -> pa.Table:
     return lww_reduce(t, policy)
 
 
+class _PushShuffleScope:
+    """Refcounted scope for the process-global ``DataContext.shuffle_strategy``:
+    concurrent stream syncs in THREADS (catalog_sync) share the context, so a
+    naive save/restore races — one thread's restore while another executes
+    would flip strategy mid-pipeline or leak the override (review finding).
+    The first entering thread saves the ambient value; the last leaving one
+    restores it."""
+
+    def __init__(self):
+        import threading
+
+        self._lock = threading.Lock()
+        self._count = 0
+        self._saved = None
+
+    def __enter__(self):
+        from ray.data.context import DataContext, ShuffleStrategy
+
+        with self._lock:
+            dctx = DataContext.get_current()
+            if self._count == 0:
+                self._saved = dctx.shuffle_strategy
+                dctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+            self._count += 1
+        return self
+
+    def __exit__(self, *exc):
+        from ray.data.context import DataContext
+
+        with self._lock:
+            self._count -= 1
+            if self._count == 0:
+                DataContext.get_current().shuffle_strategy = self._saved
+        return False
+
+
+_PUSH_SCOPE = _PushShuffleScope()
+
+
+class _NullScope:
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        return False
+
+
 def _seg_schema_of(out_schema: pa.Schema) -> pa.Schema:
     return pa.schema(
         list(out_schema)
@@ -640,12 +687,8 @@ class LakeTable:
         payload = pa.schema(ev_fields)  # doc_id + payload columns
         out_schema = payload if m.schema is None else unify_schemas(m.schema, payload)
 
-        from ray.data.context import DataContext, ShuffleStrategy
-
-        dctx = DataContext.get_current()
-        prev_strategy = dctx.shuffle_strategy
-        if self.config.push_shuffle:
-            dctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+        scope = _PUSH_SCOPE if self.config.push_shuffle else _NullScope()
+        scope.__enter__()
 
         t0 = time.perf_counter()
         pol = self.config.merge_policy
@@ -707,7 +750,7 @@ class LakeTable:
                 )
                 lineage = lineage_ds.take_all()  # ≤ P small dicts
         finally:
-            dctx.shuffle_strategy = prev_strategy
+            scope.__exit__()
         elapsed = time.perf_counter() - t0
         if os.environ.get("AIRBYTE_RAY_DEBUG") and lineage_ds is not None:
             import sys

@@ -43,6 +43,7 @@ def scd2_history(
     cursor: str,
     deleted_mask: "callable | None" = None,
     num_partitions: int = 64,
+    tiebreakers: list[str] | None = None,
 ) -> ray.data.Dataset:
     """Expand a change stream into SCD2 history rows.
 
@@ -54,6 +55,12 @@ def scd2_history(
 
     ``deleted_mask``: optional ``pa.Table -> pa.BooleanArray`` evaluated on
     the sorted partition table.
+
+    ``tiebreakers``: extra sort columns after the cursor.  The (key, cursor,
+    *tiebreakers) chain must be a TOTAL order per key — with cursor ties and
+    no tiebreaker, which row closes which is exchange-order-dependent and
+    the history is not reproducible (the reference appends
+    ``_airbyte_emitted_at`` for the same reason).
     """
 
     def part_fn(t: pa.Table) -> pa.Table:
@@ -62,9 +69,13 @@ def scd2_history(
             "__part", pa.array((h % np.uint64(num_partitions)).astype(np.int64))
         )
 
+    order_keys = [(key, "ascending"), (cursor, "ascending")] + [
+        (c, "ascending") for c in (tiebreakers or [])
+    ]
+
     def window(g: pa.Table) -> pa.Table:
         t = g.drop_columns(["__part"])
-        t = t.take(pc.sort_indices(t, sort_keys=[(key, "ascending"), (cursor, "ascending")]))
+        t = t.take(pc.sort_indices(t, sort_keys=order_keys))
         k = t[key].to_numpy(zero_copy_only=False)
         has_next = np.r_[k[1:] == k[:-1], False]  # next row is a newer version
         start = t[cursor].combine_chunks()

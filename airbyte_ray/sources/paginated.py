@@ -222,9 +222,11 @@ class _SliceFetcher:
         out: list[dict] = []
         for row in t.to_pylist():
             sl = json.loads(row["slice_json"])
-            pag = PAGINATORS[spec.get("paginator", "page")](
-                **spec.get("paginator_args", {"page_size": 100})
-            )
+            kind = spec.get("paginator", "page")
+            # per-type defaults: CursorPaginator takes no page_size
+            # (review finding)
+            default_args = {} if kind == "cursor" else {"page_size": 100}
+            pag = PAGINATORS[kind](**spec.get("paginator_args", default_args))
             for records in read_pages(
                 self.requester, pag,
                 record_path=spec.get("record_path"),
@@ -256,9 +258,11 @@ def substream_slices(
     if isinstance(parent, str):
         parent = ray.data.read_parquet(parent, columns=[parent_key])
     if isinstance(parent, pa.Table):
-        keys = sorted(set(parent[parent_key].to_pylist()))
+        raw = set(parent[parent_key].to_pylist())
     else:
-        keys = sorted(parent.select_columns([parent_key]).unique(parent_key))
+        raw = set(parent.select_columns([parent_key]).unique(parent_key))
+    # a null parent key cannot format into a request path — drop, don't crash
+    keys = sorted(k for k in raw if k is not None)
     return [{slice_field: k, **(extra or {})} for k in keys]
 
 
