@@ -4,6 +4,7 @@ incremental reads (test_incremental.py:153), append union (DestinationAcceptance
 :581) and append_dedup latest-per-PK oracle (:734,799-810)."""
 
 import duckdb
+import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
@@ -99,3 +100,50 @@ def test_append_jsonl_format(tmp_path):
     eng.sync(cfg, SRC)
     got = eng.read("events", format="json")
     assert got.count() == pq.read_metadata(SRC).num_rows
+
+
+def test_sliced_sync_noop_when_no_new_data(tmp_path):
+    """Regression (review): windowed incremental re-sync with zero new rows
+    must commit a no-op, not crash on an empty window list."""
+    import numpy as np
+
+    from airbyte_ray.config import StreamConfig
+    from airbyte_ray.pipelines.incremental import SyncEngine
+
+    t = pa.table({"pk": pa.array(np.arange(50), pa.int64()),
+                  "cur": pa.array(np.arange(50, dtype=np.float64))})
+    src = tmp_path / "s.parquet"
+    pq.write_table(t, src)
+    eng = SyncEngine(str(tmp_path / "dest"))
+    cfg = StreamConfig("s", "incremental", "append_dedup", cursor_field="cur",
+                       primary_key=["pk"], num_partitions=2, slice_window_s=10.0)
+    s1 = eng.sync(cfg, str(src))
+    assert s1["rows"] == 50
+    s2 = eng.sync(cfg, str(src))  # nothing new: must not raise
+    assert s2["rows"] == 50 and s2["cursor"] == 49.0
+
+
+def test_append_dedup_gcs_superseded_segments(tmp_path):
+    """Regression (review): each dedup sync rewrites its partitions; old
+    segment files must be removed after the state commit."""
+    import glob
+
+    import numpy as np
+
+    from airbyte_ray.config import StreamConfig
+    from airbyte_ray.pipelines.incremental import SyncEngine
+
+    t = pa.table({"pk": pa.array(np.arange(100) % 20, pa.int64()),
+                  "cur": pa.array(np.arange(100, dtype=np.float64))})
+    src = tmp_path / "s.parquet"
+    pq.write_table(t.slice(0, 60), src)
+    eng = SyncEngine(str(tmp_path / "dest"))
+    cfg = StreamConfig("s", "incremental", "append_dedup", cursor_field="cur",
+                       primary_key=["pk"], num_partitions=2)
+    eng.sync(cfg, str(src))
+    pq.write_table(t, src)
+    eng.sync(cfg, str(src))
+    files = glob.glob(str(tmp_path / "dest" / "s" / "part=*" / "seg-*.parquet"))
+    assert len(files) == 2  # exactly one live segment per partition
+    got = pa.Table.from_pylist(eng.read("s", dedup=True).take_all())
+    assert got.num_rows == 20
