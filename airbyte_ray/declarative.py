@@ -66,12 +66,35 @@ def register_component(name: str):
 # is a compile-time ValueError.
 # ---------------------------------------------------------------------------
 
+def _floored_mod(a, b):
+    """Python % semantics (sign of divisor) with int-type preservation —
+    the naive floor(divide) chain truncated toward zero for negative ints
+    and promoted results to double (review finding)."""
+
+    def _typ(x):
+        return getattr(x, "type", None)
+
+    af = pc.cast(a, pa.float64()) if _typ(a) is not None else a
+    bf = pc.cast(b, pa.float64()) if _typ(b) is not None else b
+    q = pc.floor(pc.divide(af, bf))
+    r = pc.subtract(af, pc.multiply(q, bf))
+    ta, tb = _typ(a), _typ(b)
+    both_int = (
+        (ta is None or pa.types.is_integer(ta))
+        and (tb is None or pa.types.is_integer(tb))
+        and not isinstance(a, float) and not isinstance(b, float)
+    )
+    if both_int and _typ(r) is not None:
+        return pc.cast(r, ta if ta is not None else tb or pa.int64())
+    return r
+
+
 _BINOPS = {
     ast.Add: pc.add,
     ast.Sub: pc.subtract,
     ast.Mult: pc.multiply,
     ast.Div: pc.divide,
-    ast.Mod: lambda a, b: pc.subtract(a, pc.multiply(pc.floor(pc.divide(a, b)), b)),
+    ast.Mod: _floored_mod,
     ast.Pow: pc.power,
 }
 _CMPOPS = {
@@ -271,8 +294,11 @@ def interpolate(value, context: dict | None = None, now: "_dt.datetime | None" =
         return value
     ns = dict(context or {})
     macros = _macros(now)
+    # native-value return ONLY for a string that is exactly one placeholder —
+    # a lazy fullmatch would otherwise span "{{ a }}-{{ b }}" and feed the
+    # parser an unbalanced expression (review finding)
     whole = _INTERP_RE.fullmatch(value.strip())
-    if whole:
+    if whole and len(_INTERP_RE.findall(value)) == 1:
         return _eval_interp(ast.parse(whole.group(1).strip(), mode="eval"), ns, macros)
     return _INTERP_RE.sub(
         lambda m: str(_eval_interp(ast.parse(m.group(1).strip(), mode="eval"), ns, macros)),
@@ -404,9 +430,11 @@ def run_sync(spec: dict) -> dict:
 
     spec = interpolate_spec(spec, {"config": spec.get("config", {})})
     src, sink, inc = spec["source"], spec["sink"], spec.get("incremental") or {}
-    stages = [
-        _REGISTRY[t["type"]](t) for t in spec.get("transforms", [])
-    ]
+    stages = []
+    for t in spec.get("transforms", []):
+        if t["type"] not in _REGISTRY:
+            raise ValueError(f"unknown component {t['type']!r}; register_component first")
+        stages.append(_REGISTRY[t["type"]](t))
     transform = _T.compose(*stages) if stages else None
     cfg = StreamConfig(
         sink["stream"],

@@ -51,18 +51,31 @@ def _arrow_to_json_schema(t: pa.DataType) -> dict:
     return {"type": "string"}
 
 
-_CURSOR_HINTS = ("lsn", "cursor", "updated_at", "_at", "ts", "mtime")
+_CURSOR_HINTS = ("lsn", "cursor", "ts", "mtime", "updated_at", "modified_at")
+
+
+def _hinted(name: str) -> bool:
+    """Token-boundary hint match — substring matching promoted unrelated
+    string columns (e.g. 'commenTS') to cursors (review finding)."""
+    toks = name.lower().replace("-", "_").split("_")
+    return any(h in toks or name.lower() == h or name.lower().endswith("_" + h)
+               for h in _CURSOR_HINTS)
 
 
 def _cursor_candidates(schema: pa.Schema) -> list[str]:
-    """Monotonic-looking columns, best first: timestamps, hinted names,
-    then integer ``*_id`` columns (the reference's source-defined cursor)."""
+    """Monotonic-looking columns, best first: timestamps, then hinted
+    ORDERABLE (numeric/temporal) names, then integer ``*_id`` columns (the
+    reference's source-defined cursor)."""
+    def orderable(t: pa.DataType) -> bool:
+        return (pa.types.is_integer(t) or pa.types.is_floating(t)
+                or pa.types.is_timestamp(t) or pa.types.is_date(t))
+
     out = []
     for f in schema:
         if pa.types.is_timestamp(f.type) or pa.types.is_date(f.type):
             out.append(f.name)
     for f in schema:
-        if f.name not in out and any(h in f.name.lower() for h in _CURSOR_HINTS):
+        if f.name not in out and _hinted(f.name) and orderable(f.type):
             out.append(f.name)
     for f in schema:
         if f.name not in out and pa.types.is_integer(f.type) and f.name.lower().endswith("id"):

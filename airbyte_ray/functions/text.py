@@ -90,7 +90,9 @@ class LangId:
     def __init__(self, col: str, out: str = "lang_pred"):
         self.col, self.out = col, out
         self.langs = sorted(_STOPWORDS)
-        self.tables = [frozenset(_STOPWORDS[l]) for l in self.langs]
+        # Arrow value-set arrays built ONCE per actor (the class's whole
+        # point) — rebuilding per batch × language was pure waste
+        self.tables = [pa.array(sorted(_STOPWORDS[l])) for l in self.langs]
 
     def __call__(self, t: pa.Table) -> pa.Table:
         """Fully vectorized (round-1 fix: no per-row Python loop): CJK ratio
@@ -114,9 +116,10 @@ class LangId:
         flat = la.flatten().to_numpy(zero_copy_only=False)
         nwords = np.diff(offs)
         scores = np.zeros((len(self.langs), n), np.int64)
+        flat_arr = pa.array(flat, pa.string())
         for i, words in enumerate(self.tables):
             mask = pc.is_in(
-                pa.array(flat, pa.string()), value_set=pa.array(sorted(words))
+                flat_arr, value_set=words
             ).to_numpy(zero_copy_only=False).astype(np.int64)
             cs = np.concatenate([[0], np.cumsum(mask)])
             scores[i] = cs[offs[1:]] - cs[offs[:-1]]

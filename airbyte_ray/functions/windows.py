@@ -12,8 +12,20 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Count
+
+
+def _epoch_us(col) -> np.ndarray:
+    """Column → epoch-microsecond int64, resolution-aware: timestamp columns
+    cast by UNIT first (a raw int64 cast of timestamp[ns] silently treated
+    nanoseconds as microseconds — review finding); integer columns are
+    assumed to already be epoch-us."""
+    t = col.type
+    if pa.types.is_timestamp(t):
+        col = col.cast(pa.timestamp("us", tz=t.tz))
+    return col.cast(pa.int64()).to_numpy(zero_copy_only=False)
 
 
 def tumbling(ds: ray.data.Dataset, key: str, ts: str, width_s: int) -> ray.data.Dataset:
@@ -21,7 +33,7 @@ def tumbling(ds: ray.data.Dataset, key: str, ts: str, width_s: int) -> ray.data.
     computed vectorized per batch, then one small groupby-aggregate."""
 
     def win(t: pa.Table) -> pa.Table:
-        us = t[ts].cast(pa.int64()).to_numpy()
+        us = _epoch_us(t[ts])
         w = (us // (width_s * 1_000_000)) * width_s
         return t.select([key]).append_column("w_start", pa.array(w.astype(np.int64)))
 
@@ -40,7 +52,7 @@ def sliding(
     assert width_s % slide_s == 0, "width must be a multiple of slide"
 
     def explode(t: pa.Table) -> pa.Table:
-        us = t[ts].cast(pa.int64()).to_numpy()
+        us = _epoch_us(t[ts])
         base = us // (slide_s * 1_000_000)
         parts = []
         for j in range(k):
@@ -74,7 +86,11 @@ def session(
         def sessions(g: pd.DataFrame) -> pd.DataFrame:
             g = g.sort_values(ts, kind="stable")
             gaps = g[ts].diff()
-            brk = (gaps.isna()) | (gaps > pd.Timedelta(seconds=gap_s))
+            if pd.api.types.is_timedelta64_dtype(gaps):
+                over = gaps > pd.Timedelta(seconds=gap_s)
+            else:  # integer epoch-us cursor (matches the bucketed plan)
+                over = gaps > gap_s * 1_000_000
+            brk = (gaps.isna()) | over
             sid = brk.cumsum()
             out = g.groupby(sid).agg(
                 s_start=(ts, "min"), s_end=(ts, "max"), n=(ts, "size")
@@ -89,12 +105,12 @@ def session(
     ts_type = None
 
     def bucketize(t: pa.Table) -> pa.Table:
-        b = (t[ts].cast(pa.int64()).to_numpy() // (bucket_s * 1_000_000)).astype(np.int64)
+        b = (_epoch_us(t[ts]) // (bucket_s * 1_000_000)).astype(np.int64)
         return t.select([key, ts]).append_column("__bucket", pa.array(b))
 
     def partial_sessions(g: pa.Table) -> pa.Table:
-        g = g.take(pa.compute.sort_indices(g, sort_keys=[(ts, "ascending")]))
-        us = g[ts].cast(pa.int64()).to_numpy()
+        g = g.take(pc.sort_indices(g, sort_keys=[(ts, "ascending")]))
+        us = _epoch_us(g[ts])
         brk = np.r_[True, np.diff(us) > gap_us]
         sid = np.cumsum(brk) - 1
         starts = np.flatnonzero(brk)

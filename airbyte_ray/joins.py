@@ -5,13 +5,13 @@ incremental semi-join (``stream_processor.py:928-938``) and parent→child
 substream lookups.  At 100 TB the two shapes we provide cover both and more:
 
 * :func:`broadcast_join` — small side (dimension table / key set) is put in
-  the object store ONCE (``ray.put``) and merged into every batch with a
-  vectorized pandas merge.  No shuffle at all; this is the right plan
+  the object store ONCE (``ray.put``) and joined into every batch with an
+  Arrow-native ``pa.Table.join``.  No shuffle at all; this is the right plan
   whenever one side fits a worker heap (the reference's substream lookup
   and SCD key-set semi-join both reduce to this).
 * :func:`hash_join` — both sides large: add ``bucket = hash(key) % B`` to
-  each side, tag, union, ONE ``groupby(bucket)`` shuffle, and a pandas
-  merge inside each bucket group.  B must be chosen so each bucket pair
+  each side, tag, union, ONE ``groupby(bucket)`` shuffle, and an Arrow
+  join inside each bucket group.  B must be chosen so each bucket pair
   fits a task heap; skewed keys can be salted by raising B (buckets are
   uniform in the key hash, so only exact-key hot spots matter — those are
   broadcast-join territory instead).
@@ -46,17 +46,24 @@ def broadcast_join(
     how: str = "inner",
 ) -> ray.data.Dataset:
     """Join a large Dataset against a small in-memory table without any
-    shuffle.  ``how`` ∈ {inner, left}."""
+    shuffle.  ``how`` ∈ {inner, left}.  Arrow-native per-batch join — a
+    pandas merge degraded null-bearing int columns to float64 and produced
+    batch-dependent schemas on left joins (review finding); non-key column
+    collisions raise (same contract as hash_join) instead of silently
+    suffixing."""
     on = [on] if isinstance(on, str) else list(on)
-    if isinstance(small, pa.Table):
-        small = small.to_pandas()
-    ref = ray.put(small)
+    if isinstance(small, pd.DataFrame):
+        small = pa.Table.from_pandas(small, preserve_index=False)
+    overlap = set(big.schema().names) & set(small.schema.names) - set(on)
+    if overlap:
+        raise ValueError(f"non-key column collision: {sorted(overlap)}")
+    join_type = {"inner": "inner", "left": "left outer"}[how]
+    ref = ray.put(small.combine_chunks())
 
     def merge(t: pa.Table) -> pa.Table:
         sm = ray.get(ref)
-        df = t.to_pandas()
-        out = df.merge(sm, on=on, how=how)
-        return pa.Table.from_pandas(out, preserve_index=False)
+        out = t.combine_chunks().join(sm, keys=on, join_type=join_type, use_threads=False)
+        return out.select(list(t.schema.names) + [c for c in sm.schema.names if c not in on])
 
     return big.map_batches(merge, batch_format="pyarrow")
 
@@ -202,7 +209,8 @@ def semi_join(
     broadcast key set."""
     if isinstance(keys, pa.Table):
         keys = keys[on].to_pylist()
-    ref = ray.put(sorted(set(keys)))
+    # drop nulls (is_in never matches null; sorting mixed None/str raised)
+    ref = ray.put([k for k in set(keys) if k is not None])
 
     def fn(t: pa.Table) -> pa.Table:
         ks = ray.get(ref)

@@ -129,6 +129,14 @@ class Manifest:
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, p)
+        # fsync the DIRECTORY too: without it a power loss after commit()
+        # returns can revert the rename, breaking exactly-once visibility
+        # for callers that already pruned superseded files (review finding)
+        dfd = os.open(os.path.dirname(p), os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
 
     # -- lineage invariants (asserted in tests; FIXTURES F6.4) -------------
     def lineage_rows(self) -> int:
