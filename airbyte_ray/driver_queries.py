@@ -110,9 +110,25 @@ def q_declarative_paginated(sf_dir: str) -> ray.data.Dataset:
         os.path.join(sf_dir, "events.parquet"),
         columns=["event_type", "event_id", "user_id", "value"],
     )
-    api = tempfile.mkdtemp(prefix="pag_api_", dir="/tmp")
+    import hashlib as _hl
+
+    # deterministic fixture dir per sf_dir: re-runs REUSE it instead of
+    # leaking a fresh mkdtemp each time (review finding); contents are a
+    # pure function of the input table, so reuse is safe
+    api = os.path.join("/tmp", f"pag_api_{_hl.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]}")
+    done = os.path.join(api, ".done")
     etypes = sorted(set(t["event_type"].to_pylist()))
     page_size = 500
+    if os.path.exists(done):
+        spec = {
+            "api_dir": api,
+            "path_template": "{event_type}/page-{page}.json",
+            "paginator": "cursor",
+            "paginator_args": {"cursor_path": "next", "start": 0},
+            "record_path": "data",
+            "slices": [{"event_type": et} for et in etypes],
+        }
+        return read_paginated(spec)
     for et in etypes:
         sub = t.filter(pc.equal(t["event_type"], et)).sort_by("event_id")
         recs = sub.select(["event_id", "user_id", "value"]).to_pylist()
@@ -124,6 +140,8 @@ def q_declarative_paginated(sf_dir: str) -> ray.data.Dataset:
                 body["next"] = i + 1
             with open(os.path.join(api, et, f"page-{i}.json"), "w") as f:
                 json.dump(body, f)
+    with open(done, "w") as f:
+        f.write("ok")
     spec = {
         "api_dir": api,
         "path_template": "{event_type}/page-{page}.json",

@@ -22,8 +22,6 @@ import ray.data
 
 def _matrix(t: pa.Table, col: str) -> np.ndarray:
     arr = t[col].combine_chunks()
-    if isinstance(arr, pa.ChunkedArray):
-        arr = arr.combine_chunks()
     flat = np.asarray(arr.flatten(), dtype=np.float32)
     return flat.reshape(t.num_rows, -1)
 
@@ -50,7 +48,14 @@ class _BatchScorer:
         m = _normalize(_matrix(t, self.col))
         scores = self.q @ m.T  # (q × batch)
         k = min(self.k, m.shape[0])
-        idx = np.argpartition(-scores, k - 1, axis=1)[:, :k]  # local top-k per query
+        row_ids = t[self.id_col].to_numpy(zero_copy_only=False)
+        # deterministic local top-k under ties: full (score desc, id asc)
+        # lexsort per query — argpartition kept an arbitrary member of a tie
+        # straddling the k-th place, so exact top-k disagreed with the
+        # row_number oracle on duplicate vectors (review finding); q is
+        # small by contract, so q × n·log n is cheap
+        idx = np.stack([np.lexsort((row_ids, -scores[qi]))[:k]
+                        for qi in range(self.q.shape[0])])
         qid = np.repeat(np.arange(self.q.shape[0]), k)
         flat = idx.ravel()
         ids = t[self.id_col].take(pa.array(flat))
@@ -123,7 +128,10 @@ def lsh_topk(
     all_keys = np.arange(1 << nbits)
     probe: set[int] = set()
     for qk in qkeys:
-        ham = np.unpackbits((all_keys ^ qk).astype(np.uint16).view(np.uint8).reshape(-1, 2), axis=1).sum(axis=1)
+        x = (all_keys ^ qk).astype(np.uint64)  # width-correct popcount —
+        # the old uint16 cast masked bits ≥ 16, so nbits > 16 silently
+        # probed the wrong buckets (review finding)
+        ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
         probe.update(all_keys[np.argsort(ham, kind="stable")[:nprobe]].tolist())
     probe_ref = ray.put((planes, frozenset(probe)))
 

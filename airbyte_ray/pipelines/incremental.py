@@ -301,7 +301,9 @@ class SyncEngine:
         mn = mx = None
         for f in files:
             md = pq.read_metadata(f)
-            idx = md.schema.to_arrow_schema().get_field_index(cfg.cursor_field)
+            idx = _leaf_index(md, cfg.cursor_field)
+            if idx is None:
+                continue
             for rg in range(md.num_row_groups):
                 s = md.row_group(rg).column(idx).statistics
                 if s is not None and s.has_min_max:
@@ -415,6 +417,17 @@ def _write_avro(dset: ray.data.Dataset, path: str) -> None:
     dset.map_batches(to_avro, batch_format="pyarrow").sum("written")
 
 
+def _leaf_index(md, col: str) -> int | None:
+    """Parquet LEAF column index for a top-level column — row-group
+    statistics index by leaf, and any multi-leaf column (struct/list) before
+    ``col`` shifts the numbering vs the Arrow field index (review finding,
+    same as event_log.log_max_lsn)."""
+    for i in range(md.num_columns):
+        if md.schema.column(i).path == col:
+            return i
+    return None
+
+
 def _parquet_files(src_paths) -> list[str]:
     """Expand files / dirs / globs to concrete parquet files (schema and
     footer reads need real files even though ray.data accepts dirs)."""
@@ -447,8 +460,8 @@ def _footer_max(seg_dir: str, col: str):
     mx = None
     for p in _g.glob(os.path.join(seg_dir, "**", "*.parquet"), recursive=True):
         md = pq.read_metadata(p)
-        idx = md.schema.to_arrow_schema().get_field_index(col)
-        if idx < 0:
+        idx = _leaf_index(md, col)
+        if idx is None:
             continue
         for rg in range(md.num_row_groups):
             s = md.row_group(rg).column(idx).statistics

@@ -50,15 +50,26 @@ def unified_event_schema(paths: str | list[str]) -> pa.Schema:
 
 def log_max_lsn(paths: str | list[str]) -> int | None:
     """Max lsn across the log from parquet row-group statistics — O(footers),
-    no data scan (the CdcTargetPosition fix at job start)."""
+    no data scan (the CdcTargetPosition fix at job start).
+
+    The row-group column index is resolved by LEAF path, not the Arrow
+    top-level field index: any multi-leaf column (struct/list<struct>)
+    before ``lsn`` shifts the leaf numbering, and the top-level index would
+    silently read another column's statistics — wrong replay bounds
+    (review finding)."""
     mx = None
     for f in _expand(paths):
         md = pq.read_metadata(f)
-        idx = md.schema.to_arrow_schema().get_field_index("lsn")
-        if idx == -1:
+        # parquet leaf paths: md.schema.column(i).path == dotted leaf name
+        leaf_idx = None
+        for i in range(md.num_columns):
+            if md.schema.column(i).path == "lsn":
+                leaf_idx = i
+                break
+        if leaf_idx is None:
             continue
         for rg in range(md.num_row_groups):
-            st = md.row_group(rg).column(idx).statistics
+            st = md.row_group(rg).column(leaf_idx).statistics
             if st is not None and st.has_min_max:
                 mx = st.max if mx is None else max(mx, st.max)
     return mx
@@ -72,7 +83,12 @@ def read_event_log(
     """Read the change log as one Dataset with a unified schema, keeping only
     ``min_lsn < lsn <= max_lsn`` (row-group predicate pushdown)."""
     files = _expand(paths)
-    schema = unified_event_schema(files)
+    # ONE footer read per file feeds both the unified schema and the
+    # by-schema grouping (was 2× O(files) driver-side reads — review finding)
+    schemas = {f: pq.read_schema(f) for f in files}
+    if not schemas:
+        raise FileNotFoundError(f"no parquet files under {paths}")
+    schema = reduce(unify_schemas, schemas.values())
     flt = pc.field("lsn") > pa.scalar(min_lsn, pa.int64())
     if max_lsn is not None:
         flt = flt & (pc.field("lsn") <= pa.scalar(max_lsn, pa.int64()))
@@ -81,7 +97,7 @@ def read_event_log(
     # conform every batch to the unified schema and union.
     by_schema: dict[bytes, list[str]] = {}
     for f in files:
-        by_schema.setdefault(pq.read_schema(f).serialize().to_pybytes(), []).append(f)
+        by_schema.setdefault(schemas[f].serialize().to_pybytes(), []).append(f)
 
     parts = []
     for fs in by_schema.values():

@@ -29,13 +29,21 @@ class FileSlice:
 
 
 def list_files(
-    root: str, pattern: str = "**/*.parquet", min_mtime: float | None = None
+    root: str, pattern: str = "**/*.parquet", min_mtime: float | None = None,
+    strict: bool = False,
 ) -> list[FileSlice]:
-    """Candidate file slices newer than the cursor (metadata-only)."""
+    """Candidate file slices newer than the cursor (metadata-only).
+
+    Default is ``mtime >= cursor`` (``strict=False``): a file written in the
+    same mtime tick as the listing would be skipped FOREVER under a strict
+    ``>`` — the same-timestamp race the reference IncrementalFileStream
+    guards with ``>=`` plus history (``source-s3/.../stream.py:306-420``).
+    Boundary files re-read every sync are at-least-once; dedup downstream
+    (or the idempotent append_dedup merge) absorbs them."""
     out = []
     for p in sorted(_glob.glob(os.path.join(root, pattern), recursive=True)):
         mt = os.path.getmtime(p)
-        if min_mtime is None or mt > min_mtime:
+        if min_mtime is None or (mt > min_mtime if strict else mt >= min_mtime):
             out.append(FileSlice(p, mt))
     return out
 
@@ -59,12 +67,18 @@ def read_files_incremental(
     # Ray's include_paths stamps each row's source file; mtimes join in-task
     # from a broadcast path→mtime map.
     kwargs = {"include_paths": True} if stamp_provenance else {}
-    if pattern.endswith(".json"):
+    exts = {os.path.splitext(p)[1].lower() for p in paths}
+    if exts <= {".json", ".jsonl"}:
         ds = ray.data.read_json(paths, **kwargs)
-    elif pattern.endswith(".csv"):
+    elif exts == {".csv"}:
         ds = ray.data.read_csv(paths, **kwargs)
-    else:
+    elif exts == {".parquet"}:
         ds = ray.data.read_parquet(paths, partitioning=None, **kwargs)
+    else:
+        raise ValueError(
+            f"unsupported or mixed file extensions {sorted(exts)} for pattern "
+            f"{pattern!r} (supported: .parquet, .json/.jsonl, .csv)"
+        )
 
     if stamp_provenance:
         import ray as _ray

@@ -56,6 +56,11 @@ class TypeCoercer:
             wrapped = pa.ListArray.from_arrays(offsets, flat)
             if col.null_count:
                 wrapped = pc.if_else(pc.is_null(col), pa.nulls(len(flat), field.type), wrapped)
+            # pc.if_else over a chunked condition returns a ChunkedArray —
+            # re-wrapping THAT in pa.chunked_array([...]) iterated it as
+            # scalars and crashed on null cells (review finding)
+            if isinstance(wrapped, pa.ChunkedArray):
+                return wrapped
             return pa.chunked_array([wrapped])
         try:
             return col.cast(field.type)
@@ -86,10 +91,7 @@ class TypeCoercer:
                 if self.schema.get_field_index(f.name) == -1:
                     arrays.append(t[f.name])
                     fields.append(f)
-        return pa.Table.from_arrays(
-            [a if isinstance(a, (pa.Array, pa.ChunkedArray)) else a for a in arrays],
-            schema=pa.schema(fields),
-        )
+        return pa.Table.from_arrays(arrays, schema=pa.schema(fields))
 
 
 def type_transform(schema: pa.Schema, on_error: str = "null") -> TypeCoercer:

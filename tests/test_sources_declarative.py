@@ -25,9 +25,17 @@ def test_file_source_incremental(tmp_path):
     assert len(rows) == 3 and cur == 2000
     assert {r["_ab_source_file"].split("/")[-1] for r in rows} == {"a.parquet", "b.parquet"}
 
-    # second sync from committed cursor: nothing new
+    # second sync from committed cursor: the boundary file (mtime == cursor)
+    # is RE-READ (>= semantics, the same-mtime-tick race guard — reference
+    # IncrementalFileStream behavior); at-least-once, dedup absorbs it
     ds2, cur2 = read_files_incremental(str(tmp_path), cursor=cur)
-    assert ds2 is None and cur2 == cur
+    assert cur2 == cur
+    assert {r["_ab_source_file"].split("/")[-1] for r in ds2.take_all()} == {"b.parquet"}
+
+    # strict mode restores exclusive-cursor semantics: nothing new
+    from airbyte_ray.sources.file_source import list_files as _lf
+
+    assert _lf(str(tmp_path), min_mtime=cur, strict=True) == []
 
     # a new file appears → only it is read
     c = tmp_path / "c.parquet"
@@ -35,7 +43,8 @@ def test_file_source_incremental(tmp_path):
     os.utime(c, (3000, 3000))
     ds3, cur3 = read_files_incremental(str(tmp_path), cursor=cur)
     rows3 = ds3.take_all()
-    assert [r["x"] for r in rows3] == [9] and cur3 == 3000
+    # boundary file (mtime == cursor) re-read + the genuinely new file
+    assert sorted(r["x"] for r in rows3) == [3, 9] and cur3 == 3000
     assert list_files(str(tmp_path), min_mtime=2999)[0].path.endswith("c.parquet")
 
 
