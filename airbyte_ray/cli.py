@@ -5,12 +5,16 @@ destinations as ``write`` (``IntegrationRunner.java:98-144``,
 ``entrypoint.py:26-137``).  This engine is lake-native, so the verbs map to
 lifecycle operations on the lake / sync engine:
 
+    python -m airbyte_ray check    --src S.parquet
+    python -m airbyte_ray discover --src S.parquet
     python -m airbyte_ray snapshot --lake DIR --base base.parquet
-    python -m airbyte_ray apply    --lake DIR --log WAL_DIR [--chunk N]
+    python -m airbyte_ray apply    --lake DIR --log WAL_DIR [--chunk N|--delta]
+    python -m airbyte_ray compact  --lake DIR
     python -m airbyte_ray status   --lake DIR
     python -m airbyte_ray vacuum   --lake DIR
     python -m airbyte_ray sync     --dest DIR --stream NAME --src S.parquet \
         --mode incremental --dest-mode append_dedup --cursor ts --pk id
+    python -m airbyte_ray sync-shared --root DIR --log WAL --streams a b
 
 The CLI owns the Ray session (the library never calls ray.init)."""
 
@@ -21,20 +25,26 @@ import json
 import sys
 
 
-def _ray_session(num_cpus: int | None):
+def _ray_session(num_cpus: int | None) -> bool:
+    """Init Ray if nobody has; returns True iff WE own the session (so only
+    then may main() shut it down — killing a caller's session, e.g. the
+    pytest fixture's, would break everything after us)."""
     import ray
 
+    owned = False
     if not ray.is_initialized():
         kwargs = dict(address="local", include_dashboard=False, logging_level="ERROR")
         if num_cpus:
             kwargs["num_cpus"] = num_cpus
         ray.init(**kwargs)
+        owned = True
     import logging
 
     logging.getLogger("ray.data").setLevel(logging.ERROR)
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    return owned
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -78,6 +88,13 @@ def main(argv: list[str] | None = None) -> int:
 
     vc = sub.add_parser("vacuum", help="remove unreferenced segment files")
     vc.add_argument("--lake", required=True)
+
+    ss = sub.add_parser("sync-shared", help="multi-stream shared-WAL sync under one GLOBAL offset")
+    ss.add_argument("--root", required=True, help="catalog root (per-stream lakes live under it)")
+    ss.add_argument("--log", required=True, nargs="+", help="shared WAL parquet path(s)")
+    ss.add_argument("--streams", required=True, nargs="+", help="stream names in the WAL's stream column")
+    ss.add_argument("--stream-col", default="stream")
+    ss.add_argument("--partitions", type=int, default=64)
 
     sy = sub.add_parser("sync", help="cursor-based stream sync (non-CDC)")
     sy.add_argument("--dest", required=True)
@@ -136,7 +153,7 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"removed": lake.vacuum()}))
         return 0
 
-    _ray_session(args.num_cpus)
+    owned = _ray_session(args.num_cpus)
     import ray
     import ray.data
 
@@ -161,6 +178,18 @@ def main(argv: list[str] | None = None) -> int:
 
             lake = LakeTable(args.lake)
             out = {"compacted_partitions": lake.compact()}
+        elif args.cmd == "sync-shared":
+            from .pipelines.catalog_sync import CdcCatalogEngine, CdcStreamConfig
+            from .pipelines.replay import ReplayConfig
+
+            cfgs = [
+                CdcStreamConfig(n, args.log, replay=ReplayConfig(args.partitions))
+                for n in args.streams
+            ]
+            eng = CdcCatalogEngine(args.root, cfgs)
+            out = eng.sync_shared(
+                args.log if len(args.log) > 1 else args.log[0], stream_col=args.stream_col
+            )
         elif args.cmd == "sync":
             from .config import StreamConfig
             from .pipelines.incremental import SyncEngine
@@ -173,7 +202,8 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(out, default=str))
         return 0
     finally:
-        ray.shutdown()
+        if owned:
+            ray.shutdown()
 
 
 if __name__ == "__main__":

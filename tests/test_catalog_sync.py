@@ -34,3 +34,23 @@ def test_two_stream_catalog(tmp_path):
     results2 = eng.sync_all(concurrent=True)
     for r in results2:
         assert r["apply"]["applied_events"] == 0
+
+
+def test_cli_sync_shared(tmp_path, capsys):
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from airbyte_ray import gen
+    from airbyte_ray.cli import main as cli_main
+
+    ev = gen.gen_events(200, 40, seed=31)
+    log = ev.append_column("stream", pa.array(["a"] * ev.num_rows))
+    lp = tmp_path / "wal.parquet"
+    pq.write_table(log, lp)
+    rc = cli_main(["sync-shared", "--root", str(tmp_path / "root"),
+                   "--log", str(lp), "--streams", "a", "--partitions", "4"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["applied_events"] > 0 and out["watermark"] > 0
