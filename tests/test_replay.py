@@ -371,3 +371,48 @@ def test_vacuum_guards_inflight_removes_superseded(fixtures):
     assert not os.path.exists(orphan)
     assert lake.to_table().equals(before)  # committed view untouched
     os.remove(inflight)
+
+
+def test_delta_then_full_apply_folds(fixtures, tmp_path):
+    """A full-merge apply layered over existing deltas folds each touched
+    partition back to one file and stays byte-exact."""
+    base, events, ev_path, lake_dir = fixtures
+    lsn = events["lsn"].to_numpy()
+    cut = int(np.median(lsn))
+    e1 = events.filter(pc.less_equal(events["lsn"], cut))
+    e2 = events.filter(pc.greater(events["lsn"], cut))
+    p1, p2 = tmp_path / "e1.parquet", tmp_path / "e2.parquet"
+    pq.write_table(e1, p1)
+    pq.write_table(e2, p2)
+
+    lake = LakeTable(lake_dir, ReplayConfig(num_partitions=4, salt_factor=1))
+    lake.init_snapshot(ray.data.from_arrow(base))
+    lake.apply_log(str(p1), delta=True)
+    lake.apply_log(str(p2), delta=False)  # full merge over layered deltas
+    _assert_matches_oracle(lake, base, [events])
+    m = Manifest.load(lake_dir)
+    # every partition touched by the full apply folded to one base file
+    for e in m.partitions.values():
+        if not e.delta_paths:
+            continue
+        # untouched partitions may keep deltas; touched ones must not
+        assert e.lsn_hi <= cut
+
+
+def test_schema_evolution_under_delta_mode(fixtures, tmp_path):
+    """v2 events (added columns, widened types) applied as DELTAS: resolve
+    conforms every layered file to the unified schema — byte-exact vs the
+    oracle."""
+    base, events, ev_path, lake_dir = fixtures
+    ev2 = gen.gen_events(400, N_BASE, seed=91, v2=True, start_lsn=gen.next_lsn(events))
+    p2 = tmp_path / "v2.parquet"
+    pq.write_table(ev2, p2)
+
+    lake = LakeTable(lake_dir, ReplayConfig(num_partitions=4, salt_factor=1))
+    lake.init_snapshot(ray.data.from_arrow(base))
+    lake.apply_log(ev_path, delta=True)
+    lake.apply_log(str(p2), delta=True)  # schema evolves inside the delta chain
+    _assert_matches_oracle(lake, base, [events, ev2])
+    # compaction of the evolved chain stays exact
+    lake.compact()
+    _assert_matches_oracle(LakeTable(lake_dir), base, [events, ev2])
