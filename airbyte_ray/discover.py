@@ -56,10 +56,11 @@ _CURSOR_HINTS = ("lsn", "cursor", "ts", "mtime", "updated_at", "modified_at")
 
 def _hinted(name: str) -> bool:
     """Token-boundary hint match — substring matching promoted unrelated
-    string columns (e.g. 'commenTS') to cursors (review finding)."""
-    toks = name.lower().replace("-", "_").split("_")
-    return any(h in toks or name.lower() == h or name.lower().endswith("_" + h)
-               for h in _CURSOR_HINTS)
+    string columns (e.g. 'commenTS') to cursors; underscore-padded
+    containment also catches multi-token hints inside longer names
+    ('updated_at_ms')."""
+    padded = "_" + name.lower().replace("-", "_") + "_"
+    return any(f"_{h}_" in padded for h in _CURSOR_HINTS)
 
 
 def _cursor_candidates(schema: pa.Schema) -> list[str]:
@@ -97,12 +98,20 @@ def _source_schema(path: str, fmt: str) -> pa.Schema:
     raise ValueError(f"unknown source format {fmt}")
 
 
-def _expand(paths: str | list[str]) -> list[str]:
+_FMT_EXT = {"parquet": ("*.parquet",), "json": ("*.json", "*.jsonl"), "csv": ("*.csv",)}
+
+
+def _expand(paths: str | list[str], fmt: str = "parquet") -> list[str]:
     paths = [paths] if isinstance(paths, str) else list(paths)
+    pats = _FMT_EXT.get(fmt, ("*.*",))
     out = []
     for p in paths:
         if os.path.isdir(p):
-            out.extend(sorted(glob.glob(os.path.join(p, "**", "*.*"), recursive=True)))
+            # only the format's own extensions: '**/*.*' swept in sidecars
+            # (_SUCCESS.crc, .json manifests) whose footer read then failed
+            # a perfectly valid source (review finding)
+            for pat in pats:
+                out.extend(sorted(glob.glob(os.path.join(p, "**", pat), recursive=True)))
         elif any(ch in p for ch in "*?["):
             out.extend(sorted(glob.glob(p)))
         else:
@@ -114,7 +123,7 @@ def check(paths: str | list[str], fmt: str = "parquet") -> dict:
     """Connection check: source exists and is readable.  Returns the
     AirbyteConnectionStatus analog {status: SUCCEEDED|FAILED, message}."""
     try:
-        files = _expand(paths)
+        files = _expand(paths, fmt)
         if not files:
             return {"status": "FAILED", "message": f"no files match {paths}"}
         schema = _source_schema(files[0], fmt)
@@ -136,7 +145,7 @@ def discover(paths: str | list[str], fmt: str = "parquet",
     """Schema discovery → catalog (the AirbyteCatalog analog): one stream
     per call with a JSON-schema of the columns, supported sync modes, and
     cursor candidates.  Metadata-only for parquet."""
-    files = _expand(paths)
+    files = _expand(paths, fmt)
     if not files:
         raise FileNotFoundError(f"no files match {paths}")
     schema = _source_schema(files[0], fmt)

@@ -77,6 +77,11 @@ class ImageDecode:
     def __call__(self, t: pa.Table) -> pa.Table:
         if not self.fake:
             raise NotImplementedError("real decode path needs Pillow")
+        if t.num_rows == 0:
+            empty = pa.FixedSizeListArray.from_arrays(
+                pa.array([], pa.uint8()), self.SIDE * self.SIDE * 3
+            )
+            return t.drop_columns([self.payload_col]).append_column(self.out, empty)
         tensors = np.stack(
             [self._fake_decode(p if p is not None else b"") for p in t[self.payload_col].to_pylist()]
         )
@@ -93,6 +98,9 @@ class ImageFeatures:
         self.pixels_col = pixels_col
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            e3 = pa.FixedSizeListArray.from_arrays(pa.array([], pa.float64()), 3)
+            return t.append_column("feat_mean", e3).append_column("feat_std", e3)
         flat = np.asarray(t[self.pixels_col].combine_chunks().flatten(), np.float32)
         px = flat.reshape(t.num_rows, -1, 3)
         mean = px.mean(axis=1)
@@ -161,8 +169,14 @@ class AudioChunk:
         self.payload_col = payload_col
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            t = t.append_column("chunk_idx", pa.array([], pa.int64()))
+            t = t.append_column("byte_start", pa.array([], pa.int64()))
+            return t.append_column("byte_end", pa.array([], pa.int64()))
         payload = t[self.payload_col].combine_chunks()
-        lengths = np.array([len(p) if p is not None else 0 for p in payload.to_pylist()])
+        lengths = np.array(
+            [len(p) if p is not None else 0 for p in payload.to_pylist()], np.int64
+        )
         n_chunks = np.maximum(1, -(-lengths // self.step))
         row_idx = np.repeat(np.arange(t.num_rows), n_chunks)
         out = t.take(pa.array(row_idx))

@@ -33,17 +33,26 @@ def _gen_tokens(rng: np.random.Generator, n: int) -> tuple[pa.ListArray, np.ndar
     values uniform in [0, VOCAB).  Returns (list<int32> array, lengths)."""
     lengths = np.clip(rng.lognormal(4.0, 1.0, n).astype(np.int64), 8, 2048)
     total = int(lengths.sum())
+    if total > np.iinfo(np.int32).max:  # int32 list offsets would silently wrap
+        raise ValueError(
+            f"{total} total tokens overflows int32 list offsets — generate in "
+            "shards (partition_pools + per-shard gen) instead of one table"
+        )
     values = rng.integers(0, VOCAB, total, dtype=np.int32)
-    offsets = np.zeros(n + 1, dtype=np.int32)
+    offsets = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(lengths, out=offsets[1:])
-    arr = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), pa.array(values, pa.int32()))
+    arr = pa.ListArray.from_arrays(
+        pa.array(offsets.astype(np.int32), pa.int32()), pa.array(values, pa.int32())
+    )
     return arr, lengths
 
 
 def doc_id(i: int | np.ndarray) -> np.ndarray | str:
     if np.isscalar(i):
         return f"doc-{i:08d}"
-    return np.char.add("doc-", np.char.zfill(np.asarray(i).astype("U8"), 8))
+    # U20 keeps indices ≥ 1e8 intact (U8 truncated them to 8 chars, making
+    # distinct keys collide and disagree with the scalar path)
+    return np.char.add("doc-", np.char.zfill(np.asarray(i).astype("U20"), 8))
 
 
 def gen_base(n: int, seed: int = 42) -> pa.Table:
@@ -109,6 +118,11 @@ def gen_events(
       log is not lsn-sorted on disk (the engine must sort per partition).
     * ``v2`` (schema-evolution epoch, FIXTURES F3): adds nullable ``lang``,
       widens ``n_tok`` to int64, drops ``source``.
+    Chained-epoch note: successive gen_events calls reuse the same insert
+    key range (n_base + permutation), so a later epoch's op='insert' may hit
+    an existing key — the engine treats insert as upsert (Debezium
+    snapshot-collision parity), so this is exercised deliberately.
+
     * ``key_pool``/``insert_pool``: restrict update/delete keys to
       ``key_pool`` (zipf over the pool) and draw insert keys in order from
       ``insert_pool`` — generates partition-aligned log shards (see
@@ -124,7 +138,10 @@ def gen_events(
 
     keys = np.empty(n_events, dtype=np.int64)
     if key_pool is not None:
-        draws = _zipf_keys(rng, max(len(key_pool), 1), int((~is_ins).sum()), zipf_alpha)
+        if len(key_pool) == 0:
+            raise ValueError("key_pool is empty — a partition with no keys "
+                             "cannot source update/delete events")
+        draws = _zipf_keys(rng, len(key_pool), int((~is_ins).sum()), zipf_alpha)
         keys[~is_ins] = key_pool[draws]
     else:
         keys[~is_ins] = _zipf_keys(rng, max(n_base, 1), int((~is_ins).sum()), zipf_alpha)

@@ -47,6 +47,8 @@ def with_retries(
                     delay = hint if hint is not None else min(
                         base_delay * factor**attempt, max_delay
                     )
+                    delay = max(delay, 0.0)  # a past Retry-After date yields a
+                    # negative hint; time.sleep(-x) would abort the retry loop
                     sleep(delay)
             raise RetriesExhausted(
                 f"{fn.__name__} failed after {max_retries + 1} attempts"

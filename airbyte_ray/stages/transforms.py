@@ -84,13 +84,27 @@ def flatten_json(
 
     ``deep=True`` recursively flattens nested objects into ``a_b_c`` columns
     (the multi-level DpathExtractor path — round-1 gap; ``keep`` then
-    selects flattened names).  Null / empty cells become all-null extracted
-    columns."""
+    selects flattened names).  Null / empty / whitespace-only cells become
+    all-null extracted columns; raw newlines inside a cell (invalid JSON
+    anyway) are replaced to preserve row alignment.
+
+    Streaming note: with ``keep=None`` the extracted column set derives from
+    each batch's parsed payload, so an EMPTY block contributes no extracted
+    columns — pass ``keep`` explicitly when the dataset may contain empty
+    blocks (post-filter) to keep block schemas identical."""
     import pyarrow.json as pj
 
     def fn(t: pa.Table) -> pa.Table:
         col = t[column]
-        filled = pc.if_else(pc.is_null(col), pa.scalar("{}"), col.cast(pa.string())).combine_chunks()
+        s = col.cast(pa.string())
+        # empty/whitespace-only cells would be DROPPED by the JSONL reader,
+        # desyncing row counts (review finding); raw newlines would split a
+        # cell across lines — both coerce to the row-preserving '{}' / space
+        s = pc.replace_substring(s, "\n", " ")
+        blank = pc.equal(pc.utf8_trim_whitespace(pc.fill_null(s, "")), "")
+        filled = pc.if_else(
+            pc.or_(pc.is_null(col), blank), pa.scalar("{}"), s
+        ).combine_chunks()
         if t.num_rows:
             # join every row into one JSONL buffer without a Python loop
             as_list = pa.ListArray.from_arrays(pa.array([0, t.num_rows], pa.int32()), filled)
