@@ -351,3 +351,36 @@ def test_ivf_topk_recall_and_persisted_layout(tmp_path):
     pruned = ray.data.read_parquet(files, partitioning=None)
     from_disk = brute_force_topk(pruned, q, k=5).take_all()
     assert {(r["query_id"], r["vec_id"]) for r in from_disk} == approx_ids
+
+
+def test_embedding_hot_bucket_star_pass():
+    """A bucket of >cap COLINEAR vectors can never be split by extra
+    hyperplanes — the depth-limit star pass must still connect every row to
+    the min-id representative (review regression: was a silent drop)."""
+    from airbyte_ray.functions.dedup import embedding_near_dups
+
+    n, dim = 2500, 8  # > _BUCKET_CAP, all identical direction
+    base_vec = np.arange(1, dim + 1, dtype=np.float32)
+    emb = pa.FixedSizeListArray.from_arrays(
+        pa.array(np.tile(base_vec, n)), dim
+    ).cast(pa.list_(pa.float32()))
+    t = pa.table({"vec_id": pa.array(np.arange(n), pa.int64()), "embedding": emb})
+    pairs = embedding_near_dups(
+        ray.data.from_arrow(t), "embedding", "vec_id", threshold=0.99, nbits=4
+    ).take_all()
+    found = {(r["a"], r["b"]) for r in pairs}
+    # star cover: every row connects to vec_id 0
+    assert all((0, i) in found for i in range(1, n))
+
+
+def test_simhash_hot_bucket_identical_collapse():
+    """>cap identical texts: identical simhashes collapse to star edges —
+    all rows pair with the min id, nothing dropped."""
+    from airbyte_ray.functions.dedup import simhash_near_dups
+
+    n = 2500
+    t = pa.table({"doc_id": pa.array(np.arange(n), pa.int64()),
+                  "text": pa.array(["same exact words here"] * n)})
+    pairs = simhash_near_dups(ray.data.from_arrow(t), "text", "doc_id").take_all()
+    found = {(r["a"], r["b"]) for r in pairs}
+    assert all((0, i) in found for i in range(1, n))
