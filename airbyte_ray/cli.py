@@ -170,7 +170,9 @@ def main(argv: list[str] | None = None) -> int:
             if args.partitioned:
                 out = lake.apply_partitioned(args.log[0], delta=args.delta)
             elif args.chunk:
-                out = {"runs": lake.apply_chunked(args.log, chunk_lsns=args.chunk)}
+                out = {"runs": lake.apply_chunked(
+                    args.log, chunk_lsns=args.chunk, delta=args.delta
+                )}
             else:
                 out = lake.apply_log(args.log, delta=args.delta)
         elif args.cmd == "compact":

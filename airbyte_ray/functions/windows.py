@@ -139,14 +139,25 @@ def session(
         cs = np.r_[0, np.cumsum(n0)]
         k = len(starts)
         tt = pa.timestamp("us", tz="UTC") if ts_type is None else ts_type
+
+        def from_us(vals: np.ndarray) -> pa.Array:
+            # The int64 values are epoch-MICROseconds.  Casting them straight
+            # to timestamp[ns]/[ms]/[s] would reinterpret in the wrong unit
+            # (advice finding) — so go via timestamp[us] first, then cast to
+            # the original column type (unit conversion, not reinterpret).
+            a = pa.array(vals)
+            if pa.types.is_timestamp(tt):
+                a = a.cast(pa.timestamp("us", tz=tt.tz))
+            return a.cast(tt)
+
         return pa.table(
             {
                 key: g[key].slice(0, 1).combine_chunks().take(
                     pa.array(np.zeros(k, np.int64))
                 ),
                 "session_id": pa.array(np.arange(1, k + 1, dtype=np.int64)),
-                "s_start": pa.array(s0[starts]).cast(tt),
-                "s_end": pa.array(e0[stops - 1]).cast(tt),
+                "s_start": from_us(s0[starts]),
+                "s_end": from_us(e0[stops - 1]),
                 "n": pa.array(cs[stops] - cs[starts]),
             }
         )

@@ -630,7 +630,8 @@ class LakeTable:
             delta=self.config.delta_mode if delta is None else delta,
         )
 
-    def apply_chunked(self, paths: str | list[str], chunk_lsns: int) -> list[dict]:
+    def apply_chunked(self, paths: str | list[str], chunk_lsns: int,
+                      delta: bool | None = None) -> list[dict]:
         """Checkpointed replay: apply in LSN windows of ``chunk_lsns``, one
         manifest commit per window (the CDC checkpoint-cadence analog,
         ``DebeziumStateDecoratingIterator.java:30-31``).  A killed run resumes
@@ -651,7 +652,7 @@ class LakeTable:
         cur = self.manifest.watermark
         while cur < top:
             nxt = min(cur + chunk_lsns, top)
-            stats.append(self.apply_log(paths, max_lsn=nxt))
+            stats.append(self.apply_log(paths, max_lsn=nxt, delta=delta))
             cur = nxt
         return stats
 
@@ -950,6 +951,14 @@ class LakeTable:
         per partition.  Commits the manifest, then removes the superseded
         files (after the commit lands — same discipline as vacuum).
         Returns the number of partitions compacted."""
+        # Same discipline as vacuum (advice finding): work off the freshly
+        # loaded COMMITTED manifest, not this handle's possibly-stale
+        # in-memory copy — a stale handle would overwrite partition entries
+        # another process committed and then delete files that newer commit
+        # still references.
+        committed = Manifest.load(self.lake_dir)
+        if committed is not None:
+            self.manifest = committed
         m = self.manifest
         todo = [
             e for p, e in sorted(m.partitions.items())

@@ -206,6 +206,24 @@ def read_pages(
         params = paginator.next_params(resp, records)
 
 
+_FIELD_TYPES: dict[str, pa.DataType] = {
+    "string": pa.string(), "int64": pa.int64(), "int32": pa.int32(),
+    "float64": pa.float64(), "bool": pa.bool_(),
+    "timestamp_us": pa.timestamp("us", tz="UTC"),
+}
+
+
+def spec_schema(spec: dict) -> pa.Schema | None:
+    """Explicit output schema from ``spec['fields']`` ({name: type-string}).
+    When present, every slice's output — including empty slices — conforms
+    to it, so heterogeneous JSON pages (missing keys, empty slices) can't
+    produce data-dependent block schemas (advice finding)."""
+    f = spec.get("fields")
+    if not f:
+        return None
+    return pa.schema([(n, _FIELD_TYPES[t]) for n, t in f.items()])
+
+
 class _SliceFetcher:
     """Actor-pool stage: one task = one slice's full page loop.  The
     requester is constructed once per actor (the per-worker CachedSession
@@ -213,6 +231,7 @@ class _SliceFetcher:
 
     def __init__(self, spec: dict):
         self.spec = spec
+        self.schema = spec_schema(spec)
         self.requester = FileFixtureRequester(
             spec["api_dir"], spec["path_template"], flaky=spec.get("flaky")
         )
@@ -235,6 +254,11 @@ class _SliceFetcher:
             ):
                 for r in records:
                     out.append({**sl, **r})
+        if self.schema is not None:
+            # declared schema: missing keys null-fill, values cast, empties
+            # come back with the same columns — block schemas are
+            # data-independent
+            return pa.Table.from_pylist(out, schema=self.schema)
         if not out:
             return pa.Table.from_pylist([], schema=pa.schema([]))
         tbl = pa.Table.from_pylist(out)

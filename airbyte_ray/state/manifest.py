@@ -112,7 +112,9 @@ class Manifest:
         parts = {}
         for k, v in d.get("partitions", {}).items():
             if "path" in v:  # legacy single-file entry
-                v = {**v, "paths": [v.pop("path")], "delta_paths": []}
+                v = dict(v)
+                v["paths"] = [v.pop("path")]
+                v.setdefault("delta_paths", [])
             parts[int(k)] = PartitionEntry(**v)
         m.partitions = parts
         return m

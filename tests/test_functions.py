@@ -384,3 +384,36 @@ def test_simhash_hot_bucket_identical_collapse():
     pairs = simhash_near_dups(ray.data.from_arrow(t), "text", "doc_id").take_all()
     found = {(r["a"], r["b"]) for r in pairs}
     assert all((0, i) in found for i in range(1, n))
+
+
+def test_session_bucketed_ns_timestamp_matches_single_pass():
+    """timestamp[ns] input: the bucketed plan's stitch must convert its
+    epoch-us integers back via the us unit, not reinterpret them in ns
+    (advice finding — raw int64→timestamp[ns] cast gave 1970 dates)."""
+    from airbyte_ray.functions.windows import session
+
+    rng = np.random.default_rng(17)
+    rows = []
+    base = 1_700_000_000_000_000  # us
+    for u in range(12):
+        t = base + int(rng.integers(0, 3600 * 24)) * 1_000_000
+        for _ in range(rng.integers(5, 40)):
+            t += int(rng.choice([30, 300, 2400, 7200])) * 1_000_000
+            rows.append({"user_id": u, "ts": t})
+    t = pa.table(
+        {"user_id": pa.array([r["user_id"] for r in rows], pa.int64()),
+         "ts": pa.array([r["ts"] for r in rows], pa.int64())
+             .cast(pa.timestamp("us", tz="UTC")).cast(pa.timestamp("ns", tz="UTC"))}
+    )
+
+    def canon(ds):
+        out = pa.Table.from_pylist(ds.take_all())
+        out = out.select(["user_id", "session_id", "s_start", "s_end", "n"])
+        idx = pc.sort_indices(out, sort_keys=[("user_id", "ascending"), ("session_id", "ascending")])
+        return out.take(idx)
+
+    single = canon(session(ray.data.from_arrow(t), "user_id", "ts", gap_s=1800))
+    two = canon(session(ray.data.from_arrow(t), "user_id", "ts", gap_s=1800, bucket_s=3600))
+    assert two.equals(single.cast(two.schema))
+    # sanity: the stitched timestamps are in the fixture's era, not 1970
+    assert pc.min(two["s_start"]).as_py().year == 2023

@@ -136,3 +136,34 @@ def test_declarative_paginated_pipeline(api_dir):
     }
     rows = build_pipeline(spec).take_all()
     assert sorted(r["id"] for r in rows) == [3, 4, 5, 6]
+
+
+def test_declared_fields_conform_heterogeneous_slices(tmp_path):
+    """spec['fields'] pins the output schema: slices whose JSON records have
+    differing/missing keys — and fully EMPTY slices — all emit blocks with
+    the same columns (advice finding: per-slice inferred schemas made block
+    schemas data-dependent and broke downstream unions)."""
+    d = str(tmp_path / "api")
+    os.makedirs(os.path.join(d, "s1"))
+    os.makedirs(os.path.join(d, "s2"))
+    with open(os.path.join(d, "s1", "page-0.json"), "w") as f:
+        json.dump({"data": [{"id": 1, "v": "a"}, {"id": 2}]}, f)  # 'v' missing on one
+    with open(os.path.join(d, "s2", "page-0.json"), "w") as f:
+        json.dump({"data": [{"id": 3, "extra": True}]}, f)  # undeclared key ignored
+    # slice s3 has no page file at all → empty slice
+    spec = {
+        "api_dir": d,
+        "path_template": "{s}/page-{page}.json",
+        "paginator": "page",
+        "paginator_args": {"page_size": 10},
+        "record_path": "data",
+        "slices": [{"s": "s1"}, {"s": "s2"}, {"s": "s3"}],
+        "fields": {"id": "int64", "s": "string", "v": "string"},
+    }
+    ds = read_paginated(spec, concurrency=1)
+    t = pa.Table.from_pylist(ds.take_all())
+    assert sorted(t.column_names) == ["id", "s", "v"]
+    rows = sorted(t.to_pylist(), key=lambda r: r["id"])
+    assert [r["id"] for r in rows] == [1, 2, 3]
+    assert rows[1]["v"] is None  # missing key null-filled
+    assert "extra" not in t.column_names  # undeclared key dropped

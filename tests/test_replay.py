@@ -416,3 +416,76 @@ def test_schema_evolution_under_delta_mode(fixtures, tmp_path):
     # compaction of the evolved chain stays exact
     lake.compact()
     _assert_matches_oracle(LakeTable(lake_dir), base, [events, ev2])
+
+
+def test_legacy_single_path_manifest_loads(fixtures):
+    """Manifests written before multi-file PartitionEntry (a single 'path'
+    string per partition) still load — the shim must pop 'path' BEFORE
+    building the kwargs dict (advice finding: the old `{**v, ...v.pop()}`
+    left 'path' in the dict and raised TypeError on every old lake)."""
+    import json as _json
+    import os as _os
+
+    base, events, ev_path, lake_dir = fixtures
+    lake = LakeTable(lake_dir, ReplayConfig(num_partitions=4, salt_factor=1))
+    lake.init_snapshot(ray.data.from_arrow(base))
+    lake.apply_log(ev_path)  # merges every partition to one segment file
+    before = lake.to_table()
+
+    p = Manifest.path_for(lake_dir)
+    with open(p) as f:
+        d = _json.load(f)
+    for v in d["partitions"].values():
+        paths = v.pop("paths")
+        assert len(paths) == 1
+        v.pop("delta_paths")
+        v["path"] = paths[0]  # the legacy single-file shape
+    with open(p, "w") as f:
+        _json.dump(d, f)
+
+    m = Manifest.load(lake_dir)  # must not raise
+    assert all(e.paths and not e.delta_paths for e in m.partitions.values())
+    assert LakeTable(lake_dir).to_table().equals(before)
+
+
+def test_compact_reloads_committed_manifest(fixtures, tmp_path):
+    """A stale handle's compact() must observe the COMMITTED manifest (same
+    discipline as vacuum): another process's newer commit would otherwise be
+    clobbered and its segment files deleted (advice finding)."""
+    base, events, ev_path, lake_dir = fixtures
+    writer = LakeTable(lake_dir, ReplayConfig(num_partitions=4, salt_factor=1))
+    writer.init_snapshot(ray.data.from_arrow(base))
+    stale = LakeTable(lake_dir)  # snapshot-only view, now goes stale
+
+    lsn = events["lsn"].to_numpy()
+    cut = int(np.median(lsn))
+    e1 = events.filter(pc.less_equal(events["lsn"], cut))
+    e2 = events.filter(pc.greater(events["lsn"], cut))
+    p1, p2 = tmp_path / "c1.parquet", tmp_path / "c2.parquet"
+    pq.write_table(e1, p1)
+    pq.write_table(e2, p2)
+    writer.apply_log(str(p1), delta=True)
+    writer.apply_log(str(p2), delta=True)  # newer commit w/ layered deltas
+
+    n = stale.compact()  # stale handle — must reload before folding
+    assert n > 0
+    _assert_matches_oracle(LakeTable(lake_dir), base, [events])
+    m = Manifest.load(lake_dir)
+    assert m.watermark == int(lsn.max())  # newer commit's watermark survived
+    assert all(len(e.all_paths) == 1 for e in m.partitions.values())
+
+
+def test_cli_apply_chunk_delta(fixtures, tmp_path, capsys):
+    """`apply --chunk N --delta` really writes delta files per window
+    (advice finding: --delta was silently ignored on the chunked path)."""
+    from airbyte_ray.cli import main as cli_main
+
+    base, events, ev_path, lake_dir = fixtures
+    lake = LakeTable(lake_dir, ReplayConfig(num_partitions=4, salt_factor=1))
+    lake.init_snapshot(ray.data.from_arrow(base))
+    rc = cli_main(["apply", "--lake", lake_dir, "--log", ev_path,
+                   "--chunk", "800", "--delta"])
+    assert rc == 0
+    m = Manifest.load(lake_dir)
+    assert any(e.delta_paths for e in m.partitions.values())
+    _assert_matches_oracle(LakeTable(lake_dir), base, [events])
