@@ -8,9 +8,11 @@ here (or in airbyte_ray) calls ``ray.init()`` / ``ray.shutdown()``.
   manifest commit), returning the final upserted table.
 * ``queries()`` — one entry per operator family from SURVEY.md §2 plus the
   training-data ops (dedup/ANN/text); each takes sf_dir.
-* ``oracle_sql()`` — DuckDB equivalents where SQL-expressible; heuristic /
-  approximate ops (lang-id, minhash/simhash dedup, LSH ANN, rolling
-  fingerprint) are intentionally omitted → rows-only check.
+* ``oracle_sql()`` — DuckDB equivalents for EVERY query: heuristic /
+  approximate ops (lang-id, minhash/simhash dedup, LSH/IVF ANN, rolling
+  fingerprint, embedding near-dup) use planted deterministic fixtures that
+  make the expected output SQL-expressible — see the q_* docstrings in
+  ``airbyte_ray/driver_queries.py`` for each soundness argument.
 """
 
 from __future__ import annotations

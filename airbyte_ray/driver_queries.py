@@ -488,15 +488,84 @@ def q_fingerprint(sf_dir: str) -> ray.data.Dataset:
 
 
 def q_rolling_fingerprint(sf_dir: str) -> ray.data.Dataset:
-    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
-        rolling_fingerprint("text"), batch_format="pyarrow"
-    ).map_batches(lambda t: t.drop_columns(["text"]), batch_format="pyarrow")
+    """Rolling-fingerprint with a planted groupwise-equality oracle: each
+    doc fans out to three variants — the source, an exact COPY (expected:
+    equal rfp — distributed determinism across blocks), and the UPPERCASED
+    text (expected: different rfp — every alpha byte changes, so every
+    window hash changes; verified collision-free on the deterministic
+    fixture at sf0.001/0.01/0.1).  A raw pair-equality oracle is unsound
+    here: rfp is the min rolling hash, and shared-vocabulary docs collide
+    naturally (85 groups at sf0.01), so the oracle checks the planted
+    equality classes instead (VERDICT r2 next-step 1c)."""
+
+    def variants(t: pa.Table) -> pa.Table:
+        s = t["text"].cast(pa.string())
+        return pa.table({
+            "doc_id": pa.concat_arrays([t["doc_id"].combine_chunks()] * 3),
+            "variant": pa.array(
+                ["src"] * t.num_rows + ["copy"] * t.num_rows + ["upper"] * t.num_rows
+            ),
+            "text": pa.concat_arrays(
+                [s.combine_chunks(), s.combine_chunks(), pc.utf8_upper(s).combine_chunks()]
+            ),
+        })
+
+    def judge(g: pa.Table) -> pa.Table:
+        rfp = dict(zip(g["variant"].to_pylist(), g["rfp"].to_pylist()))
+        return pa.table({
+            "doc_id": g["doc_id"].slice(0, 1),
+            "copy_equal": pa.array([rfp["copy"] == rfp["src"]]),
+            "upper_equal": pa.array([rfp["upper"] == rfp["src"]]),
+        })
+
+    return (
+        _docs(sf_dir, columns=["doc_id", "text"])
+        .map_batches(variants, batch_format="pyarrow")
+        .map_batches(rolling_fingerprint("text"), batch_format="pyarrow")
+        .map_batches(lambda t: t.drop_columns(["text"]), batch_format="pyarrow")
+        .groupby("doc_id")
+        .map_groups(judge, batch_format="pyarrow")
+    )
+
+
+#: planted language fixture: (label, 10 primary stopwords, 3 distractor
+#: stopwords of ANOTHER language) — the distractors make the oracle verify
+#: the argmax vote, not mere stopword presence.  zh is a pure-CJK sentence
+#: exercising the codepoint-ratio branch.
+_LANG_FIXTURE = [
+    ("en", "the and of to a in is it that for", "der die das"),
+    ("de", "der die das und ist ein eine nicht mit zu", "le la les"),
+    ("fr", "le la les et est un une pas pour que", "el los y"),
+    ("es", "el la los y es un una no por que", "the and of"),
+    ("zh", "中文语言检测样本的测试文档内容句子字符", ""),
+]
 
 
 def q_lang_id(sf_dir: str) -> ray.data.Dataset:
-    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
-        LangId, fn_constructor_args=("text",), batch_format="pyarrow", concurrency=(1, 4)
-    ).map_batches(lambda t: t.drop_columns(["text"]), batch_format="pyarrow")
+    """Language-ID over PLANTED per-language text: the corpus text is
+    synthetic English-ish regardless of its ``lang`` label, so the fixture
+    plants stopword-dense sentences keyed by ``doc_id % 5`` — the expected
+    label is then a pure function of doc_id and the oracle is a CASE
+    expression (VERDICT r2 next-step 1a).  Non-tautological: LangId must
+    out-vote the planted distractor stopwords and route CJK by codepoint
+    ratio to win."""
+    from .config import auto_concurrency
+
+    planted = pa.array([f"{p} {d}".strip() for _, p, d in _LANG_FIXTURE])
+
+    def plant(t: pa.Table) -> pa.Table:
+        idx = pa.array(t["doc_id"].to_numpy() % 5)
+        return pa.table({"doc_id": t["doc_id"], "text": planted.take(idx)})
+
+    return (
+        _docs(sf_dir, columns=["doc_id"])
+        .map_batches(plant, batch_format="pyarrow")
+        .map_batches(
+            LangId, fn_constructor_args=("text",), batch_format="pyarrow",
+            concurrency=auto_concurrency(),
+        )
+        .map_batches(lambda t: t.drop_columns(["text"]), batch_format="pyarrow")
+    )
 
 
 def q_dedup_exact(sf_dir: str) -> ray.data.Dataset:
@@ -513,7 +582,51 @@ def q_dedup_minhash(sf_dir: str) -> ray.data.Dataset:
 
 
 def q_dedup_simhash(sf_dir: str) -> ray.data.Dataset:
-    return simhash_near_dups(_docs(sf_dir, columns=["doc_id", "text"]), "text", "doc_id")
+    """SimHash near-dup pairs with a planted oracle (VERDICT r2 next-step
+    1b).  Every doc's text is salted with a doc_id-derived token repeated
+    ~n_words/2 times: the salt dominates roughly half the bit votes, so the
+    corpus's NATURAL near-dups (which share no salt) separate to hamming
+    ≥12 (verified on the deterministic fixture at sf0.001/0.01/0.1 — zero
+    natural pairs ≤3) while planted EXACT copies (doc_id % 10 == 0, id +
+    1_000_000, identical salted text) stay at hamming 0.  The true pair set
+    is therefore exactly the planted pairs — SQL-expressible — and the
+    banding + in-bucket hamming verification is still genuinely exercised:
+    16-bit bands over the salted corpus collide freely and must be
+    REJECTED by the verifier."""
+
+    def salt(t: pa.Table) -> pa.Table:
+        s = t["text"].cast(pa.string())
+        unit = pc.binary_join_element_wise(
+            " q", t["doc_id"].cast(pa.string()), "x", ""
+        )
+        nwords = pc.count_substring_regex(s, r"\S+")
+        reps = pc.max_element_wise(
+            pc.divide(nwords, pa.scalar(2, pa.int32())), pa.scalar(1, pa.int32())
+        )
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "text": pc.binary_join_element_wise(s, pc.binary_repeat(unit, reps), ""),
+        })
+
+    def plant_copies(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        sub = t.filter(pa.array(ids % 10 == 0))
+        if sub.num_rows == 0:
+            return t
+        copy = pa.table({
+            "doc_id": pc.add(sub["doc_id"], pa.scalar(1_000_000, pa.int64())),
+            "text": sub["text"],
+        })
+        return pa.concat_tables([t, copy])
+
+    corpus = (
+        _docs(sf_dir, columns=["doc_id", "text"])
+        .map_batches(salt, batch_format="pyarrow")
+        .map_batches(plant_copies, batch_format="pyarrow")
+    )
+    return simhash_near_dups(corpus, "text", "doc_id").map_batches(
+        lambda t: t.select(["a", "b"]), batch_format="pyarrow"
+    )
 
 
 def _plant_colinear(t: pa.Table) -> pa.Table:
@@ -829,6 +942,22 @@ ORACLE_SQL = {
         SELECT doc_id FROM d
         WHERE doc_id NOT IN (SELECT u FROM reach GROUP BY u HAVING min(v) < u)
     """,
-    # rows-only (non-SQL-expressible / heuristic): rolling_fingerprint,
-    # lang_id, dedup_simhash (simhash bit votes aren't SQL-reproducible)
+    # Planted-fixture oracles for the formerly rows-only heuristics: the
+    # expected output is a pure function of doc_id by construction (see the
+    # q_* docstrings for the soundness arguments).
+    "lang_id": """
+        SELECT doc_id, CASE CAST(doc_id % 5 AS INTEGER)
+            WHEN 0 THEN 'en' WHEN 1 THEN 'de' WHEN 2 THEN 'fr'
+            WHEN 3 THEN 'es' ELSE 'zh' END AS lang_pred
+        FROM documents
+    """,
+    "dedup_simhash": """
+        SELECT doc_id AS a, doc_id + 1000000 AS b
+        FROM documents WHERE doc_id % 10 = 0
+    """,
+    "rolling_fingerprint": """
+        SELECT doc_id, CAST(1 AS BOOLEAN) AS copy_equal,
+               CAST(0 AS BOOLEAN) AS upper_equal
+        FROM documents
+    """,
 }
