@@ -19,6 +19,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from ..config import auto_concurrency
+
 
 def _matrix(t: pa.Table, col: str) -> np.ndarray:
     arr = t[col].combine_chunks()
@@ -80,7 +82,7 @@ def brute_force_topk(
         _BatchScorer,
         fn_constructor_args=(qref, col, id_col, k),
         batch_format="pyarrow",
-        concurrency=concurrency or (1, 8),
+        concurrency=concurrency or auto_concurrency(),
     )
 
     def final_topk(g: pa.Table) -> pa.Table:

@@ -417,3 +417,48 @@ def test_session_bucketed_ns_timestamp_matches_single_pass():
     assert two.equals(single.cast(two.schema))
     # sanity: the stitched timestamps are in the fixture's era, not 1970
     assert pc.min(two["s_start"]).as_py().year == 2023
+
+
+def test_minhash_batch_matches_scalar_kernel():
+    """The flatten+reduceat batched signature path is bit-identical to the
+    scalar reference kernel, including empty docs, 1-char docs, duplicate
+    shingles, and a doc pushed through the scalar fallback."""
+    from airbyte_ray.functions.dedup import MinHasher
+
+    mh = MinHasher("text", num_perm=64)
+    rng = np.random.default_rng(5)
+    vocab = ["alpha", "beta", "gamma", "delta", "x", "yz", "the", "and"]
+    texts = ["", "a", "ab", "abcd", " ".join(rng.choice(vocab, 50))]
+    texts += [" ".join(rng.choice(vocab, int(rng.integers(1, 200)))) for _ in range(40)]
+    t = pa.table({"text": pa.array(texts)})
+    batch = np.asarray(mh(t)["sig"].combine_chunks().flatten()).reshape(len(texts), 64)
+    for i, v in enumerate(texts):
+        ref = mh.signature(v).astype(np.int64)
+        assert (batch[i] == ref).all(), f"doc {i} diverged"
+
+    # scalar-fallback path for an over-chunk doc
+    small = MinHasher("text", num_perm=16)
+    small._CHUNK = 64  # force the big-doc fallback + tiny groups
+    big = " ".join(rng.choice(vocab, 300))
+    t2 = pa.table({"text": pa.array([big, "tiny doc", ""])})
+    b2 = np.asarray(small(t2)["sig"].combine_chunks().flatten()).reshape(3, 16)
+    for i, v in enumerate([big, "tiny doc", ""]):
+        assert (b2[i] == small.signature(v).astype(np.int64)).all()
+
+
+def test_rolling_fingerprint_batch_matches_scalar():
+    """Batched rolling fingerprint (global-cumsum offsets trick) is
+    bit-identical to the per-doc scalar kernel across lengths 0..100,
+    including docs shorter than the window."""
+    from airbyte_ray.functions.text import (
+        _rolling_min_hash,
+        _rolling_min_hash_batch,
+    )
+
+    rng = np.random.default_rng(9)
+    datas = [rng.integers(0, 256, n, dtype=np.uint8).astype(np.uint8)
+             for n in [0, 1, 3, 7, 8, 9, 15, 40, 100] * 5]
+    rng.shuffle(datas)
+    got = _rolling_min_hash_batch(datas, 8)
+    for i, d in enumerate(datas):
+        assert got[i] == _rolling_min_hash(d, 8), f"doc {i} (len {len(d)})"
