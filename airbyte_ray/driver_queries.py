@@ -688,6 +688,27 @@ def q_ann_ivf(sf_dir: str) -> ray.data.Dataset:
     return out.map_batches(lambda t: t.select(["query_id", "vec_id"]), batch_format="pyarrow")
 
 
+def q_ann_ivf_indexed(sf_dir: str) -> ray.data.Dataset:
+    """Persisted-IVF-index ANN (VERDICT r2 next-step 5): builds (or reuses)
+    the cell-partitioned index under /tmp, then answers planted ×3-scaled
+    probes by reading ONLY the probed cells' partitions.  Oracle = the same
+    exhaustive top-1 as ann_ivf — a probe routed to the wrong cell
+    partition (or a mis-assigned corpus row) misses its colinear source."""
+    import hashlib
+
+    from .functions.ann import build_ivf_index, ivf_topk_indexed
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    index_dir = os.path.join(tempfile.gettempdir(), f"airbyte_ray_ivf_{tag}")
+    if not os.path.exists(os.path.join(index_dir, "ivf_meta.json")):
+        shutil.rmtree(index_dir, ignore_errors=True)  # half-built leftovers
+        ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        build_ivf_index(ds, index_dir, n_cells=16)
+    probes = _queries_matrix(sf_dir, n=5) * np.float32(3.0)
+    out = ivf_topk_indexed(index_dir, probes, k=1, nprobe=4)
+    return out.map_batches(lambda t: t.select(["query_id", "vec_id"]), batch_format="pyarrow")
+
+
 def q_ann_lsh(sf_dir: str) -> ray.data.Dataset:
     """LSH-filtered nearest neighbour with PLANTED probes: each probe is a
     corpus vector scaled ×3 (colinear), so its true top-1 is its source at
@@ -739,6 +760,7 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
+    "ann_ivf_indexed": q_ann_ivf_indexed,
 }
 
 _CANON = "md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
@@ -878,6 +900,16 @@ ORACLE_SQL = {
           FROM q CROSS JOIN embeddings e) WHERE rn <= 5
     """,
     "ann_ivf": """
+        WITH q AS (SELECT vec_id AS qid, list_transform(embedding, x -> x * 3) AS qe
+                   FROM embeddings WHERE vec_id < 5)
+        SELECT qid AS query_id, vec_id FROM (
+          SELECT q.qid, e.vec_id,
+                 row_number() OVER (
+                   PARTITION BY q.qid
+                   ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC, e.vec_id) rn
+          FROM q CROSS JOIN embeddings e) WHERE rn = 1
+    """,
+    "ann_ivf_indexed": """
         WITH q AS (SELECT vec_id AS qid, list_transform(embedding, x -> x * 3) AS qe
                    FROM embeddings WHERE vec_id < 5)
         SELECT qid AS query_id, vec_id FROM (

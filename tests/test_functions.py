@@ -462,3 +462,41 @@ def test_rolling_fingerprint_batch_matches_scalar():
     got = _rolling_min_hash_batch(datas, 8)
     for i, d in enumerate(datas):
         assert got[i] == _rolling_min_hash(d, 8), f"doc {i} (len {len(d)})"
+
+
+def test_build_ivf_index_and_indexed_query(tmp_path):
+    """build_ivf_index → ivf_topk_indexed flow: the persisted index answers
+    planted colinear probes exactly; only the probed cell partitions are
+    read; and the seeded RANDOM training sample keeps cells balanced even
+    on a corpus sorted to be maximally biased for a head-sample."""
+    import glob
+    import os
+
+    from airbyte_ray.functions.ann import (
+        build_ivf_index, ivf_topk_indexed, train_ivf_centroids, assign_cells,
+    )
+
+    ds = ray.data.read_parquet(EMB)
+    root = str(tmp_path / "ivf_idx")
+    cents = build_ivf_index(ds, root, n_cells=8)
+    assert os.path.exists(os.path.join(root, "centroids.npy"))
+    assert len(glob.glob(os.path.join(root, "cell=*"))) >= 4
+
+    q = np.stack([np.asarray(r["embedding"], np.float32) for r in ds.take(5)])
+    probes = q * np.float32(3.0)  # colinear → top-1 is the source
+    out = ivf_topk_indexed(root, probes, k=1, nprobe=4).take_all()
+    assert {(r["query_id"], r["vec_id"]) for r in out} == {(i, i) for i in range(5)}
+
+    # sorted-corpus bias: order rows by their dominant direction so the
+    # head is one cluster; a head-sample quantizer would starve the tail,
+    # the seeded random sample must still cover it
+    t = pq.read_table(EMB)
+    m = np.asarray(t["embedding"].combine_chunks().flatten(), np.float32).reshape(t.num_rows, -1)
+    order = np.argsort(m[:, 0])
+    sorted_t = t.take(pa.array(order))
+    sds = ray.data.from_arrow(sorted_t).repartition(8)
+    c2 = train_ivf_centroids(sds, n_cells=8, sample=100)
+    counts = np.bincount(
+        np.asarray(assign_cells(sds, c2).to_pandas()["cell"]), minlength=8
+    )
+    assert (counts > 0).sum() >= 6  # no starved-half quantizer
