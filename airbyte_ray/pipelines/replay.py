@@ -539,6 +539,11 @@ class ReplayConfig:
     merge_policy: tuple | None = None
     #: per-partition buffered rows before in-actor LWW compaction
     compact_rows: int = 200_000
+    #: auto-compaction: after a delta-mode apply, fold any partition whose
+    #: delta chain exceeds this many files back to one base segment —
+    #: bounds merge-on-read cost (task count and resolve work per read)
+    #: without operator intervention.  None disables.
+    auto_compact_deltas: int | None = None
 
 
 class LakeTable:
@@ -758,7 +763,25 @@ class LakeTable:
 
             print(lineage_ds.stats(), file=sys.stderr)
 
-        return self._commit(lineage, wm, out_schema, elapsed)
+        return self._maybe_auto_compact(
+            delta, self._commit(lineage, wm, out_schema, elapsed)
+        )
+
+    def _maybe_auto_compact(self, delta: bool, stats: dict) -> dict:
+        """Fold partitions whose delta chain outgrew
+        ``config.auto_compact_deltas`` (runs AFTER the apply's commit, so a
+        crash mid-compaction loses nothing — the chain just folds on the
+        next trigger)."""
+        k = self.config.auto_compact_deltas
+        if not (delta and k):
+            return stats
+        hot = [
+            p for p, e in self.manifest.partitions.items()
+            if len(e.delta_paths) > k
+        ]
+        if hot:
+            stats["auto_compacted"] = self.compact(hot)
+        return stats
 
     def _commit(self, lineage: list[dict], wm: int, out_schema: pa.Schema, elapsed: float) -> dict:
         m = self.manifest
@@ -891,7 +914,9 @@ class LakeTable:
             )
             .take_all()
         )
-        return self._commit(lineage, wm, out_schema, time.perf_counter() - t0)
+        return self._maybe_auto_compact(
+            delta, self._commit(lineage, wm, out_schema, time.perf_counter() - t0)
+        )
 
     def vacuum(self) -> int:
         """Delete segment files not referenced by the committed manifest

@@ -149,3 +149,36 @@ def test_hot_bucket_cover_preserves_components(n_groups, group_sizes, cap):
         zip(np.concatenate(oa), np.concatenate(ob)) if oa else iter(())
     )
     assert comps(cover) == comps(zip(ea, eb))
+
+
+@given(
+    st.integers(min_value=-(2**63) + 1, max_value=2**63 - 1),
+    st.integers(min_value=-(10**6), max_value=10**6).filter(lambda x: x != 0),
+)
+@settings(max_examples=300, deadline=None)
+def test_spec_mod_matches_python_beyond_2_53(a, b):
+    """Spec-expression `%` is integer-exact (no float64 round-trip): for any
+    int64 dividend — including |a| > 2^53 where a double silently rounds —
+    the compiled expression equals Python's floored-mod (advice/judge
+    finding)."""
+    import pyarrow as pa
+
+    from airbyte_ray.declarative import _expr_fn
+
+    t = pa.table({"x": pa.array([a], pa.int64())})
+    got = _expr_fn(f"x % {b}")(t)
+    assert got[0].as_py() == a % b
+
+
+@given(st.integers(min_value=-(2**40), max_value=2**40),
+       st.integers(min_value=-(10**4), max_value=10**4).filter(lambda x: x != 0))
+@settings(max_examples=100, deadline=None)
+def test_spec_mod_float_path_unchanged(a, b):
+    """Float operands keep floored-mod semantics too."""
+    import pyarrow as pa
+
+    from airbyte_ray.declarative import _expr_fn
+
+    t = pa.table({"x": pa.array([float(a)], pa.float64())})
+    got = _expr_fn(f"x % {b}")(t)
+    assert abs(got[0].as_py() - (float(a) % b)) < 1e-6

@@ -489,3 +489,33 @@ def test_cli_apply_chunk_delta(fixtures, tmp_path, capsys):
     m = Manifest.load(lake_dir)
     assert any(e.delta_paths for e in m.partitions.values())
     _assert_matches_oracle(LakeTable(lake_dir), base, [events])
+
+
+def test_auto_compaction_bounds_delta_chain(fixtures, tmp_path):
+    """With auto_compact_deltas=K, a long run of delta-mode applies never
+    lets any partition's chain exceed K files for long — the chain folds
+    automatically after the apply that crosses K, the logical table stays
+    oracle-exact, and read task counts stay bounded."""
+    base, events, ev_path, lake_dir = fixtures
+    lake = LakeTable(lake_dir, ReplayConfig(num_partitions=4, salt_factor=1,
+                                            auto_compact_deltas=2))
+    lake.init_snapshot(ray.data.from_arrow(base))
+
+    # 6 delta epochs over the same key space
+    lsn = events["lsn"].to_numpy()
+    cuts = np.quantile(lsn, np.linspace(0, 1, 7)).astype(np.int64)
+    applied = []
+    for lo, hi in zip(cuts, cuts[1:]):
+        e = events.filter(
+            pc.and_(pc.greater(events["lsn"], int(lo)) if applied else
+                    pc.greater_equal(events["lsn"], int(lo)),
+                    pc.less_equal(events["lsn"], int(hi)))
+        )
+        p = tmp_path / f"ep{lo}.parquet"
+        pq.write_table(e, p)
+        st = lake.apply_log(str(p), delta=True)
+        applied.append(st)
+        m = Manifest.load(lake_dir)
+        assert all(len(e2.delta_paths) <= 2 for e2 in m.partitions.values())
+    assert any("auto_compacted" in st for st in applied)
+    _assert_matches_oracle(lake, base, [events])
