@@ -81,6 +81,12 @@ def main(argv: list[str] | None = None) -> int:
     ck.add_argument("--src", required=True, nargs="+")
     ck.add_argument("--format", default="parquet", choices=["parquet", "json", "csv"])
 
+    sv = sub.add_parser("spec", help="emit the connector config JSON-schema")
+
+    vl = sub.add_parser("validate", help="validate a config JSON against the spec")
+    vl.add_argument("--config", required=True, help="path to the config JSON file")
+    vl.add_argument("--kind", default="stream", choices=["stream", "pipeline"])
+
     dc = sub.add_parser("discover", help="schema discovery → catalog JSON")
     dc.add_argument("--src", required=True, nargs="+")
     dc.add_argument("--format", default="parquet", choices=["parquet", "json", "csv"])
@@ -129,6 +135,21 @@ def main(argv: list[str] | None = None) -> int:
             )
         )
         return 0
+
+    if args.cmd == "spec":  # no Ray needed
+        from .spec import connector_spec
+
+        print(json.dumps(connector_spec()))
+        return 0
+
+    if args.cmd == "validate":  # no Ray needed
+        from .spec import validate_config
+
+        with open(args.config) as f:
+            cfg = json.load(f)
+        errs = validate_config(cfg, kind=args.kind)
+        print(json.dumps({"valid": not errs, "errors": errs}))
+        return 0 if not errs else 1
 
     if args.cmd == "check":  # metadata-only — no Ray needed
         from .discover import check

@@ -69,19 +69,46 @@ class FileFixtureRequester:
     into a relative file path.  A missing file is a 404 (end of data, the
     empty-page stop condition).  ``flaky`` optionally injects transient
     failures: ``{path: n}`` fails the first n requests for that path with a
-    429 carrying a Retry-After hint — the retry/backoff test hook."""
+    429 carrying a Retry-After hint — the retry/backoff test hook.
+
+    Auth-server behavior (exercises the :mod:`.auth` components):
+    ``valid_tokens`` makes the server REQUIRE ``Authorization: Bearer
+    <current>`` where the current token starts at ``valid_tokens[0]`` and
+    rotates to the next entry every ``rotate_every`` authorized requests
+    (the old token expires server-side) — a mid-read rotation forces the
+    client's refresh-on-401 path.  Wrong/missing tokens get a 401."""
 
     def __init__(self, api_dir: str, path_template: str, flaky: dict | None = None,
-                 retry_after: float = 0.01):
+                 retry_after: float = 0.01, valid_tokens: list[str] | None = None,
+                 rotate_every: int = 0):
         self.api_dir = api_dir
         self.template = path_template
         self.flaky = dict(flaky or {})
         self.retry_after = retry_after
         self.request_count = 0
+        self.valid_tokens = list(valid_tokens or [])
+        self.rotate_every = rotate_every
+        self._token_idx = 0
+        self._authorized_count = 0
+        self.unauthorized_count = 0
 
-    def request(self, params: dict) -> Response:
+    def _check_auth(self, headers: dict | None) -> bool:
+        if not self.valid_tokens:
+            return True
+        current = self.valid_tokens[min(self._token_idx, len(self.valid_tokens) - 1)]
+        if (headers or {}).get("Authorization") != f"Bearer {current}":
+            self.unauthorized_count += 1
+            return False
+        self._authorized_count += 1
+        if self.rotate_every and self._authorized_count % self.rotate_every == 0:
+            self._token_idx += 1  # current token just expired server-side
+        return True
+
+    def request(self, params: dict, headers: dict | None = None) -> Response:
         rel = self.template.format(**params)
         self.request_count += 1
+        if not self._check_auth(headers):
+            return Response(401)
         if self.flaky.get(rel, 0) > 0:
             self.flaky[rel] -= 1
             raise TransientError(429, retry_after=self.retry_after)
@@ -200,6 +227,10 @@ def read_pages(
         resp = call({**(slice_params or {}), **params})
         if resp.status == 404:
             return
+        if resp.status != 200:
+            # e.g. a 401 that survived the auth refresh-retry: fail loudly —
+            # treating it as an empty page would silently truncate the slice
+            raise RuntimeError(f"request failed with status {resp.status}")
         records = select_records(resp.body, record_path)
         if records:
             yield records
@@ -233,8 +264,17 @@ class _SliceFetcher:
         self.spec = spec
         self.schema = spec_schema(spec)
         self.requester = FileFixtureRequester(
-            spec["api_dir"], spec["path_template"], flaky=spec.get("flaky")
+            spec["api_dir"], spec["path_template"], flaky=spec.get("flaky"),
+            valid_tokens=spec.get("server_tokens"),
+            rotate_every=spec.get("server_rotate_every", 0),
         )
+        if spec.get("auth"):
+            # per-actor authenticator (token cache lives with the worker,
+            # the CachedSession pattern); the wrapper injects headers and
+            # refreshes-and-retries once on 401
+            from .auth import AuthenticatedRequester, build_auth
+
+            self.requester = AuthenticatedRequester(self.requester, build_auth(spec["auth"]))
 
     def __call__(self, t: pa.Table) -> pa.Table:
         spec = self.spec

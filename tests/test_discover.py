@@ -77,3 +77,53 @@ def test_cli_verbs(capsys):
     assert cat["streams"][0]["name"] == "events"
     assert cli_main(["check", "--src", "/no/such.parquet"]) == 1
     capsys.readouterr()
+
+
+def test_spec_and_validate_verbs(tmp_path, capsys):
+    """`spec` emits the config JSON-schema; `validate` rejects a malformed
+    stream config with field-level errors and accepts a valid one
+    (entrypoint.py:26-137 / check_config_against_spec analog)."""
+    import json
+
+    assert cli_main(["spec"]) == 0
+    spec = json.loads(capsys.readouterr().out)
+    assert set(spec["connectionSpecification"]) == {"stream", "pipeline"}
+
+    bad = tmp_path / "bad.json"
+    bad.write_text(json.dumps({
+        "name": "s", "sync_mode": "incremental",          # missing cursor_field
+        "destination_sync_mode": "append_dedup",          # empty primary_key
+        "primary_key": [], "num_partitions": 0,           # below minimum
+        "bogus_key": 1,                                   # additionalProperties
+    }))
+    assert cli_main(["validate", "--config", str(bad)]) == 1
+    out = json.loads(capsys.readouterr().out)
+    assert not out["valid"]
+    msgs = "\n".join(out["errors"])
+    assert "cursor_field" in msgs and "primary_key" in msgs
+    assert "num_partitions" in msgs and "bogus_key" in msgs
+
+    good = tmp_path / "good.json"
+    good.write_text(json.dumps({
+        "name": "s", "sync_mode": "incremental", "cursor_field": "ts",
+        "destination_sync_mode": "append_dedup", "primary_key": ["id"],
+    }))
+    assert cli_main(["validate", "--config", str(good)]) == 0
+    capsys.readouterr()  # drain the good-config output
+
+    # pipeline kind: paginated source without api_dir is rejected
+    pbad = tmp_path / "pbad.json"
+    pbad.write_text(json.dumps({"source": {"format": "paginated"}}))
+    assert cli_main(["validate", "--config", str(pbad), "--kind", "pipeline"]) == 1
+    perrs = json.loads(capsys.readouterr().out)["errors"]
+    assert any("api_dir" in e for e in perrs)
+
+
+def test_check_config_or_raise_library_seam():
+    import pytest
+
+    from airbyte_ray.spec import check_config_or_raise
+
+    check_config_or_raise({"name": "ok"})
+    with pytest.raises(ValueError, match="cursor_field"):
+        check_config_or_raise({"name": "x", "sync_mode": "incremental"})

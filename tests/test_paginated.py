@@ -167,3 +167,77 @@ def test_declared_fields_conform_heterogeneous_slices(tmp_path):
     assert [r["id"] for r in rows] == [1, 2, 3]
     assert rows[1]["v"] is None  # missing key null-filled
     assert "extra" not in t.column_names  # undeclared key dropped
+
+
+# -- auth components (reference: declarative/auth/token.py, oauth.py) -------
+
+def test_oauth2_refresh_on_401_mid_read(api_dir, tmp_path):
+    """The server expires the first access token mid-read: the
+    authenticated requester must refresh from the token endpoint exactly
+    once (on the 401) and the full read completes — reference discipline:
+    cached token until expiry, re-fetch on invalidation."""
+    from airbyte_ray.sources.auth import AuthenticatedRequester, OAuth2Auth
+
+    td = str(tmp_path / "tokens")
+    os.makedirs(td)
+    for k, tok in enumerate(["tokA", "tokB"]):
+        with open(os.path.join(td, f"token-{k}.json"), "w") as f:
+            json.dump({"access_token": tok, "expires_in": 3600}, f)
+
+    inner = FileFixtureRequester(
+        api_dir, "users/page-{page}.json",
+        valid_tokens=["tokA", "tokB"], rotate_every=2,  # tokA dies after 2 uses
+    )
+    auth = OAuth2Auth(td)
+    req = AuthenticatedRequester(inner, auth)
+    recs = _collect(req, PagePaginator(page_size=2))
+    assert [r["id"] for r in recs] == list(range(7))
+    assert auth.refresh_count == 2  # initial fetch + exactly one 401 refresh
+    assert inner.unauthorized_count == 1
+
+
+def test_static_auth_headers_and_terminal_401(api_dir, tmp_path):
+    """api_key/bearer/basic inject the right headers; a 401 that persists
+    after the single refresh-retry surfaces as a hard error (not a silent
+    empty stream)."""
+    from airbyte_ray.sources.auth import (
+        ApiKeyAuth, AuthenticatedRequester, BasicAuth, BearerAuth, build_auth,
+    )
+
+    assert ApiKeyAuth("X-Key", "k1").headers() == {"X-Key": "k1"}
+    assert BearerAuth("t").headers() == {"Authorization": "Bearer t"}
+    assert BasicAuth("u", "p").headers() == {"Authorization": "Basic dTpw"}
+    assert build_auth({"type": "bearer", "token": "t"}).headers()[
+        "Authorization"] == "Bearer t"
+
+    ok = FileFixtureRequester(api_dir, "users/page-{page}.json", valid_tokens=["t"])
+    recs = _collect(AuthenticatedRequester(ok, BearerAuth("t")), PagePaginator(page_size=2))
+    assert len(recs) == 7
+
+    bad = FileFixtureRequester(api_dir, "users/page-{page}.json", valid_tokens=["t"])
+    with pytest.raises(RuntimeError, match="401"):
+        _collect(AuthenticatedRequester(bad, BearerAuth("WRONG")), PagePaginator(page_size=2))
+
+
+def test_auth_wired_into_declarative_spec(api_dir, tmp_path):
+    """spec['auth'] flows through read_paginated: the actor-pool requester
+    authenticates, survives a server-side token rotation, and the Dataset
+    read completes."""
+    td = str(tmp_path / "tok2")
+    os.makedirs(td)
+    for k, tok in enumerate(["s0", "s1", "s2"]):
+        with open(os.path.join(td, f"token-{k}.json"), "w") as f:
+            json.dump({"access_token": tok, "expires_in": 3600}, f)
+    spec = {
+        "api_dir": api_dir,
+        "path_template": "users/page-{page}.json",
+        "paginator": "page",
+        "paginator_args": {"page_size": 2},
+        "record_path": "data",
+        "slices": [{}],
+        "auth": {"type": "oauth2", "token_dir": td},
+        "server_tokens": ["s0", "s1", "s2"],
+        "server_rotate_every": 2,
+    }
+    rows = read_paginated(spec, concurrency=1).take_all()
+    assert sorted(r["id"] for r in rows) == list(range(7))
