@@ -223,15 +223,9 @@ class SyncEngine:
             elif cfg.format == "csv":
                 dset.write_csv(path)
             elif cfg.format == "avro":
-                # Avro serialized buffer (AvroSerializedBuffer.java analog).
-                # fastavro is not in this container — real plumbing, gated.
-                try:
-                    import fastavro  # noqa: F401
-                except ImportError as e:
-                    raise NotImplementedError(
-                        "avro sink requires fastavro (unavailable in this "
-                        "environment); use parquet/json/csv"
-                    ) from e
+                # Avro serialized buffer (AvroSerializedBuffer.java analog):
+                # fastavro when available, else the in-repo pure-Python
+                # object-container codec (formats.py, public Avro 1.x spec).
                 _write_avro(dset, path)
             else:
                 dset.write_parquet(path)
@@ -377,7 +371,7 @@ class SyncEngine:
             return ray.data.read_parquet(paths, partitioning=None)
         import glob as _g
 
-        ext = {"parquet": "parquet", "json": "json", "csv": "csv"}[format]
+        ext = {"parquet": "parquet", "json": "json", "csv": "csv", "avro": "avro"}[format]
         paths = []
         for s in st.get("segments", []):
             paths.extend(sorted(_g.glob(os.path.join(sdir, s, "**", f"*.{ext}"), recursive=True)))
@@ -385,36 +379,52 @@ class SyncEngine:
             return ray.data.read_json(paths)
         if format == "csv":
             return ray.data.read_csv(paths)
+        if format == "avro":
+            return _read_avro(paths)
         return ray.data.read_parquet(paths, partitioning=None)
 
 
 def _write_avro(dset: ray.data.Dataset, path: str) -> None:
-    """Distributed Avro writer: one container file per block (fastavro,
-    schema from the Arrow schema via JSON-type mapping)."""
-    from fastavro import parse_schema, writer as avro_writer
-
-    from ..discover import _arrow_to_json_schema
-
-    _J2A = {"integer": "long", "number": "double", "string": "string", "boolean": "boolean"}
+    """Distributed Avro writer: one container file per block.  Uses fastavro
+    when installed; otherwise the in-repo pure-Python object-container codec
+    (``airbyte_ray.formats``, public Avro 1.x spec) — same file layout, so
+    either library reads either output."""
 
     def to_avro(t: pa.Table) -> pa.Table:
-        fields = [
-            {"name": f.name,
-             "type": ["null", _J2A.get(_arrow_to_json_schema(f.type)["type"], "string")]}
-            for f in t.schema
-        ]
         import uuid
 
-        sch = parse_schema({"type": "record", "name": "rec", "fields": fields})
         os.makedirs(path, exist_ok=True)
         # uuid, not id(t): CPython recycles object addresses, which silently
         # overwrote earlier blocks (review finding)
         fn = os.path.join(path, f"block-{os.getpid()}-{uuid.uuid4().hex[:12]}.avro")
-        with open(fn, "wb") as f:
-            avro_writer(f, sch, t.to_pylist())
+        try:
+            from fastavro import parse_schema, writer as avro_writer
+
+            from ..formats import arrow_to_avro_schema
+
+            sch = parse_schema(arrow_to_avro_schema(t.schema))
+            with open(fn, "wb") as f:
+                avro_writer(f, sch, t.to_pylist())
+        except ImportError:
+            from ..formats import write_avro_file
+
+            write_avro_file(t, fn)
         return pa.table({"written": pa.array([t.num_rows], pa.int64())})
 
     dset.map_batches(to_avro, batch_format="pyarrow").sum("written")
+
+
+def _read_avro(paths: list[str]) -> ray.data.Dataset:
+    """Distributed Avro reader: one decode task per container file."""
+    from ..formats import read_avro_file
+
+    def decode(batch: pa.Table) -> pa.Table:
+        tabs = [read_avro_file(p) for p in batch.column("path").to_pylist()]
+        return pa.concat_tables(tabs, promote_options="default")
+
+    return ray.data.from_items([{"path": p} for p in paths]).map_batches(
+        decode, batch_format="pyarrow", batch_size=1
+    )
 
 
 def _leaf_index(md, col: str) -> int | None:
