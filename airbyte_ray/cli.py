@@ -102,6 +102,15 @@ def main(argv: list[str] | None = None) -> int:
     ss.add_argument("--stream-col", default="stream")
     ss.add_argument("--partitions", type=int, default=64)
 
+    im = sub.add_parser(
+        "import-state",
+        help="migrate a LEGACY/GLOBAL/STREAM state blob into per-stream state files",
+    )
+    im.add_argument("--state", required=True, help="path to the state JSON blob")
+    im.add_argument("--state-dir", required=True, help="engine state dir to seed")
+    im.add_argument("--global-root", default=None,
+                    help="catalog root for a GLOBAL shared offset (optional)")
+
     sy = sub.add_parser("sync", help="cursor-based stream sync (non-CDC)")
     sy.add_argument("--dest", required=True)
     sy.add_argument("--stream", required=True)
@@ -140,6 +149,15 @@ def main(argv: list[str] | None = None) -> int:
         from .spec import connector_spec
 
         print(json.dumps(connector_spec()))
+        return 0
+
+    if args.cmd == "import-state":  # no Ray needed
+        from .state.migrate import import_state
+
+        with open(args.state) as f:
+            blob = json.load(f)
+        print(json.dumps(import_state(args.state_dir, blob,
+                                      global_root=args.global_root)))
         return 0
 
     if args.cmd == "validate":  # no Ray needed
