@@ -258,7 +258,15 @@ def spec_schema(spec: dict) -> pa.Schema | None:
 class _SliceFetcher:
     """Actor-pool stage: one task = one slice's full page loop.  The
     requester is constructed once per actor (the per-worker CachedSession
-    analog); batches arrive as 1-row tables of slice params."""
+    analog); batches arrive as 1-row tables of slice params.
+
+    With a declared schema (``spec['fields']``), ``__call__`` STREAMS —
+    it yields a bounded Arrow batch every ``rows_per_batch`` rows, so an
+    unbounded slice (a huge API stream) never accumulates in the worker
+    heap and downstream stages start while the page loop is still
+    running.  Without a declared schema the slice must be emitted whole
+    (its column set is only known once every page arrived), which is the
+    documented trade-off of schemaless specs."""
 
     def __init__(self, spec: dict):
         self.spec = spec
@@ -276,8 +284,9 @@ class _SliceFetcher:
 
             self.requester = AuthenticatedRequester(self.requester, build_auth(spec["auth"]))
 
-    def __call__(self, t: pa.Table) -> pa.Table:
+    def __call__(self, t: pa.Table):
         spec = self.spec
+        cap = int(spec.get("rows_per_batch", 4096))
         out: list[dict] = []
         for row in t.to_pylist():
             sl = json.loads(row["slice_json"])
@@ -294,15 +303,21 @@ class _SliceFetcher:
             ):
                 for r in records:
                     out.append({**sl, **r})
+                if self.schema is not None and len(out) >= cap:
+                    # declared schema: stream a bounded batch mid-slice —
+                    # heap stays O(rows_per_batch) however long the page
+                    # loop runs (advice finding: no whole-slice pylist)
+                    yield pa.Table.from_pylist(out, schema=self.schema)
+                    out = []
         if self.schema is not None:
-            # declared schema: missing keys null-fill, values cast, empties
-            # come back with the same columns — block schemas are
-            # data-independent
-            return pa.Table.from_pylist(out, schema=self.schema)
-        if not out:
-            return pa.Table.from_pylist([], schema=pa.schema([]))
-        tbl = pa.Table.from_pylist(out)
-        return tbl.select(sorted(tbl.schema.names))  # stable cross-slice schema
+            # missing keys null-fill, values cast, empties come back with
+            # the same columns — block schemas are data-independent
+            yield pa.Table.from_pylist(out, schema=self.schema)
+        elif not out:
+            yield pa.Table.from_pylist([], schema=pa.schema([]))
+        else:
+            tbl = pa.Table.from_pylist(out)
+            yield tbl.select(sorted(tbl.schema.names))  # stable cross-slice schema
 
 
 def substream_slices(

@@ -169,6 +169,35 @@ def test_declared_fields_conform_heterogeneous_slices(tmp_path):
     assert "extra" not in t.column_names  # undeclared key dropped
 
 
+def test_declared_schema_streams_bounded_batches(tmp_path):
+    """With spec['fields'] and rows_per_batch, one huge slice yields many
+    bounded Arrow batches mid-page-loop instead of accumulating the whole
+    slice in the worker heap (advice finding)."""
+    from airbyte_ray.sources.paginated import _SliceFetcher
+
+    d = str(tmp_path / "api")
+    n_pages, per_page = 10, 50
+    pages = [[{"id": p * per_page + i} for i in range(per_page)]
+             for p in range(n_pages)]
+    _write_pages(d, "big", pages)
+    spec = {
+        "api_dir": d,
+        "path_template": "big/page-{page}.json",
+        "paginator": "page",
+        "paginator_args": {"page_size": per_page},
+        "record_path": "data",
+        "fields": {"id": "int64"},
+        "rows_per_batch": 100,
+    }
+    fetcher = _SliceFetcher(spec)
+    batches = list(fetcher(pa.Table.from_pylist([{"slice_json": "{}"}])))
+    assert len(batches) >= 5  # 500 rows / 100-cap → mid-slice emission
+    assert all(b.num_rows <= 100 for b in batches)
+    assert all(b.schema.names == ["id"] for b in batches)
+    ids = sorted(i for b in batches for i in b.column("id").to_pylist())
+    assert ids == list(range(n_pages * per_page))
+
+
 # -- auth components (reference: declarative/auth/token.py, oauth.py) -------
 
 def test_oauth2_refresh_on_401_mid_read(api_dir, tmp_path):
