@@ -581,6 +581,23 @@ def q_dedup_minhash(sf_dir: str) -> ray.data.Dataset:
     ).select_columns(["doc_id"])
 
 
+def q_dedup_ngram(sf_dir: str) -> ray.data.Dataset:
+    """EXACT 5-char-gram Jaccard pairs at threshold 0.5 (inside the
+    fixture's documented bimodal gap: near-dups ≥ 0.93, background
+    ≤ 0.31).  Candidates come from MinHash-LSH at recall-slack 0.3 —
+    any true pair (est ≈ 0.93, σ ≈ 0.03 at 64 perms) survives with
+    > 20σ margin, and every false candidate is cut by the exact metric,
+    so the output equals the exhaustive-SQL pair set INCLUDING the exact
+    jaccard value (both sides divide the same small integers in IEEE
+    double)."""
+    from .functions.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _docs(sf_dir, columns=["doc_id", "text"]), "text", "doc_id",
+        threshold=0.5, num_perm=64, bands=16,
+    )
+
+
 def q_dedup_simhash(sf_dir: str) -> ray.data.Dataset:
     """SimHash near-dup pairs with a planted oracle (VERDICT r2 next-step
     1b).  Every doc's text is salted with a doc_id-derived token repeated
@@ -755,6 +772,7 @@ QUERIES = {
     "lang_id": q_lang_id,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
+    "dedup_ngram": q_dedup_ngram,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding": q_dedup_embedding,
     "ann_topk": q_ann_topk,
@@ -973,6 +991,27 @@ ORACLE_SQL = {
         )
         SELECT doc_id FROM d
         WHERE doc_id NOT IN (SELECT u FROM reach GROUP BY u HAVING min(v) < u)
+    """,
+    # dedup_ngram oracle: the same exact-shingle CTE, emitting the PAIRS
+    # with their exact jaccard — the engine computes the identical metric
+    # (LSH candidates are recall-complete over the bimodal gap; exact
+    # verification makes precision exact), so rows AND values match.
+    "dedup_ngram": """
+        WITH
+        d AS (SELECT doc_id, text FROM documents),
+        sh AS (
+          SELECT DISTINCT d.doc_id, substring(d.text, i, 5) AS s
+          FROM d, LATERAL (SELECT unnest(generate_series(1, greatest(length(d.text)-4, 1))) AS i)
+        ),
+        cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+          FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+          GROUP BY x.doc_id, y.doc_id
+        )
+        SELECT a, b, c * 1.0 / (ca.n + cb.n - c) AS jaccard FROM inter
+        JOIN cnt ca ON ca.doc_id = a JOIN cnt cb ON cb.doc_id = b
+        WHERE c * 1.0 / (ca.n + cb.n - c) >= 0.5
     """,
     # Planted-fixture oracles for the formerly rows-only heuristics: the
     # expected output is a pure function of doc_id by construction (see the

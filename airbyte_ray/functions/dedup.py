@@ -801,3 +801,150 @@ def embedding_near_dups(
         .groupby(["a", "b"])
         .map_groups(pair_first, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard (LSH candidates → EXACT verification)
+# ---------------------------------------------------------------------------
+
+
+def _gram_blobs(t: pa.Table, col: str, shingle_k: int, out: str = "grams") -> pa.Table:
+    """Append each doc's sorted-unique k-gram hash set as a BINARY column
+    (the uint64 array's raw bytes).  Binary survives every join path
+    (pandas bucket merge / Arrow join) where a list column would not, and
+    decodes zero-copy with ``np.frombuffer``.  A plain TASK stage — the
+    kernel is pure (no per-actor state), and skipping the actor pool keeps
+    the join DAG free of pool-vs-shuffle CPU contention on small clusters."""
+    texts = t[col].cast(pa.string()).to_pylist()
+    blobs = [_shingle_hashes(v or "", shingle_k).tobytes() for v in texts]
+    return t.append_column(out, pa.array(blobs, pa.binary()))
+
+
+def _exact_jaccard_rows(t: pa.Table, threshold: float) -> pa.Table:
+    """Exact Jaccard for each (grams_a, grams_b) row; keeps rows ≥ threshold.
+    The loop runs over CANDIDATE PAIRS only (pairs ≪ corpus — same
+    contract as the components step); each intersection is a vectorized
+    merge of two sorted-unique uint64 arrays."""
+    if t.num_rows == 0:
+        return t.drop_columns(["grams_a", "grams_b"]).append_column(
+            "jaccard", pa.array([], pa.float64())
+        )
+    ga = t["grams_a"].to_pylist()
+    gb = t["grams_b"].to_pylist()
+    jac = np.empty(t.num_rows, np.float64)
+    for i, (ba, bb) in enumerate(zip(ga, gb)):
+        a = np.frombuffer(ba or b"", np.uint64)
+        b = np.frombuffer(bb or b"", np.uint64)
+        if len(a) == 0 and len(b) == 0:
+            jac[i] = 1.0  # two empty docs are identical
+            continue
+        inter = len(np.intersect1d(a, b, assume_unique=True))
+        jac[i] = inter / (len(a) + len(b) - inter)
+    out = t.drop_columns(["grams_a", "grams_b"]).append_column(
+        "jaccard", pa.array(jac)
+    )
+    return out.filter(pc.greater_equal(out["jaccard"], pa.scalar(threshold)))
+
+
+def ngram_jaccard_pairs(
+    ds: ray.data.Dataset,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.7,
+    shingle_k: int = 5,
+    candidate_threshold: float | None = None,
+    num_buckets: int = 32,
+    concurrency: int | tuple | None = None,
+    **lsh_kwargs,
+) -> ray.data.Dataset:
+    """Near-dup pairs by EXACT k-char-gram Jaccard (a < b, jaccard ≥
+    threshold) — the n-gram-Jaccard member of the dedup family: MinHash
+    estimates the metric; this operator computes it exactly.
+
+    Plan (no all-pairs, no gram sets through the band explosion):
+
+    1. candidate ``(a, b)`` pairs from MinHash-LSH at a *recall-slack*
+       signature threshold (default ``threshold − 0.2``) — banding gives
+       the recall argument, the slack keeps signature noise from dropping
+       a true pair before exact verification;
+    2. one gram-set pass over the corpus (:func:`_gram_blobs`, binary
+       blobs);
+    3. two partitioned hash joins rebind each pair to its two gram sets —
+       shuffle cost scales with the PAIR set, corpus side is hash-bucketed
+       (``joins.hash_join``);
+    4. exact Jaccard per candidate row, filter ≥ threshold.
+
+    Fully deterministic given the candidate set; for a corpus whose true
+    similarities are bimodal around the threshold (the oracle fixture's
+    documented gap), the output equals the exhaustive-SQL pair set.
+
+    The candidate set is MATERIALIZED before the joins: pairs ≪ corpus
+    (bounded memory), and splitting the execution keeps the MinHasher
+    actor pool's CPU reservation from starving the join shuffles on a
+    small cluster (observed deadlock at 4 CPUs: pools + read held every
+    slot while the groupby's map tasks pended forever)."""
+    from ..joins import hash_join
+
+    conc = concurrency or auto_concurrency()
+    cands = lsh_candidates(
+        ds, text_col, id_col,
+        shingle_k=shingle_k,
+        threshold=(candidate_threshold
+                   if candidate_threshold is not None
+                   else max(0.0, threshold - 0.2)),
+        concurrency=conc,
+        dedup_pairs=True,
+        **lsh_kwargs,
+    ).select_columns(["a", "b"]).materialize()
+
+    grams = ds.select_columns([id_col, text_col]).map_batches(
+        lambda t: _gram_blobs(t, text_col, shingle_k), batch_format="pyarrow"
+    ).drop_columns([text_col])
+
+    ga = grams.map_batches(
+        lambda t: t.rename_columns(["a", "grams_a"]), batch_format="pyarrow"
+    )
+    gb = grams.map_batches(
+        lambda t: t.rename_columns(["b", "grams_b"]), batch_format="pyarrow"
+    )
+    j = hash_join(cands, ga, on="a", num_buckets=num_buckets)
+    j = hash_join(j, gb, on="b", num_buckets=num_buckets)
+    return j.map_batches(
+        lambda t: _exact_jaccard_rows(t, threshold), batch_format="pyarrow"
+    )
+
+
+def ngram_jaccard_dedup(
+    ds: ray.data.Dataset,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.7,
+    driver_cc_max_pairs: int = 2_000_000,
+    **kwargs,
+) -> ray.data.Dataset:
+    """Keep one representative (min id) per exact-Jaccard component — same
+    adaptive components / broadcast-drop-set plan as :func:`minhash_dedup`,
+    but edges come from the exact metric."""
+    pairs = ngram_jaccard_pairs(
+        ds, text_col, id_col, threshold=threshold, **kwargs
+    ).materialize()
+    if pairs.count() <= driver_cc_max_pairs:
+        comp = connected_components(pairs.select_columns(["a", "b"]).take_all())
+        drop = {k for k, v in comp.items() if v != k}
+    else:
+        cc = connected_components_ds(pairs)
+        drop_rows = cc.map_batches(
+            lambda t: t.filter(pc.not_equal(t["lab"], t["node"])).select(["node"]),
+            batch_format="pyarrow",
+        ).take_all()
+        drop = {r["node"] for r in drop_rows}
+    drop_ref = ray.put(pa.array(sorted(drop)) if drop else None)
+
+    def keep(t: pa.Table) -> pa.Table:
+        d = ray.get(drop_ref)
+        if d is None:
+            return t
+        mask = pc.invert(pc.is_in(t[id_col], value_set=d.cast(t[id_col].type)))
+        return t.filter(mask)
+
+    return ds.map_batches(keep, batch_format="pyarrow")

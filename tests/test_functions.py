@@ -500,3 +500,41 @@ def test_build_ivf_index_and_indexed_query(tmp_path):
         np.asarray(assign_cells(sds, c2).to_pandas()["cell"]), minlength=8
     )
     assert (counts > 0).sum() >= 6  # no starved-half quantizer
+
+
+def test_ngram_jaccard_exact_pairs(dup_docs):
+    """Exact n-gram Jaccard: identical docs score 1.0, the verified pair
+    value equals a brute-force set computation, and sub-threshold
+    candidates are cut by the exact metric."""
+    from airbyte_ray.functions.dedup import (
+        _shingle_hashes,
+        ngram_jaccard_dedup,
+        ngram_jaccard_pairs,
+    )
+
+    path, t = dup_docs
+    ds = ray.data.read_parquet(path)
+    pairs = pa.Table.from_pylist(
+        ngram_jaccard_pairs(
+            ds, "text", "doc_id", threshold=0.6, num_perm=64, bands=16
+        ).take_all()
+    )
+    by_pair = {(r["a"], r["b"]): r["jaccard"] for r in pairs.to_pylist()}
+    texts = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    for j in range(10):  # exact dups: jaccard exactly 1.0
+        assert by_pair[(j, 10_000 + j)] == 1.0
+    # every reported value equals the brute-force exact jaccard
+    import numpy as np
+
+    for (a, b), v in by_pair.items():
+        sa = _shingle_hashes(texts[a], 5)
+        sb = _shingle_hashes(texts[b], 5)
+        inter = len(np.intersect1d(sa, sb, assume_unique=True))
+        assert v == inter / (len(sa) + len(sb) - inter)
+        assert v >= 0.6
+
+    kept = {r["doc_id"] for r in
+            ngram_jaccard_dedup(ds, "text", "doc_id", threshold=0.6,
+                                num_perm=64, bands=16).take_all()}
+    assert not any(10_000 + j in kept for j in range(10))
+    assert all(j in kept for j in range(10))
