@@ -549,7 +549,7 @@ def q_lang_id(sf_dir: str) -> ray.data.Dataset:
     expression (VERDICT r2 next-step 1a).  Non-tautological: LangId must
     out-vote the planted distractor stopwords and route CJK by codepoint
     ratio to win."""
-    from .config import auto_concurrency
+    from .functions.text import langid_batch
 
     planted = pa.array([f"{p} {d}".strip() for _, p, d in _LANG_FIXTURE])
 
@@ -560,10 +560,7 @@ def q_lang_id(sf_dir: str) -> ray.data.Dataset:
     return (
         _docs(sf_dir, columns=["doc_id"])
         .map_batches(plant, batch_format="pyarrow")
-        .map_batches(
-            LangId, fn_constructor_args=("text",), batch_format="pyarrow",
-            concurrency=auto_concurrency(),
-        )
+        .map_batches(partial(langid_batch, col="text"), batch_format="pyarrow")
         .map_batches(lambda t: t.drop_columns(["text"]), batch_format="pyarrow")
     )
 

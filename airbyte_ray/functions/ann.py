@@ -14,12 +14,14 @@
 
 from __future__ import annotations
 
+from functools import partial
+
 import numpy as np
 import pyarrow as pa
 import ray
 import ray.data
 
-from ..config import auto_concurrency
+from ..config import _worker_state
 
 
 def _matrix(t: pa.Table, col: str) -> np.ndarray:
@@ -67,6 +69,12 @@ class _BatchScorer:
                          "score": pa.array(sc.astype(np.float64))})
 
 
+def _scorer_batch(t: pa.Table, qref, col: str, id_col: str, k: int) -> pa.Table:
+    s = _worker_state(("ann_scorer", qref.hex(), col, id_col, k),
+                      lambda: _BatchScorer(qref, col, id_col, k))
+    return s(t)
+
+
 def brute_force_topk(
     ds: ray.data.Dataset,
     queries: np.ndarray,
@@ -76,14 +84,26 @@ def brute_force_topk(
     concurrency=None,
 ) -> ray.data.Dataset:
     """Exact cosine top-k for each query row; returns
-    (query_id, id_col, score) sorted within group by score desc, id asc."""
+    (query_id, id_col, score) sorted within group by score desc, id asc.
+
+    The scoring stage runs as tasks with per-worker-process cached state
+    (normalized query matrix, fetched from the object store once per
+    worker — see ``config._WORKER_STATE``); pass ``concurrency`` to force
+    an actor pool."""
     qref = ray.put(np.asarray(queries, np.float32))
-    cands = ds.select_columns([id_col, col]).map_batches(
-        _BatchScorer,
-        fn_constructor_args=(qref, col, id_col, k),
-        batch_format="pyarrow",
-        concurrency=concurrency or auto_concurrency(),
-    )
+    sel = ds.select_columns([id_col, col])
+    if concurrency is not None:
+        cands = sel.map_batches(
+            _BatchScorer,
+            fn_constructor_args=(qref, col, id_col, k),
+            batch_format="pyarrow",
+            concurrency=concurrency,
+        )
+    else:
+        cands = sel.map_batches(
+            partial(_scorer_batch, qref=qref, col=col, id_col=id_col, k=k),
+            batch_format="pyarrow",
+        )
 
     def final_topk(g: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

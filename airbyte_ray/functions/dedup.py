@@ -26,6 +26,7 @@ vectorized ``is_in`` mask inside ``map_batches`` — no join shuffle.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Callable
 
 import numpy as np
@@ -35,7 +36,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from ..config import auto_concurrency
+from ..config import _worker_state
 from .text import fingerprint_md5
 
 # ---------------------------------------------------------------------------
@@ -75,6 +76,21 @@ def exact_dedup(
         .groupby(fp_col)
         .map_groups(first, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# per-worker-process state cache (cheap-state task stages)
+# ---------------------------------------------------------------------------
+
+def _minhash_batch(t: pa.Table, col: str, num_perm: int, shingle_k: int) -> pa.Table:
+    h = _worker_state(("minhash", col, num_perm, shingle_k),
+                      lambda: MinHasher(col, num_perm, shingle_k))
+    return h(t)
+
+
+def _simhash_batch(t: pa.Table, col: str) -> pa.Table:
+    h = _worker_state(("simhash", col), lambda: SimHasher(col))
+    return h(t)
 
 
 # ---------------------------------------------------------------------------
@@ -348,17 +364,29 @@ def lsh_candidates(
     bucket_cap: int = _BUCKET_CAP,
     dedup_pairs: bool = True,
 ) -> ray.data.Dataset:
-    """shingle → minhash (actor pool) → band-explode → bucket groupby →
-    verified candidate duplicate pairs (a < b, est_jaccard ≥ threshold).
+    """shingle → minhash → band-explode → bucket groupby → verified
+    candidate duplicate pairs (a < b, est_jaccard ≥ threshold).
     ``dedup_pairs=False`` skips the final pair-dedup exchange — connected
     components tolerate duplicate edges, so the dedup flow saves a
-    groupby."""
-    sigged = ds.select_columns([id_col, text_col]).map_batches(
-        MinHasher,
-        fn_constructor_args=(text_col, num_perm, shingle_k),
-        batch_format="pyarrow",
-        concurrency=concurrency or auto_concurrency(),
-    )
+    groupby.
+
+    The signature stage runs as TASKS with per-worker-process cached
+    hasher state (see ``_WORKER_STATE``); pass ``concurrency`` explicitly
+    to force an actor pool instead (the right shape when the stage state
+    is expensive to build)."""
+    sel = ds.select_columns([id_col, text_col])
+    if concurrency is not None:
+        sigged = sel.map_batches(
+            MinHasher,
+            fn_constructor_args=(text_col, num_perm, shingle_k),
+            batch_format="pyarrow",
+            concurrency=concurrency,
+        )
+    else:
+        sigged = sel.map_batches(
+            partial(_minhash_batch, col=text_col, num_perm=num_perm, shingle_k=shingle_k),
+            batch_format="pyarrow",
+        )
     exploded = sigged.map_batches(
         lambda t: _band_rows(t.drop_columns([text_col]), id_col, num_perm, bands),
         batch_format="pyarrow",
@@ -590,8 +618,7 @@ def simhash_near_dups(
     (any pair within hamming ≤3 shares ≥1 exact band — pigeonhole), bucket
     with one groupby, verify hamming inside the bucket."""
     sigged = ds.select_columns([id_col, text_col]).map_batches(
-        SimHasher, fn_constructor_args=(text_col,), batch_format="pyarrow",
-        concurrency=auto_concurrency(),
+        partial(_simhash_batch, col=text_col), batch_format="pyarrow",
     ).drop_columns([text_col])
 
     def explode(t: pa.Table) -> pa.Table:
@@ -820,6 +847,82 @@ def _gram_blobs(t: pa.Table, col: str, shingle_k: int, out: str = "grams") -> pa
     return t.append_column(out, pa.array(blobs, pa.binary()))
 
 
+def _pair_routing(pt: pa.Table):
+    """Sorted lookup arrays (ids, pidx, side) from a (a, b) pair table —
+    built ONCE per worker process and cached; every gram batch then routes
+    its docs to the pairs touching them with two ``np.searchsorted``."""
+    a = pt["a"].to_numpy(zero_copy_only=False)
+    b = pt["b"].to_numpy(zero_copy_only=False)
+    n = len(a)
+    ids = np.concatenate([a, b])
+    pidx = np.concatenate([np.arange(n, dtype=np.int64)] * 2)
+    side = np.concatenate([np.zeros(n, np.int8), np.ones(n, np.int8)])
+    order = np.argsort(ids, kind="stable")
+    return ids[order], pidx[order], side[order]
+
+
+def _route_grams(t: pa.Table, pref, id_col: str, num_buckets: int) -> pa.Table:
+    """Map-side of the broadcast pair join: emit one (pidx, side, bucket,
+    grams) row per (doc, pair-slot) hit.  Output volume ∝ candidate-touched
+    grams (2 rows per pair), NOT corpus size."""
+    ids_s, pidx_s, side_s = _worker_state(
+        ("ngram_route", pref.hex()), lambda: _pair_routing(ray.get(pref))
+    )
+    bids = t[id_col].to_numpy(zero_copy_only=False)
+    lo = np.searchsorted(ids_s, bids, "left")
+    cnt = np.searchsorted(ids_s, bids, "right") - lo
+    total = int(cnt.sum())
+    if total == 0:
+        return pa.table({"pidx": pa.array([], pa.int64()),
+                         "side": pa.array([], pa.int8()),
+                         "bucket": pa.array([], pa.int64()),
+                         "grams": pa.array([], pa.binary())})
+    rows = np.repeat(np.arange(len(bids)), cnt)
+    flat = np.repeat(lo, cnt) + (np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt))
+    pidx = pidx_s[flat]
+    return pa.table({
+        "pidx": pa.array(pidx),
+        "side": pa.array(side_s[flat]),
+        "bucket": pa.array((pidx % num_buckets).astype(np.int64)),
+        "grams": t["grams"].take(pa.array(rows)),
+    })
+
+
+def _bucket_jaccard(g: pa.Table, pref, threshold: float) -> pa.Table:
+    """Reduce-side: each bucket holds complete pairs (both sides routed by
+    pidx); sort by (pidx, side), compute the exact metric per adjacent
+    row-pair, rebind ids from the broadcast pair table."""
+    pt = _worker_state(("ngram_pairs_tbl", pref.hex()), lambda: ray.get(pref))
+    g = g.take(pc.sort_indices(g, sort_keys=[("pidx", "ascending"), ("side", "ascending")]))
+    pidx = g["pidx"].to_numpy()
+    grams = g["grams"].to_pylist()
+    out_p: list[int] = []
+    out_j: list[float] = []
+    i, n = 0, len(pidx)
+    while i < n:
+        j = i + 1
+        while j < n and pidx[j] == pidx[i]:
+            j += 1
+        if j - i == 2:  # both sides present (always, for unique corpus ids)
+            a = np.frombuffer(grams[i] or b"", np.uint64)
+            b = np.frombuffer(grams[i + 1] or b"", np.uint64)
+            if len(a) == 0 and len(b) == 0:
+                jac = 1.0  # two empty docs are identical
+            else:
+                inter = len(np.intersect1d(a, b, assume_unique=True))
+                jac = inter / (len(a) + len(b) - inter)
+            if jac >= threshold:
+                out_p.append(int(pidx[i]))
+                out_j.append(jac)
+        i = j
+    idx = pa.array(out_p, pa.int64())
+    return pa.table({
+        "a": pt["a"].take(idx),
+        "b": pt["b"].take(idx),
+        "jaccard": pa.array(out_j, pa.float64()),
+    })
+
+
 def _exact_jaccard_rows(t: pa.Table, threshold: float) -> pa.Table:
     """Exact Jaccard for each (grams_a, grams_b) row; keeps rows ≥ threshold.
     The loop runs over CANDIDATE PAIRS only (pairs ≪ corpus — same
@@ -855,6 +958,7 @@ def ngram_jaccard_pairs(
     candidate_threshold: float | None = None,
     num_buckets: int = 32,
     concurrency: int | tuple | None = None,
+    broadcast_max_pairs: int = 5_000_000,
     **lsh_kwargs,
 ) -> ray.data.Dataset:
     """Near-dup pairs by EXACT k-char-gram Jaccard (a < b, jaccard ≥
@@ -869,30 +973,38 @@ def ngram_jaccard_pairs(
        a true pair before exact verification;
     2. one gram-set pass over the corpus (:func:`_gram_blobs`, binary
        blobs);
-    3. two partitioned hash joins rebind each pair to its two gram sets —
-       shuffle cost scales with the PAIR set, corpus side is hash-bucketed
-       (``joins.hash_join``);
-    4. exact Jaccard per candidate row, filter ≥ threshold.
+    3. rebind each pair to its two gram sets.  Below
+       ``broadcast_max_pairs`` this is a BROADCAST pair join: the pair
+       table is ``ray.put`` once, each gram batch routes its docs to
+       their pair slots via ``searchsorted`` (:func:`_route_grams`), and
+       ONE bucketed groupby brings both sides of every pair together
+       (:func:`_bucket_jaccard`) — exchange volume ∝ candidate-touched
+       grams, map volume ∝ corpus, one all-to-all instead of two.  (The
+       previous two-``hash_join`` plan moved the same bytes through two
+       exchanges; measured at sf0.1 that was 11-15 s of per-bucket fixed
+       cost vs ~2 s for this plan.)  Above the cap — when the pair table
+       itself would strain worker heaps — it falls back to the two
+       partitioned hash joins (``joins.hash_join``), whose shuffle cost
+       scales with the pair set without any broadcast;
+    4. exact Jaccard per candidate pair, filter ≥ threshold.
 
     Fully deterministic given the candidate set; for a corpus whose true
     similarities are bimodal around the threshold (the oracle fixture's
     documented gap), the output equals the exhaustive-SQL pair set.
 
-    The candidate set is MATERIALIZED before the joins: pairs ≪ corpus
-    (bounded memory), and splitting the execution keeps the MinHasher
-    actor pool's CPU reservation from starving the join shuffles on a
-    small cluster (observed deadlock at 4 CPUs: pools + read held every
-    slot while the groupby's map tasks pended forever)."""
-    from ..joins import hash_join
-
-    conc = concurrency or auto_concurrency()
+    The candidate set is MATERIALIZED first: pairs ≪ corpus (bounded
+    memory), and splitting the execution keeps the LSH stage's bucket
+    groupby out of the downstream DAG (when the signature stage ran as an
+    actor pool, fusing them deadlocked at 4 CPUs: pools + read held every
+    slot while the groupby's map tasks pended forever — see
+    ``config._WORKER_STATE`` for why it is a task stage now)."""
     cands = lsh_candidates(
         ds, text_col, id_col,
         shingle_k=shingle_k,
         threshold=(candidate_threshold
                    if candidate_threshold is not None
                    else max(0.0, threshold - 0.2)),
-        concurrency=conc,
+        concurrency=concurrency,
         dedup_pairs=True,
         **lsh_kwargs,
     ).select_columns(["a", "b"]).materialize()
@@ -901,16 +1013,40 @@ def ngram_jaccard_pairs(
         lambda t: _gram_blobs(t, text_col, shingle_k), batch_format="pyarrow"
     ).drop_columns([text_col])
 
-    ga = grams.map_batches(
-        lambda t: t.rename_columns(["a", "grams_a"]), batch_format="pyarrow"
+    n_pairs = cands.count()
+    if n_pairs > broadcast_max_pairs:  # scale fallback: no broadcast
+        from ..joins import hash_join
+
+        ga = grams.map_batches(
+            lambda t: t.rename_columns(["a", "grams_a"]), batch_format="pyarrow"
+        )
+        gb = grams.map_batches(
+            lambda t: t.rename_columns(["b", "grams_b"]), batch_format="pyarrow"
+        )
+        j = hash_join(cands, ga, on="a", num_buckets=num_buckets)
+        j = hash_join(j, gb, on="b", num_buckets=num_buckets)
+        return j.map_batches(
+            lambda t: _exact_jaccard_rows(t, threshold), batch_format="pyarrow"
+        )
+
+    blocks = [b for b in ray.get(cands.to_arrow_refs()) if b.num_rows]
+    if not blocks:
+        try:
+            id_t = cands.schema().base_schema.field("a").type
+        except Exception:
+            id_t = pa.int64()
+        empty = pa.table({"a": pa.array([], id_t), "b": pa.array([], id_t),
+                          "jaccard": pa.array([], pa.float64())})
+        return ray.data.from_arrow(empty)
+    pair_tbl = pa.concat_tables([b.select(["a", "b"]) for b in blocks]).combine_chunks()
+    pref = ray.put(pair_tbl)
+    routed = grams.map_batches(
+        partial(_route_grams, pref=pref, id_col=id_col, num_buckets=num_buckets),
+        batch_format="pyarrow",
     )
-    gb = grams.map_batches(
-        lambda t: t.rename_columns(["b", "grams_b"]), batch_format="pyarrow"
-    )
-    j = hash_join(cands, ga, on="a", num_buckets=num_buckets)
-    j = hash_join(j, gb, on="b", num_buckets=num_buckets)
-    return j.map_batches(
-        lambda t: _exact_jaccard_rows(t, threshold), batch_format="pyarrow"
+    return routed.groupby("bucket").map_groups(
+        partial(_bucket_jaccard, pref=pref, threshold=threshold),
+        batch_format="pyarrow",
     )
 
 

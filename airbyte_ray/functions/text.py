@@ -75,12 +75,24 @@ _STOPWORDS = {
 }
 
 
-class LangId:
-    """Stopword/char-ngram language classifier — stateful actor-pool stage.
+def langid_batch(t: pa.Table, col: str) -> pa.Table:
+    """Task-stage wrapper over :class:`LangId` with per-worker-process
+    cached token tables (``config._WORKER_STATE``) — the state is a cheap
+    pure function of the column name, so a task pool beats an actor pool
+    (no spin-up, no CPU reservation contention with shuffles)."""
+    from ..config import _worker_state
 
-    Use ``ds.map_batches(LangId("text"), batch_format="pyarrow",
-    concurrency=N)``: the per-language token tables are built once per actor
-    in ``__init__`` (reference pattern: per-worker cache, ``http.py:52-69``).
+    return _worker_state(("langid", col), lambda: LangId(col))(t)
+
+
+class LangId:
+    """Stopword/char-ngram language classifier — stateful batch stage.
+
+    Use ``ds.map_batches(partial(langid_batch, col="text"),
+    batch_format="pyarrow")`` (task pool, per-process cached tables), or
+    pass the class itself with ``concurrency=N`` for an actor pool: the
+    per-language token tables are built once per actor in ``__init__``
+    (reference pattern: per-worker cache, ``http.py:52-69``).
 
     Returns ``lang_pred`` ∈ {en,de,fr,es,unk}; 'zh' style CJK text falls out
     as ``unk`` unless CJK chars dominate, which is detected by codepoint
