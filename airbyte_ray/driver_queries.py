@@ -736,6 +736,114 @@ def q_ann_lsh(sf_dir: str) -> ray.data.Dataset:
 
 
 # ---------------------------------------------------------------------------
+# tokenized-sequence lake ops: packing, mixing, shuffle, scrub, repetition
+# ---------------------------------------------------------------------------
+
+def _plant_tokens(t: pa.Table) -> pa.Table:
+    """Deterministic per-doc token arrays — ``doc_id % 50 + 1`` tokens of
+    value ``doc_id*1000 + j`` — so the packed stream is a pure function of
+    the doc_id set and the oracle can rebuild it with generate_series."""
+    d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    lens = d % 50 + 1
+    tot = int(lens.sum())
+    docrep = np.repeat(d, lens)
+    j = np.arange(tot, dtype=np.int64) - np.repeat(np.cumsum(lens) - lens, lens)
+    vals = (docrep * 1000 + j).astype(np.int32)
+    offsets = np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
+    toks = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), pa.array(vals, pa.int32()))
+    return pa.table({"doc_id": t["doc_id"], "tokens": toks})
+
+
+def _explode_packed(t: pa.Table) -> pa.Table:
+    la = t["tokens"].combine_chunks()
+    lens = pc.list_value_length(la).to_numpy(zero_copy_only=False).astype(np.int64)
+    seq = np.repeat(t["seq_id"].to_numpy(zero_copy_only=False), lens)
+    pos = np.arange(int(lens.sum()), dtype=np.int64) - np.repeat(np.cumsum(lens) - lens, lens)
+    return pa.table({
+        "seq_id": pa.array(seq), "pos": pa.array(pos),
+        "token": la.flatten(),
+    })
+
+
+def q_pack_sequences(sf_dir: str) -> ray.data.Dataset:
+    """Concat-and-chunk sequence packing over PLANTED per-doc token arrays
+    (the harness documents table has no tokens column): docs sort by
+    doc_id, an EOS (-1) follows each doc, and the stream chops into
+    64-token sequences.  Output is exploded to (seq_id, pos, token) scalar
+    rows so the driver's value-hash covers every token byte; the oracle
+    rebuilds the identical stream with row_number over generate_series."""
+    from .functions.pack import pack_sequences
+
+    packed = pack_sequences(
+        _docs(sf_dir, columns=["doc_id"]).map_batches(_plant_tokens, batch_format="pyarrow"),
+        tokens_col="tokens", seq_len=64, eos=-1, order_col="doc_id",
+    )
+    return packed.map_batches(_explode_packed, batch_format="pyarrow")
+
+
+def q_shuffle_rank(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic training-data shuffle: rank = position in the
+    md5(seed:doc_id) order.  Returning the RANK (not just the rows) makes
+    the permutation itself value-checked — the driver compare normalizes
+    row order, so ordering must be reified into a column to be verified."""
+    from .functions.pack import deterministic_shuffle
+
+    return deterministic_shuffle(_docs(sf_dir, columns=["doc_id"]), "doc_id", seed=7)
+
+
+def q_sample_stratified(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic source mixing: source srcN keeps rate (N%4+1)/8 —
+    dyadic rates, so rate*2^32 is exact in both engines and the oracle's
+    printf-threshold comparison is bit-identical to the operator's."""
+    from .functions.sample import stratified_sample
+
+    rates = {f"src{n}": ((n % 4) + 1) / 8 for n in range(1000)}
+    return stratified_sample(
+        _docs(sf_dir, columns=["doc_id", "source"]), rates,
+        strat_col="source", key_col="doc_id",
+    )
+
+
+def q_scrub_pii(sf_dir: str) -> ray.data.Dataset:
+    """Regex PII scrub over text with PLANTED emails/URLs (the corpus has
+    none): doc_id%3 routes each doc to an appended email, an appended URL,
+    or nothing, then the scrub must redact exactly those — plus prove the
+    untouched text survives byte-identically (clean_text is compared in
+    full)."""
+    from .functions.text import scrub_regex
+
+    def plant(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = t["text"].cast(pa.string()).to_pylist()
+        out = [
+            txt + (f" contact user{i}@example.com now" if i % 3 == 0
+                   else f" see https://site{i}.example.org/page ok" if i % 3 == 1
+                   else "")
+            for i, txt in zip(d, s)
+        ]
+        return pa.table({"doc_id": t["doc_id"], "text": pa.array(out)})
+
+    return (
+        _docs(sf_dir, columns=["doc_id", "text"])
+        .map_batches(plant, batch_format="pyarrow")
+        .map_batches(scrub_regex("text"), batch_format="pyarrow")
+        .map_batches(lambda t: t.drop_columns(["text"]), batch_format="pyarrow")
+    )
+
+
+def q_repetition(sf_dir: str) -> ray.data.Dataset:
+    """Within-document repetition signals (Gopher-style filters) over the
+    real corpus text — no planting needed, the stats are SQL-expressible."""
+    from .functions.text import repetition_stats
+
+    return (
+        _docs(sf_dir, columns=["doc_id", "text"])
+        .map_batches(repetition_stats("text"), batch_format="pyarrow")
+        .map_batches(lambda t: t.drop_columns(["text"]), batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry + oracles
 # ---------------------------------------------------------------------------
 
@@ -776,6 +884,11 @@ QUERIES = {
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "ann_ivf_indexed": q_ann_ivf_indexed,
+    "pack_sequences": q_pack_sequences,
+    "shuffle_rank": q_shuffle_rank,
+    "sample_stratified": q_sample_stratified,
+    "scrub_pii": q_scrub_pii,
+    "repetition": q_repetition,
 }
 
 _CANON = "md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
@@ -1027,5 +1140,84 @@ ORACLE_SQL = {
         SELECT doc_id, CAST(1 AS BOOLEAN) AS copy_equal,
                CAST(0 AS BOOLEAN) AS upper_equal
         FROM documents
+    """,
+    # Tokenized-sequence lake ops.  pack_sequences: rebuild the planted
+    # token stream (doc_id%50+1 tokens of doc_id*1000+j, EOS -1 after each
+    # doc), number it globally in (doc_id, tpos) order, chop into 64s and
+    # keep only complete sequences — position-exact equality with the
+    # engine's zero-exchange block plan.
+    "pack_sequences": """
+        WITH toks AS (
+          SELECT doc_id, i AS tpos, CAST(doc_id * 1000 + i AS INTEGER) AS token
+          FROM documents,
+               LATERAL (SELECT unnest(generate_series(0, CAST(doc_id % 50 AS BIGINT))) AS i)
+          UNION ALL
+          SELECT doc_id, doc_id % 50 + 1 AS tpos, CAST(-1 AS INTEGER) AS token
+          FROM documents
+        ),
+        pos AS (
+          SELECT token, row_number() OVER (ORDER BY doc_id, tpos) - 1 AS p
+          FROM toks
+        )
+        SELECT p // 64 AS seq_id, p % 64 AS pos, token
+        FROM pos
+        WHERE p // 64 < (SELECT count(*) // 64 FROM toks)
+    """,
+    "shuffle_rank": """
+        SELECT doc_id,
+               row_number() OVER (
+                 ORDER BY md5('7:' || CAST(doc_id AS VARCHAR)), doc_id
+               ) - 1 AS shuffle_rank
+        FROM documents
+    """,
+    # stratified_sample: srcN keeps rate (N%4+1)/8; dyadic rate * 2^32 =
+    # (N%4+1) * 2^29 exactly, so the printf threshold is the operator's
+    # rate_threshold_hex verbatim and the md5-prefix comparison is the
+    # identical per-row decision.
+    "sample_stratified": """
+        SELECT doc_id, source FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+              < printf('%08x',
+                       (CAST(substr(source, 4) AS BIGINT) % 4 + 1) * 536870912)
+    """,
+    "scrub_pii": """
+        WITH planted AS (
+          SELECT doc_id,
+                 text || CASE CAST(doc_id % 3 AS INTEGER)
+                   WHEN 0 THEN ' contact user' || doc_id || '@example.com now'
+                   WHEN 1 THEN ' see https://site' || doc_id || '.example.org/page ok'
+                   ELSE '' END AS text
+          FROM documents
+        )
+        SELECT doc_id,
+               regexp_replace(regexp_replace(text,
+                 '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 'https?://[^\\s]+', '<URL>', 'g') AS clean_text,
+               len(regexp_extract_all(text,
+                 '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}'))
+               + len(regexp_extract_all(regexp_replace(text,
+                 '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 'https?://[^\\s]+')) AS n_redactions
+        FROM planted
+    """,
+    "repetition": """
+        WITH w AS (
+          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+          FROM documents
+        ), big AS (
+          SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg
+          FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) AS i) g
+        ), bc AS (
+          SELECT doc_id, bg, count(*) AS c FROM big GROUP BY 1, 2
+        ), topb AS (
+          SELECT doc_id, max(c) AS top_bigram_count,
+                 CAST(sum(c) AS BIGINT) AS n_bigrams
+          FROM bc GROUP BY 1
+        )
+        SELECT w.doc_id, len(ws) AS n_words,
+               len(list_distinct(ws)) AS n_distinct_words,
+               coalesce(n_bigrams, 0) AS n_bigrams,
+               coalesce(top_bigram_count, 0) AS top_bigram_count
+        FROM w LEFT JOIN topb USING (doc_id)
     """,
 }

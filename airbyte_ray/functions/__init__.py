@@ -15,3 +15,6 @@ from .dedup import (  # noqa: F401
     simhash_near_dups,
 )
 from .ann import assign_cells, brute_force_topk, ivf_topk, lsh_topk, train_ivf_centroids  # noqa: F401
+from .pack import deterministic_shuffle, global_index, pack_sequences  # noqa: F401
+from .sample import rate_sample, stratified_sample, upsample  # noqa: F401
+from .text import repetition_stats, scrub_regex  # noqa: F401

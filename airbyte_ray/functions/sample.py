@@ -1,0 +1,100 @@
+"""Deterministic source-mixing / sampling for training-data pipelines.
+
+A 100 TB corpus is rarely trained on as-is: sources are re-weighted
+("mix 30% web, 3x-upsample books…").  The down-sampling half of that is a
+per-source Bernoulli keep-decision, which at scale must be a PURE FUNCTION
+of the row key — never an RNG — so that re-runs, resumed runs and other
+engines reproduce the same subset (the same property the exactly-once lake
+relies on).
+
+The decision is ``md5(key)[:8] < threshold(rate)``: the first 8 hex chars
+of the key's md5 are a uniform 32-bit draw, and the comparison is plain
+hex-string ordering — directly expressible in SQL
+(``substr(md5(k),1,8) < '28f5c28f'``), which is how the driver oracle
+verifies it.  No shuffle, no state: one ``map_batches`` filter.
+
+Rates are per-stratum (e.g. per ``source``); rates ≥ 1.0 keep everything
+(integer upsampling is :func:`upsample` — deterministic row replication).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+
+def rate_threshold_hex(rate: float) -> str:
+    """8-hex-digit keep threshold for ``rate`` ∈ [0, 1] — `int` truncation,
+    the documented tie with SQL ``printf('%08x', CAST(floor(rate *
+    4294967296) AS BIGINT))``."""
+    return format(min(int(rate * 2**32), 2**32 - 1), "08x")
+
+
+def _keep_mask(keys: pa.Array, thresholds: np.ndarray) -> np.ndarray:
+    """hex(md5(key))[:8] < per-row threshold.  hashlib loop — no Arrow md5
+    kernel (same trade-off as ``text.fingerprint_md5``)."""
+    draws = np.array(
+        [hashlib.md5(v.encode()).hexdigest()[:8] for v in keys.cast(pa.string()).to_pylist()]
+    )
+    return draws < thresholds
+
+
+def stratified_sample(
+    ds: ray.data.Dataset,
+    rates: dict[str, float],
+    strat_col: str = "source",
+    key_col: str = "doc_id",
+    default_rate: float = 1.0,
+) -> ray.data.Dataset:
+    """Keep each row with its stratum's probability, deterministically in
+    the row key.  Strata absent from ``rates`` use ``default_rate``."""
+    thr = {s: rate_threshold_hex(r) for s, r in rates.items()}
+    dflt = rate_threshold_hex(default_rate)
+
+    def fn(t: pa.Table) -> pa.Table:
+        strat = t[strat_col].cast(pa.string()).to_pylist()
+        per_row = np.array([thr.get(s, dflt) for s in strat])
+        return t.filter(pa.array(_keep_mask(t[key_col], per_row)))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def rate_sample(
+    ds: ray.data.Dataset, rate: float, key_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """Uniform deterministic sample — the single-stratum special case."""
+    thr = rate_threshold_hex(rate)
+
+    def fn(t: pa.Table) -> pa.Table:
+        per_row = np.full(t.num_rows, thr)
+        return t.filter(pa.array(_keep_mask(t[key_col], per_row)))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def upsample(
+    ds: ray.data.Dataset,
+    factors: dict[str, int],
+    strat_col: str = "source",
+    copy_col: str = "copy_idx",
+) -> ray.data.Dataset:
+    """Integer upsampling: replicate each stratum's rows ``factor`` times,
+    tagging copies with ``copy_idx`` (0..factor-1) so downstream stages —
+    and the SQL oracle's LATERAL ``generate_series`` — see distinct rows.
+    Vectorized ``take`` with a repeat index; no exchange."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        strat = t[strat_col].cast(pa.string()).to_pylist()
+        reps = np.array([max(int(factors.get(s, 1)), 0) for s in strat], np.int64)
+        idx = np.repeat(np.arange(t.num_rows, dtype=np.int64), reps)
+        out = t.take(pa.array(idx))
+        # within-row copy counter: position minus each row's first position
+        firsts = np.repeat(np.cumsum(reps) - reps, reps)
+        ci = np.arange(len(idx), dtype=np.int64) - firsts
+        return out.append_column(copy_col, pa.array(ci))
+
+    return ds.map_batches(fn, batch_format="pyarrow")

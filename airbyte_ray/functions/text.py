@@ -143,6 +143,117 @@ class LangId:
         return t.append_column(self.out, pa.array(preds, pa.string()))
 
 
+#: PII / boilerplate patterns (RE2 syntax — identical semantics in Arrow's
+#: and DuckDB's regex engines, which is what makes the scrub SQL-provable).
+EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+URL_RE = r"https?://[^\s]+"
+
+
+def scrub_regex(
+    col: str,
+    patterns: list[tuple[str, str]] | None = None,
+    out: str = "clean_text",
+    count_out: str | None = "n_redactions",
+) -> Callable[[pa.Table], pa.Table]:
+    """Redact pattern matches (default: emails then URLs) — the PII-scrub /
+    boilerplate-removal stage of a training-data pipeline.  Patterns apply
+    in ORDER (part of the operator contract: a later pattern sees earlier
+    replacements); every kernel is C++ (``replace_substring_regex`` /
+    ``count_substring_regex``).  DuckDB parity: chained
+    ``regexp_replace(..., 'g')`` with the same RE2 patterns."""
+    pats = patterns if patterns is not None else [(EMAIL_RE, "<EMAIL>"), (URL_RE, "<URL>")]
+
+    def fn(t: pa.Table) -> pa.Table:
+        s = t[col].cast(pa.string())
+        n = None
+        for pat, repl in pats:
+            c = pc.count_substring_regex(s, pat).cast(pa.int64())
+            n = c if n is None else pc.add(n, c)
+            s = pc.replace_substring_regex(s, pat, repl)
+        t = t.append_column(out, s)
+        if count_out:
+            t = t.append_column(count_out, n)
+        return t
+
+    return fn
+
+
+def repetition_stats(col: str) -> Callable[[pa.Table], pa.Table]:
+    """Gopher-style within-document repetition signals, fully vectorized
+    across the batch (flatten-plus-offsets, the :class:`LangId` idiom):
+
+    * ``n_words`` — whitespace tokens
+    * ``n_distinct_words`` — distinct whitespace tokens
+    * ``n_bigrams`` — adjacent word pairs (``max(n_words-1, 0)``)
+    * ``top_bigram_count`` — occurrences of the doc's most frequent bigram
+
+    High ``(n_words - n_distinct_words) / n_words`` or
+    ``top_bigram_count / n_bigrams`` flags boilerplate/looping text
+    (Rae et al. 2021 "Scaling Language Models", §A1.1 filters — public).
+    Words are compared by 64-bit SipHash (``pd.util.hash_array``); within a
+    single document's vocabulary a collision is ~1e-15 and the fixture
+    vocabulary is collision-checked in tests."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        n = t.num_rows
+        if n == 0:
+            z = pa.array([], pa.int64())
+            for name in ("n_words", "n_distinct_words", "n_bigrams", "top_bigram_count"):
+                t = t.append_column(name, z)
+            return t
+        s = pc.fill_null(t[col].cast(pa.string()), "")
+        toks = pc.utf8_split_whitespace(s)
+        la = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        offs = la.offsets.to_numpy().astype(np.int64)
+        offs = offs - offs[0]
+        flat_arr = la.flatten()
+        flat = flat_arr.to_numpy(zero_copy_only=False)
+        # Arrow split("") yields [""] where Python yields [] — mask empties
+        keep = (
+            pc.greater(pc.utf8_length(flat_arr), 0).to_numpy(zero_copy_only=False)
+            if len(flat) else np.zeros(0, bool)
+        )
+        doc = np.repeat(np.arange(n, dtype=np.int64), np.diff(offs))[keep] if len(flat) else np.zeros(0, np.int64)
+        h = pd.util.hash_array(flat[keep]) if len(flat) else np.zeros(0, np.uint64)
+        n_words = np.bincount(doc, minlength=n).astype(np.int64)
+
+        order = np.lexsort((h, doc))
+        ds_, hs_ = doc[order], h[order]
+        first = np.ones(len(hs_), bool)
+        if len(hs_) > 1:
+            first[1:] = (ds_[1:] != ds_[:-1]) | (hs_[1:] != hs_[:-1])
+        n_distinct = np.bincount(ds_[first], minlength=n).astype(np.int64)
+
+        # bigrams: adjacent word-hash pairs within a doc
+        same_doc = doc[1:] == doc[:-1] if len(doc) > 1 else np.zeros(0, bool)
+        with np.errstate(over="ignore"):
+            bg = (h[:-1] * np.uint64(0x9E3779B97F4A7C15)) ^ h[1:] if len(h) > 1 else np.zeros(0, np.uint64)
+        bdoc, bg = doc[:-1][same_doc], bg[same_doc]
+        n_big = np.bincount(bdoc, minlength=n).astype(np.int64)
+        top = np.zeros(n, np.int64)
+        if len(bg):
+            border = np.lexsort((bg, bdoc))
+            bd, bh = bdoc[border], bg[border]
+            run_start = np.ones(len(bh), bool)
+            run_start[1:] = (bd[1:] != bd[:-1]) | (bh[1:] != bh[:-1])
+            starts = np.flatnonzero(run_start)
+            run_len = np.diff(np.concatenate([starts, [len(bh)]]))
+            run_doc = bd[starts]
+            doc_first = np.ones(len(run_doc), bool)
+            doc_first[1:] = run_doc[1:] != run_doc[:-1]
+            top[run_doc[doc_first]] = np.maximum.reduceat(run_len, np.flatnonzero(doc_first))
+        for name, arr in (
+            ("n_words", n_words), ("n_distinct_words", n_distinct),
+            ("n_bigrams", n_big), ("top_bigram_count", top),
+        ):
+            t = t.append_column(name, pa.array(arr))
+        return t
+
+    return fn
+
+
 def fingerprint_md5(col: str, out: str = "fp") -> Callable[[pa.Table], pa.Table]:
     """Canonical-form md5 fingerprint: lowercase, collapse whitespace runs to
     single spaces, md5 — DuckDB-reproducible:

@@ -171,12 +171,21 @@ def run_bench() -> dict:
             timings[name] = round(time.perf_counter() - ta, 3)
 
     # ---- operator pipelines over the sf dir ----
+    # min-of-N per query, same hedge as the headline: this host's steal
+    # swings 3-10x and the first execution also pays Ray worker spin-up.
+    q_reps = int(os.environ.get("BENCH_QUERY_REPEATS", "2"))
+
     def timed(name, fn):
-        t = time.perf_counter()
-        res = fn(SF_DIR)
-        if hasattr(res, "materialize"):
-            res.materialize()
-        timings[name] = round(time.perf_counter() - t, 3)
+        best = None
+        for _ in range(q_reps):
+            t = time.perf_counter()
+            res = fn(SF_DIR)
+            if hasattr(res, "materialize"):
+                res.materialize()
+            dt = time.perf_counter() - t
+            if best is None or dt < best:
+                best = dt
+        timings[name] = round(best, 3)
 
     if os.environ.get("BENCH_QUERIES", "1") != "0":
         from airbyte_ray.driver_queries import (
@@ -191,6 +200,16 @@ def run_bench() -> dict:
         timed("ann_topk", q_ann_topk)
         timed("scd_history", q_scd_history)
         timed("dedup_minhash", q_dedup_minhash)
+
+        # pack the tokenized lake base table into 2048-token training
+        # sequences (the north-star consumer shape); zero-exchange block
+        # plan, ingest-order contract (no sort)
+        from airbyte_ray.functions.pack import pack_sequences
+
+        timed("pack_sequences", lambda _: pack_sequences(
+            ray.data.read_parquet(base_path, columns=["doc_id", "tokens"]),
+            seq_len=2048, eos=0,
+        ))
 
     ray.shutdown()
     return {
