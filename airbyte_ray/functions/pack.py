@@ -67,6 +67,13 @@ def _block_refs(ds: ray.data.Dataset) -> list:
     return ds.materialize().to_arrow_refs()
 
 
+def _default_parallelism() -> int:
+    try:
+        return max(int(ray.available_resources().get("CPU", 4)), 4)
+    except Exception:
+        return 4
+
+
 # ---------------------------------------------------------------------------
 # sequence packing
 # ---------------------------------------------------------------------------
@@ -156,7 +163,14 @@ def pack_sequences(
         raise ValueError("seq_len must be positive")
     if order_col is not None:
         ds = ds.sort(order_col)
-    refs = _block_refs(ds)
+    mat = ds.materialize()
+    # A narrow input (e.g. one single-row-group parquet file → ONE read
+    # block) would serialize the whole emit pass; widen it with an
+    # ORDER-PRESERVING repartition (no shuffle) so every core gets blocks.
+    target = _default_parallelism()
+    if mat.count() and mat.num_blocks() < target:
+        mat = mat.repartition(target).materialize()
+    refs = mat.to_arrow_refs()
     if not refs:
         return ray.data.from_arrow(_chunks_table(np.empty(0, np.int32), 0, 0, seq_len))
     counts = ray.get([_block_token_count.remote(r, tokens_col, eos is not None) for r in refs])
