@@ -843,6 +843,37 @@ def q_repetition(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_dlq_coerce(sf_dir: str) -> ray.data.Dataset:
+    """Typed-coercion dead-letter queue: PLANTED unparseable numerics
+    (doc_id%7==0 gets 'N/A', doc_id%11==0 gets '12,5' — comma decimals
+    don't cast) quarantine to a DLQ parquet dir with per-row reasons; the
+    clean stream flows on with the cast applied.  Oracle: DuckDB TRY_CAST
+    — the surviving rows and their values are exactly the castable ones.
+    Quarantine happens in-task (zero exchange, content-hash filenames =
+    retry-idempotent)."""
+    import hashlib as _hl
+
+    from .stages.normalize import coerce_with_dlq
+
+    def plant(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        raw = [
+            "N/A" if i % 7 == 0 else ("12,5" if i % 11 == 0 else str(i * 3))
+            for i in d
+        ]
+        return pa.table({"doc_id": t["doc_id"], "raw_value": pa.array(raw)})
+
+    tag = _hl.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    dlq_dir = os.path.join(tempfile.gettempdir(), f"airbyte_ray_dlq_{tag}")
+    shutil.rmtree(dlq_dir, ignore_errors=True)
+    schema = pa.schema([("doc_id", pa.int64()), ("raw_value", pa.int64())])
+    return (
+        _docs(sf_dir, columns=["doc_id"])
+        .map_batches(plant, batch_format="pyarrow")
+        .map_batches(coerce_with_dlq(schema, dlq_dir), batch_format="pyarrow")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry + oracles
 # ---------------------------------------------------------------------------
@@ -889,6 +920,7 @@ QUERIES = {
     "sample_stratified": q_sample_stratified,
     "scrub_pii": q_scrub_pii,
     "repetition": q_repetition,
+    "dlq_coerce": q_dlq_coerce,
 }
 
 _CANON = "md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
@@ -1199,6 +1231,19 @@ ORACLE_SQL = {
                  '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
                  'https?://[^\\s]+')) AS n_redactions
         FROM planted
+    """,
+    # dlq_coerce: TRY_CAST keeps exactly the castable planted values —
+    # the quarantined complement is checked by pytest (DLQ dir contents).
+    "dlq_coerce": """
+        WITH planted AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 7 = 0 THEN 'N/A'
+                      WHEN doc_id % 11 = 0 THEN '12,5'
+                      ELSE CAST(doc_id * 3 AS VARCHAR) END AS raw
+          FROM documents
+        )
+        SELECT doc_id, TRY_CAST(raw AS BIGINT) AS raw_value
+        FROM planted WHERE TRY_CAST(raw AS BIGINT) IS NOT NULL
     """,
     "repetition": """
         WITH w AS (

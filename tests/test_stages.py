@@ -113,3 +113,50 @@ def test_with_retries():
     with _pytest.raises(RetriesExhausted):
         always_fails()
     assert sleeps[-1] == 7.5  # server-driven wait honored
+
+
+def test_type_coercer_capture_records_reasons():
+    t = pa.table({
+        "k": pa.array(["a", "b", "c", "d"]),
+        "n": pa.array(["1", "oops", None, "4.5e1"]),
+    })
+    schema = pa.schema([("k", pa.string()), ("n", pa.float64())])
+    out = TypeCoercer(schema, on_error="capture")(t)
+    errs = out["_ab_errors"].to_pylist()
+    assert errs[0] == [] and errs[2] == [] and errs[3] == []
+    assert len(errs[1]) == 1 and "oops" in errs[1][0] and errs[1][0].startswith("n:")
+    assert out["n"].to_pylist() == [1.0, None, None, 45.0]
+    # null / raise modes unchanged
+    assert "_ab_errors" not in TypeCoercer(schema)(t).schema.names
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        TypeCoercer(schema, on_error="raise")(t)
+
+
+def test_coerce_with_dlq_quarantines_and_is_idempotent(tmp_path, ray_session):
+    import glob
+
+    import ray.data
+
+    from airbyte_ray.stages.normalize import coerce_with_dlq
+
+    dlq = str(tmp_path / "dlq")
+    t = pa.table({
+        "k": pa.array([str(i) for i in range(100)]),
+        "n": pa.array(["bad" if i % 10 == 0 else str(i) for i in range(100)]),
+    })
+    schema = pa.schema([("k", pa.string()), ("n", pa.int64())])
+    fn = coerce_with_dlq(schema, dlq)
+    clean = (
+        ray.data.from_arrow(t).repartition(4)
+        .map_batches(fn, batch_format="pyarrow").to_pandas()
+    )
+    assert len(clean) == 90 and clean["n"].notna().all()
+    files = glob.glob(dlq + "/dlq-*.parquet")
+    assert files
+    quarantined = pa.concat_tables([__import__("pyarrow.parquet", fromlist=["pq"]).read_table(f) for f in files])
+    assert quarantined.num_rows == 10
+    assert all(e and "bad" in e[0] for e in quarantined["_ab_errors"].to_pylist())
+    # retry idempotence: re-running writes the SAME content-hash files
+    ray.data.from_arrow(t).repartition(4).map_batches(fn, batch_format="pyarrow").materialize()
+    assert sorted(glob.glob(dlq + "/dlq-*.parquet")) == sorted(files)
