@@ -70,3 +70,109 @@ def test_audio_chunk_explosion():
     assert per["chunk_idx"].to_pylist() == [0, 1, 2]
     assert per["byte_start"].to_pylist() == [0, 1000, 2000]
     assert per["byte_end"].to_pylist() == [1000, 2000, 2500]
+
+
+# -- REAL stdlib decoders ----------------------------------------------------
+
+def test_ppm_roundtrip():
+    import numpy as np
+
+    from airbyte_ray.functions.multimodal import decode_ppm, encode_ppm
+
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, (13, 7, 3), dtype=np.uint8)
+    assert np.array_equal(decode_ppm(encode_ppm(px)), px)
+    # header with comment
+    with_comment = b"P6\n# a comment\n7 13\n255\n" + px.tobytes()
+    assert np.array_equal(decode_ppm(with_comment), px)
+
+
+def test_bmp_roundtrip_incl_padding():
+    import numpy as np
+
+    from airbyte_ray.functions.multimodal import decode_bmp, encode_bmp
+
+    rng = np.random.default_rng(4)
+    for w, h in [(5, 3), (4, 4), (7, 2)]:  # odd widths exercise row padding
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_bmp(encode_bmp(px)), px)
+
+
+def test_wav_roundtrip_and_features():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from airbyte_ray.functions.multimodal import WavDecode, audio_features, encode_wav
+
+    rate = 8000
+    t = np.arange(4000) / rate
+    sig = (8000 * np.sin(2 * np.pi * 440 * t)).astype(np.int16)
+    tbl = pa.table({
+        "media_id": pa.array(["a"]),
+        "payload": pa.array([encode_wav(sig, rate)], pa.binary()),
+    })
+    out = (
+        ray.data.from_arrow(tbl)
+        .map_batches(WavDecode(), batch_format="pyarrow")
+        .map_batches(audio_features(), batch_format="pyarrow")
+        .to_pandas()
+    )
+    r = out.iloc[0]
+    assert r.sample_rate == rate and r.duration_ms == 500
+    assert np.array_equal(np.asarray(list(r.samples), np.int16), sig)
+    # RMS of a sine ~ amplitude/sqrt(2); ZCR ~ 2*freq/rate
+    assert abs(r.rms - 8000 / np.sqrt(2)) < 100
+    assert abs(r.zcr - 2 * 440 / rate) < 0.01
+
+
+def test_media_decode_dispatch_and_ragged_resize():
+    import numpy as np
+    import ray.data
+
+    from airbyte_ray.functions.multimodal import (
+        MediaDecode,
+        RaggedResize,
+        decode_bmp,
+        decode_ppm,
+        gen_real_media,
+    )
+
+    media = gen_real_media(12, seed=9)
+    imgs = media.filter(
+        __import__("pyarrow.compute", fromlist=["pc"]).not_equal(media["mime"], "audio/wav")
+    )
+    out = (
+        ray.data.from_arrow(imgs)
+        .map_batches(MediaDecode(), batch_format="pyarrow", batch_size=4)
+        .map_batches(RaggedResize(8), batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    assert all(len(p) == 8 * 8 * 3 for p in out.pixels)
+    # resize of a real decode must equal resize computed directly
+    row = out.iloc[0]
+    src = media.filter(
+        __import__("pyarrow.compute", fromlist=["pc"]).equal(media["media_id"], row.media_id)
+    )
+    payload = src["payload"][0].as_py()
+    px = decode_ppm(payload) if src["mime"][0].as_py().endswith("pixmap") else decode_bmp(payload)
+    h, w, _ = px.shape
+    ys = (np.arange(8) * h) // 8
+    xs = (np.arange(8) * w) // 8
+    expect = px[ys][:, xs].reshape(-1)
+    assert np.array_equal(np.asarray(list(row.pixels), np.uint8), expect)
+
+
+def test_media_decode_strict_raises_on_unknown_mime():
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from airbyte_ray.functions.multimodal import MediaDecode
+
+    t = pa.table({"payload": pa.array([b"xx"], pa.binary()), "mime": pa.array(["image/png"])})
+    with _pytest.raises(NotImplementedError):
+        MediaDecode()(t)
+    out = MediaDecode(strict=False)(t)
+    assert out["pixels"].to_pylist() == [None]
