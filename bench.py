@@ -21,6 +21,7 @@ import os
 import shutil
 import subprocess
 import sys
+import tempfile
 import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -221,7 +222,35 @@ def run_bench() -> dict:
         "num_cpus": NUM_CPUS,
         "events_applied": applied,
         "events_per_sec": round(applied / headline, 1),
+        "host_disk_write_mbps": _disk_write_mbps(),
     }
+
+
+def _disk_write_mbps(mb: int = 64) -> float:
+    """Measured sequential write bandwidth to the bench filesystem (fsync'd).
+    This VM's disk is intermittently KERNEL-THROTTLED: the same box measured
+    ~15 MB/s (all sys-time) in one window and hundreds in another.  The lake
+    apply is write-heavy, so wall-clock swings track this probe — reported
+    next to every headline so a slow number carries its own context."""
+    import time as _time
+
+    path = os.path.join(tempfile.gettempdir(), f"_graft_ioprobe_{os.getpid()}")
+    buf = b"\x00" * (1 << 20)
+    t0 = _time.perf_counter()
+    try:
+        with open(path, "wb") as f:
+            for _ in range(mb):
+                f.write(buf)
+            f.flush()
+            os.fsync(f.fileno())
+        return round(mb / (_time.perf_counter() - t0), 1)
+    except OSError:
+        return -1.0
+    finally:
+        try:
+            os.remove(path)
+        except OSError:
+            pass
 
 
 def _burn(k: int) -> int:
