@@ -874,6 +874,36 @@ def q_dlq_coerce(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_heavy_hitters(sf_dir: str) -> ray.data.Dataset:
+    """Sketch-guided exact heavy hitters: a count-min pass (one scan,
+    bucketed parallel merge) prunes the corpus to candidate keys — CMS
+    only overestimates, so no true hitter is lost — and the exact groupby
+    runs over candidates only.  Output is EXACTLY ``GROUP BY … HAVING
+    count(*) ≥ 80`` whatever the sketch's collisions, which is what makes
+    a sketch operator SQL-oracle-checkable."""
+    from .functions.sketch import heavy_hitters
+
+    return heavy_hitters(_events(sf_dir, columns=["user_id"]), "user_id", min_count=80)
+
+
+def q_bloom_antijoin(sf_dir: str) -> ray.data.Dataset:
+    """Bloom-prefiltered EXACT anti-join (customers with no events): the
+    broadcast bloom rules out ~90% of customers in-task with zero
+    exchange; only bloom-positive keys (true members + FP band) take the
+    exact hash-bucketed verification.  Output equals NOT IN regardless of
+    the filter's false positives — the scale path for 'skip keys already
+    in the lake' where the exact key set no longer broadcasts."""
+    from .functions.bloom import bloom_anti_join
+
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_name"]
+    )
+    return bloom_anti_join(
+        cust, _events(sf_dir, columns=["user_id"]),
+        on="c_custkey", keys_col="user_id", est_keys=1 << 16, fp_rate=0.01,
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry + oracles
 # ---------------------------------------------------------------------------
@@ -921,6 +951,8 @@ QUERIES = {
     "scrub_pii": q_scrub_pii,
     "repetition": q_repetition,
     "dlq_coerce": q_dlq_coerce,
+    "heavy_hitters": q_heavy_hitters,
+    "bloom_antijoin": q_bloom_antijoin,
 }
 
 _CANON = "md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
@@ -1231,6 +1263,14 @@ ORACLE_SQL = {
                  '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
                  'https?://[^\\s]+')) AS n_redactions
         FROM planted
+    """,
+    "heavy_hitters": """
+        SELECT user_id, count(*) AS n
+        FROM events GROUP BY user_id HAVING count(*) >= 80
+    """,
+    "bloom_antijoin": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_custkey NOT IN (SELECT user_id FROM events)
     """,
     # dlq_coerce: TRY_CAST keeps exactly the castable planted values —
     # the quarantined complement is checked by pytest (DLQ dir contents).

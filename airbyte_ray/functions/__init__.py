@@ -18,3 +18,5 @@ from .ann import assign_cells, brute_force_topk, ivf_topk, lsh_topk, train_ivf_c
 from .pack import deterministic_shuffle, global_index, pack_sequences  # noqa: F401
 from .sample import rate_sample, stratified_sample, upsample  # noqa: F401
 from .text import repetition_stats, scrub_regex  # noqa: F401
+from .sketch import CountMinSketch, HyperLogLog, approx_distinct, build_cms, heavy_hitters  # noqa: F401
+from .bloom import BloomFilter, bloom_anti_join, build_bloom  # noqa: F401

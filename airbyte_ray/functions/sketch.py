@@ -1,0 +1,235 @@
+"""Streaming sketches: count-min (heavy hitters) and HyperLogLog.
+
+The brief's "novel sketch" operator class: sublinear summaries a 100 TB
+scan can afford where an exact groupby cannot.  Both sketches are LINEAR
+(mergeable by elementwise sum / max), so the distributed plan is: one
+``map_batches`` pass emits a partial sketch per block, a small bucketed
+``groupby`` folds partials in parallel, and the driver folds the last
+≤ ``merge_groups`` blobs — driver traffic is O(merge_groups × sketch
+size), never O(blocks).
+
+``heavy_hitters`` composes the sketch with an EXACT verification pass:
+count-min only ever overestimates, so "estimate ≥ threshold" has no false
+negatives; filtering the corpus to those candidate keys and exact-counting
+just them yields the exact answer while the expensive groupby touches only
+candidate rows.  That composition is what makes the operator
+SQL-oracle-checkable (plain GROUP BY … HAVING) despite the sketch.
+
+Public algorithms: Cormode & Muthukrishnan 2005 (count-min); Flajolet et
+al. 2007 (HyperLogLog).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+_H1_KEY = "graft_cms_h1_000"  # pd.util.hash_array keys must be 16 bytes
+_H2_KEY = "graft_cms_h2_000"
+
+
+def _two_hashes(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Two independent 64-bit SipHash streams per key (h_i = h1 + i*h2 —
+    Kirsch–Mitzenmacher double hashing)."""
+    import pandas as pd
+
+    return (
+        pd.util.hash_array(keys, hash_key=_H1_KEY),
+        pd.util.hash_array(keys, hash_key=_H2_KEY),
+    )
+
+
+class CountMinSketch:
+    """(d, w) count-min sketch over arbitrary key arrays; vectorized
+    update/query; linear merge."""
+
+    def __init__(self, d: int = 4, w: int = 1 << 15):
+        self.d, self.w = d, w
+        self.counts = np.zeros((d, w), np.int64)
+
+    def _cols(self, keys: np.ndarray) -> np.ndarray:
+        h1, h2 = _two_hashes(keys)
+        i = np.arange(self.d, dtype=np.uint64)[:, None]
+        with np.errstate(over="ignore"):
+            return ((h1[None, :] + i * h2[None, :]) % np.uint64(self.w)).astype(np.int64)
+
+    def update(self, keys: np.ndarray) -> None:
+        cols = self._cols(keys)
+        for r in range(self.d):  # d is tiny (4-6); the inner op is vectorized
+            np.add.at(self.counts[r], cols[r], 1)
+
+    def query(self, keys: np.ndarray) -> np.ndarray:
+        cols = self._cols(keys)
+        return np.min(
+            np.stack([self.counts[r][cols[r]] for r in range(self.d)]), axis=0
+        )
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        self.counts += other.counts
+        return self
+
+    def to_bytes(self) -> bytes:
+        return self.counts.tobytes()
+
+    @classmethod
+    def from_bytes(cls, b: bytes, d: int, w: int) -> "CountMinSketch":
+        s = cls(d, w)
+        s.counts = np.frombuffer(b, np.int64).reshape(d, w).copy()
+        return s
+
+
+def _key_np(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    a = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    return a.to_numpy(zero_copy_only=False)
+
+
+def build_cms(
+    ds: ray.data.Dataset, col: str, d: int = 4, w: int = 1 << 15,
+    merge_groups: int = 32,
+) -> CountMinSketch:
+    """One pass + bucketed parallel merge → one sketch on the driver."""
+    def partial(t: pa.Table) -> pa.Table:
+        s = CountMinSketch(d, w)
+        if t.num_rows:
+            s.update(_key_np(t[col]))
+        import zlib
+
+        blob = s.to_bytes()
+        g = zlib.crc32(blob) % merge_groups  # spread partials across folders
+        return pa.table({"g": pa.array([g], pa.int64()),
+                         "blob": pa.array([blob], pa.binary())})
+
+    def fold(grp: pa.Table) -> pa.Table:
+        acc = np.zeros(d * w, np.int64)
+        for b in grp["blob"].to_pylist():
+            acc += np.frombuffer(b, np.int64)
+        return pa.table({"blob": pa.array([acc.tobytes()], pa.binary())})
+
+    folded = (
+        ds.select_columns([col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("g")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+    out = CountMinSketch(d, w)
+    for row in folded.take_all():  # ≤ merge_groups blobs
+        out.counts += np.frombuffer(row["blob"], np.int64).reshape(d, w)
+    return out
+
+
+def heavy_hitters(
+    ds: ray.data.Dataset, col: str, min_count: int,
+    d: int = 4, w: int = 1 << 15, out_count: str = "n",
+) -> ray.data.Dataset:
+    """EXACT keys with frequency ≥ ``min_count``, found with a sketch:
+
+    1. build a count-min over the column (one pass, parallel merge);
+    2. broadcast it; filter the corpus to rows whose key ESTIMATE ≥
+       threshold — no false negatives, so every true heavy hitter
+       survives, and only candidate rows (≪ corpus for a selective
+       threshold) reach the exchange;
+    3. exact groupby-count over the candidates, keep ``≥ min_count`` —
+       false positives die here.
+
+    Output (col, n) is exactly ``GROUP BY col HAVING count(*) ≥ k``."""
+    import ray
+
+    from ..config import _worker_state
+
+    sk = build_cms(ds, col, d, w)
+    sref = ray.put(sk.to_bytes())
+
+    def candidates(t: pa.Table) -> pa.Table:
+        s = _worker_state(("cms", sref.hex(), d, w),
+                          lambda: CountMinSketch.from_bytes(ray.get(sref), d, w))
+        if t.num_rows == 0:
+            return t
+        est = s.query(_key_np(t[col]))
+        return t.filter(pa.array(est >= min_count))
+
+    cand = ds.select_columns([col]).map_batches(candidates, batch_format="pyarrow")
+    counted = cand.groupby(col).count()
+
+    def having(t: pa.Table) -> pa.Table:
+        # Ray's count() names the column "count()"
+        t = pa.table({col: t[col], out_count: t["count()"]})
+        return t.filter(pc.greater_equal(t[out_count], min_count))
+
+    return counted.map_batches(having, batch_format="pyarrow")
+
+
+class HyperLogLog:
+    """HLL distinct-count sketch (2^p registers, elementwise-max merge).
+    Standard bias-corrected estimate incl. the small-range (linear
+    counting) regime; relative error ≈ 1.04/√(2^p)."""
+
+    def __init__(self, p: int = 12):
+        self.p = p
+        self.m = 1 << p
+        self.reg = np.zeros(self.m, np.uint8)
+
+    def update(self, keys: np.ndarray) -> None:
+        import pandas as pd
+
+        h = pd.util.hash_array(keys)
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        rest = (h << np.uint64(self.p)) | np.uint64((1 << self.p) - 1)
+        # rank = leading zeros of `rest` + 1, via bit-length
+        lz = np.zeros(len(h), np.uint8)
+        v = rest.copy()
+        for shift in (32, 16, 8, 4, 2, 1):  # branchless CLZ over uint64
+            mask = v < (np.uint64(1) << np.uint64(64 - shift))
+            lz[mask] += shift
+            v[mask] = v[mask] << np.uint64(shift)
+        np.maximum.at(self.reg, idx, lz + 1)
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        np.maximum(self.reg, other.reg, out=self.reg)
+        return self
+
+    def estimate(self) -> float:
+        m = float(self.m)
+        alpha = 0.7213 / (1 + 1.079 / m)
+        e = alpha * m * m / np.sum(np.exp2(-self.reg.astype(np.float64)))
+        zeros = int(np.count_nonzero(self.reg == 0))
+        if e <= 2.5 * m and zeros:
+            return m * np.log(m / zeros)  # linear counting
+        return float(e)
+
+
+def approx_distinct(
+    ds: ray.data.Dataset, col: str, p: int = 12, merge_groups: int = 32
+) -> float:
+    """Distributed HLL distinct estimate — same partial/fold plan as
+    :func:`build_cms` (registers merge by elementwise max)."""
+    m = 1 << p
+
+    def partial(t: pa.Table) -> pa.Table:
+        h = HyperLogLog(p)
+        if t.num_rows:
+            h.update(_key_np(t[col]))
+        import zlib
+
+        blob = h.reg.tobytes()
+        g = zlib.crc32(blob) % merge_groups
+        return pa.table({"g": pa.array([g], pa.int64()),
+                         "blob": pa.array([blob], pa.binary())})
+
+    def fold(grp: pa.Table) -> pa.Table:
+        acc = np.zeros(m, np.uint8)
+        for b in grp["blob"].to_pylist():
+            np.maximum(acc, np.frombuffer(b, np.uint8), out=acc)
+        return pa.table({"blob": pa.array([acc.tobytes()], pa.binary())})
+
+    folded = (
+        ds.select_columns([col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("g")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+    out = HyperLogLog(p)
+    for row in folded.take_all():
+        np.maximum(out.reg, np.frombuffer(row["blob"], np.uint8), out=out.reg)
+    return out.estimate()

@@ -90,6 +90,12 @@ class CorpusConfig:
     dedup: bool = True
     seed: int = 0
     tokenizer: "callable | None" = None         # batch fn adding `tokens`
+    #: False = fully streaming: stage boundaries are NOT materialized and
+    #: the returned metrics contain only `sequences_out` — the shape for a
+    #: 100 TB run, where per-stage exact counts would force materialization
+    #: (use the lake's lineage counters instead).  True = exact per-stage
+    #: metrics at the cost of per-stage materialization.
+    collect_metrics: bool = True
 
 
 def build_corpus(
@@ -108,22 +114,34 @@ def build_corpus(
             return json.load(f)
 
     metrics: dict = {}
-    mat = ds.materialize()
-    metrics["docs_in"] = mat.count()
+    want = cfg.collect_metrics
+
+    def _mark(d: ray.data.Dataset, key: str) -> ray.data.Dataset:
+        """Materialize + count a stage boundary only when metrics are on;
+        in streaming mode the pipeline stays one fused lazy plan."""
+        if not want:
+            return d
+        m = d.materialize()
+        metrics[key] = m.count()
+        return m
+
+    mat = _mark(ds, "docs_in")
 
     # 1. scrub
     if cfg.scrub:
         mat = mat.map_batches(
             scrub_regex(text_col, out="clean_text"), batch_format="pyarrow"
-        ).materialize()
-        metrics["redactions"] = int(
-            mat.aggregate(ray.data.aggregate.Sum("n_redactions"))["sum(n_redactions)"] or 0
         )
+        if want:
+            mat = mat.materialize()
+            metrics["redactions"] = int(
+                mat.aggregate(ray.data.aggregate.Sum("n_redactions"))["sum(n_redactions)"] or 0
+            )
     else:
         mat = mat.map_batches(
             lambda t: t.append_column("clean_text", t[text_col]),
             batch_format="pyarrow",
-        ).materialize()
+        )
 
     # 2. quality / repetition gate
     min_w, cap = cfg.min_words, cfg.max_top_bigram_frac
@@ -138,35 +156,36 @@ def build_corpus(
             ["n_words", "n_distinct_words", "n_bigrams", "top_bigram_count"]
         )
 
-    mat = mat.map_batches(gate, batch_format="pyarrow").materialize()
-    metrics["docs_after_quality"] = mat.count()
+    mat = _mark(mat.map_batches(gate, batch_format="pyarrow"), "docs_after_quality")
 
     # 3. exact dedup on canonical text
     if cfg.dedup:
-        mat = exact_dedup(mat, ["clean_text"], keep_by=id_col).materialize()
-        metrics["docs_after_dedup"] = mat.count()
+        mat = _mark(exact_dedup(mat, ["clean_text"], keep_by=id_col), "docs_after_dedup")
 
     # 4. source mixing
     if cfg.rates or cfg.default_rate < 1.0:
-        mat = stratified_sample(
-            mat, cfg.rates, strat_col=source_col, key_col=id_col,
-            default_rate=cfg.default_rate,
-        ).materialize()
-        metrics["docs_after_mix"] = mat.count()
+        mat = _mark(
+            stratified_sample(
+                mat, cfg.rates, strat_col=source_col, key_col=id_col,
+                default_rate=cfg.default_rate,
+            ),
+            "docs_after_mix",
+        )
 
     # 5. tokenize
     tok = cfg.tokenizer or hash_tokenize("clean_text", vocab=cfg.vocab)
-    toked = mat.map_batches(tok, batch_format="pyarrow").materialize()
-    metrics["tokens_total"] = int(
-        toked.aggregate(ray.data.aggregate.Sum("n_tok"))["sum(n_tok)"]
-        if "n_tok" in toked.schema().names
-        else toked.map_batches(
-            lambda t: pa.table({"n": [int(pc.sum(pc.list_value_length(t["tokens"])).as_py() or 0)]}),
-            batch_format="pyarrow",
-        ).aggregate(ray.data.aggregate.Sum("n"))["sum(n)"] or 0
-    )
+    toked = mat.map_batches(tok, batch_format="pyarrow")
+    if want:
+        toked = toked.materialize()
+        metrics["tokens_total"] = int(
+            toked.map_batches(
+                lambda t: pa.table({"n": [int(pc.sum(pc.list_value_length(t["tokens"])).as_py() or 0)]}),
+                batch_format="pyarrow",
+            ).aggregate(ray.data.aggregate.Sum("n"))["sum(n)"] or 0
+        )
 
-    # 6. pack (deterministic global order by id)
+    # 6. pack (deterministic global order by id; pack's prefix scan
+    # materializes its own input internally either way)
     packed = pack_sequences(
         toked.select_columns([id_col, "tokens"]),
         tokens_col="tokens", seq_len=cfg.seq_len, eos=cfg.eos, order_col=id_col,

@@ -53,3 +53,17 @@ def test_build_corpus_end_to_end_and_resume(tmp_path):
     m2 = build_corpus(ds, out, cfg)
     assert m2 == m
     assert {f: os.path.getmtime(f) for f in files} == mtimes
+
+
+def test_build_corpus_streaming_mode_matches(tmp_path):
+    cfg_m = CorpusConfig(seq_len=128, rates={"src0": 0.5})
+    cfg_s = CorpusConfig(seq_len=128, rates={"src0": 0.5}, collect_metrics=False)
+    ds = ray.data.read_parquet(DOCS, columns=["doc_id", "text", "source"])
+    m1 = build_corpus(ds, str(tmp_path / "a"), cfg_m)
+    m2 = build_corpus(ds, str(tmp_path / "b"), cfg_s)
+    assert m2 == {"sequences_out": m1["sequences_out"]}
+    ta = pa.concat_tables([pq.read_table(f) for f in sorted(glob.glob(str(tmp_path / "a") + "/seqs-*.parquet"))])
+    tb = pa.concat_tables([pq.read_table(f) for f in sorted(glob.glob(str(tmp_path / "b") + "/seqs-*.parquet"))])
+    ia = ta.take(__import__("pyarrow.compute", fromlist=["pc"]).sort_indices(ta, [("seq_id", "ascending")]))
+    ib = tb.take(__import__("pyarrow.compute", fromlist=["pc"]).sort_indices(tb, [("seq_id", "ascending")]))
+    assert ia.equals(ib)

@@ -1,0 +1,78 @@
+"""Count-min / heavy-hitters and HyperLogLog sketches."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from airbyte_ray.functions.sketch import (
+    CountMinSketch,
+    HyperLogLog,
+    approx_distinct,
+    build_cms,
+    heavy_hitters,
+)
+
+
+def _zipf_table(n=20000, n_keys=500, seed=7):
+    rng = np.random.default_rng(seed)
+    ranks = np.arange(1, n_keys + 1, dtype=np.float64)
+    w = ranks ** -1.3
+    w /= w.sum()
+    keys = rng.choice(n_keys, n, p=w)
+    return pa.table({"k": pa.array([f"key-{i}" for i in keys])})
+
+
+def test_cms_never_underestimates_and_merges():
+    t = _zipf_table()
+    keys = np.asarray(t["k"].to_pylist(), object)
+    import collections
+    true = collections.Counter(keys)
+    s1, s2 = CountMinSketch(4, 1 << 12), CountMinSketch(4, 1 << 12)
+    s1.update(keys[:10000])
+    s2.update(keys[10000:])
+    merged = s1.merge(s2)
+    uniq = np.asarray(sorted(true), object)
+    est = merged.query(uniq)
+    exact = np.array([true[k] for k in uniq])
+    assert (est >= exact).all()                      # CMS only overestimates
+    assert (est[exact >= 100] <= exact[exact >= 100] * 1.5).all()  # tight on HH
+
+
+def test_heavy_hitters_exact_vs_duckdb():
+    t = _zipf_table()
+    ds = ray.data.from_arrow(t).repartition(8)
+    got = (
+        heavy_hitters(ds, "k", min_count=150)
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", t)
+    exp = con.execute(
+        "SELECT k, count(*) AS n FROM t GROUP BY k HAVING count(*) >= 150 ORDER BY k"
+    ).df()
+    assert list(got["k"]) == list(exp["k"])
+    assert list(got["n"]) == list(exp["n"])
+    assert len(exp) > 3  # fixture actually has heavy hitters
+
+
+def test_hll_error_bounds_and_merge():
+    rng = np.random.default_rng(11)
+    a = np.array([f"u{i}" for i in range(60000)], object)
+    h = HyperLogLog(12)
+    h.update(a)
+    est = h.estimate()
+    assert abs(est - 60000) / 60000 < 0.05  # 3σ ≈ 4.9% at p=12
+    # merge of overlapping halves estimates the union, not the sum
+    h1, h2 = HyperLogLog(12), HyperLogLog(12)
+    h1.update(a[:40000])
+    h2.update(a[20000:])
+    est_u = h1.merge(h2).estimate()
+    assert abs(est_u - 60000) / 60000 < 0.05
+
+
+def test_approx_distinct_distributed():
+    t = pa.table({"k": pa.array([f"u{i % 5000}" for i in range(40000)])})
+    ds = ray.data.from_arrow(t).repartition(16)
+    est = approx_distinct(ds, "k", p=12)
+    assert abs(est - 5000) / 5000 < 0.05
