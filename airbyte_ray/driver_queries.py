@@ -904,6 +904,16 @@ def q_bloom_antijoin(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_quantiles(sf_dir: str) -> pa.Table:
+    """Exact distributed quantiles of events.value — sort + prefix-scan
+    rank + rank filter; only the picked rows reach the driver."""
+    from .functions.sketch import exact_quantiles
+
+    return exact_quantiles(
+        _events(sf_dir, columns=["value"]), "value", [0.1, 0.25, 0.5, 0.75, 0.9]
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry + oracles
 # ---------------------------------------------------------------------------
@@ -953,6 +963,7 @@ QUERIES = {
     "dlq_coerce": q_dlq_coerce,
     "heavy_hitters": q_heavy_hitters,
     "bloom_antijoin": q_bloom_antijoin,
+    "quantiles": q_quantiles,
 }
 
 _CANON = "md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
@@ -1271,6 +1282,17 @@ ORACLE_SQL = {
     "bloom_antijoin": """
         SELECT c_custkey, c_name FROM customer
         WHERE c_custkey NOT IN (SELECT user_id FROM events)
+    """,
+    "quantiles": """
+        SELECT CAST(0.1 AS DOUBLE) AS q, quantile_disc(value, 0.1) AS value FROM events
+        UNION ALL
+        SELECT 0.25, quantile_disc(value, 0.25) FROM events
+        UNION ALL
+        SELECT 0.5, quantile_disc(value, 0.5) FROM events
+        UNION ALL
+        SELECT 0.75, quantile_disc(value, 0.75) FROM events
+        UNION ALL
+        SELECT 0.9, quantile_disc(value, 0.9) FROM events
     """,
     # dlq_coerce: TRY_CAST keeps exactly the castable planted values —
     # the quarantined complement is checked by pytest (DLQ dir contents).

@@ -160,6 +160,40 @@ def heavy_hitters(
     return counted.map_batches(having, batch_format="pyarrow")
 
 
+def exact_quantiles(
+    ds: ray.data.Dataset, col: str, qs: list[float]
+) -> pa.Table:
+    """EXACT discrete quantiles (DuckDB ``quantile_disc`` semantics: the
+    element at sorted index ``floor((n-1)·q)``), computed distributed:
+    one range-partitioned sort, the zero-exchange ``global_index`` prefix
+    scan, and an is-in filter for the ≤ len(qs) target ranks — only those
+    rows reach the driver.  For a quick percentile on 100 TB prefer a
+    sampled approximation; this is the exact path (percentile CUTOFFS for
+    quality filtering need exactness to be reproducible)."""
+    from .pack import global_index
+
+    filtered = ds.select_columns([col]).map_batches(
+        lambda t: t.filter(pc.is_valid(t[col])), batch_format="pyarrow"
+    ).materialize()
+    n = filtered.count()
+    if n == 0:
+        return pa.table({"q": pa.array([], pa.float64()),
+                         "value": pa.array([], pa.float64())})
+    rank_for = {q: int((n - 1) * q) for q in qs}
+    ranks = sorted(set(rank_for.values()))
+    idxd = global_index(filtered.sort(col), out="__rank")
+    rset = pa.array(ranks, pa.int64())
+    picked = idxd.map_batches(
+        lambda t: t.filter(pc.is_in(t["__rank"], value_set=rset)),
+        batch_format="pyarrow",
+    ).take_all()
+    by_rank = {r["__rank"]: r[col] for r in picked}
+    return pa.table({
+        "q": pa.array(list(qs), pa.float64()),
+        "value": pa.array([by_rank[rank_for[q]] for q in qs]),
+    })
+
+
 class HyperLogLog:
     """HLL distinct-count sketch (2^p registers, elementwise-max merge).
     Standard bias-corrected estimate incl. the small-range (linear

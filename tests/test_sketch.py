@@ -76,3 +76,28 @@ def test_approx_distinct_distributed():
     ds = ray.data.from_arrow(t).repartition(16)
     est = approx_distinct(ds, "k", p=12)
     assert abs(est - 5000) / 5000 < 0.05
+
+
+def test_exact_quantiles_matches_quantile_disc():
+    from airbyte_ray.functions.sketch import exact_quantiles
+
+    rng = np.random.default_rng(5)
+    vals = np.round(rng.normal(50, 10, 997), 1)  # rounding forces ties
+    t = pa.table({"v": pa.array(vals)})
+    qs = [0.0, 0.1, 0.5, 0.9, 1.0]
+    got = exact_quantiles(ray.data.from_arrow(t).repartition(7), "v", qs)
+    con = duckdb.connect()
+    con.register("t", t)
+    for q, v in zip(got["q"].to_pylist(), got["value"].to_pylist()):
+        exp = con.execute(f"SELECT quantile_disc(v, {q}) FROM t").fetchone()[0]
+        assert v == exp, (q, v, exp)
+
+
+def test_exact_quantiles_nulls_and_empty():
+    from airbyte_ray.functions.sketch import exact_quantiles
+
+    t = pa.table({"v": pa.array([None, 3.0, None, 1.0, 2.0])})
+    got = exact_quantiles(ray.data.from_arrow(t), "v", [0.5])
+    assert got["value"].to_pylist() == [2.0]
+    empty = pa.table({"v": pa.array([], pa.float64())})
+    assert exact_quantiles(ray.data.from_arrow(empty), "v", [0.5]).num_rows == 0
