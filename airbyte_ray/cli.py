@@ -15,6 +15,8 @@ lifecycle operations on the lake / sync engine:
     python -m airbyte_ray sync     --dest DIR --stream NAME --src S.parquet \
         --mode incremental --dest-mode append_dedup --cursor ts --pk id
     python -m airbyte_ray sync-shared --root DIR --log WAL --streams a b
+    python -m airbyte_ray corpus   --docs DOCS.parquet --out DIR \
+        [--seq-len N --rate SRC=R --streaming]
 
 The CLI owns the Ray session (the library never calls ray.init)."""
 
@@ -121,6 +123,22 @@ def main(argv: list[str] | None = None) -> int:
     )
     sy.add_argument("--cursor", default=None)
     sy.add_argument("--pk", nargs="*", default=[])
+
+    co = sub.add_parser(
+        "corpus", help="build a packed training corpus from a documents table"
+    )
+    co.add_argument("--docs", required=True, nargs="+",
+                    help="documents parquet file(s)/dir(s) (doc_id,text,source)")
+    co.add_argument("--out", required=True)
+    co.add_argument("--seq-len", type=int, default=2048)
+    co.add_argument("--eos", type=int, default=0)
+    co.add_argument("--vocab", type=int, default=65536)
+    co.add_argument("--min-words", type=int, default=5)
+    co.add_argument("--rate", action="append", default=[], metavar="SRC=R",
+                    help="per-source keep rate, repeatable (e.g. --rate web=0.5)")
+    co.add_argument("--no-dedup", action="store_true")
+    co.add_argument("--streaming", action="store_true",
+                    help="no per-stage metrics; one fused streaming plan")
 
     args = p.parse_args(argv)
 
@@ -240,6 +258,23 @@ def main(argv: list[str] | None = None) -> int:
                 cursor_field=args.cursor, primary_key=args.pk,
             )
             out = SyncEngine(args.dest).sync(cfg, args.src if len(args.src) > 1 else args.src[0])
+        elif args.cmd == "corpus":
+            import ray.data
+
+            from .pipelines.corpus import CorpusConfig, build_corpus
+
+            rates = {}
+            for spec in args.rate:
+                src, _, r = spec.partition("=")
+                rates[src] = float(r)
+            cfg = CorpusConfig(
+                seq_len=args.seq_len, eos=args.eos, vocab=args.vocab,
+                min_words=args.min_words, rates=rates,
+                dedup=not args.no_dedup,
+                collect_metrics=not args.streaming,
+            )
+            src = args.docs if len(args.docs) > 1 else args.docs[0]
+            out = build_corpus(ray.data.read_parquet(src), args.out, cfg)
         print(json.dumps(out, default=str))
         return 0
     finally:
