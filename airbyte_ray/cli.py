@@ -265,8 +265,13 @@ def main(argv: list[str] | None = None) -> int:
 
             rates = {}
             for spec in args.rate:
-                src, _, r = spec.partition("=")
-                rates[src] = float(r)
+                src, sep, r = spec.partition("=")
+                try:
+                    if not sep or not src:
+                        raise ValueError
+                    rates[src] = float(r)
+                except ValueError:
+                    p.error(f"--rate expects SRC=RATE (a float), got {spec!r}")
             cfg = CorpusConfig(
                 seq_len=args.seq_len, eos=args.eos, vocab=args.vocab,
                 min_words=args.min_words, rates=rates,

@@ -53,12 +53,21 @@ def auto_concurrency(cap: int | None = None) -> tuple[int, int]:
 #: (seeded permutations, hyperplanes, stopword tables) run as tasks with
 #: this per-process cache.
 _WORKER_STATE: dict = {}
+#: LRU bound: several cache keys embed per-execution ObjectRef hexes
+#: (broadcast pair tables, bloom bits, query matrices), so a reused worker
+#: process accumulates a fresh entry per pipeline EXECUTION — without a
+#: bound, repeated runs would leak until the worker OOMs.
+_WORKER_STATE_MAX = 8
 
 
 def _worker_state(key: tuple, factory):
     ent = _WORKER_STATE.get(key)
     if ent is None:
         ent = _WORKER_STATE[key] = factory()
+    else:  # refresh LRU position
+        _WORKER_STATE[key] = _WORKER_STATE.pop(key)
+    while len(_WORKER_STATE) > _WORKER_STATE_MAX:
+        _WORKER_STATE.pop(next(iter(_WORKER_STATE)))
     return ent
 
 

@@ -712,7 +712,13 @@ def q_ann_ivf_indexed(sf_dir: str) -> ray.data.Dataset:
 
     from .functions.ann import build_ivf_index, ivf_topk_indexed
 
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(emb_path)
+    # fingerprint the SOURCE file (path + mtime + size) so a regenerated
+    # fixture invalidates the cached index instead of answering stale
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:10]
     index_dir = os.path.join(tempfile.gettempdir(), f"airbyte_ray_ivf_{tag}")
     if not os.path.exists(os.path.join(index_dir, "ivf_meta.json")):
         shutil.rmtree(index_dir, ignore_errors=True)  # half-built leftovers
@@ -1309,7 +1315,12 @@ ORACLE_SQL = {
     """,
     "repetition": """
         WITH w AS (
-          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+          -- list_filter drops the [''] artifact DuckDB's split yields for
+          -- empty/whitespace-only text, matching the engine's empty-token
+          -- mask (blank doc => 0 words on both sides)
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(text), '\\s+'),
+                             x -> x <> '') AS ws
           FROM documents
         ), big AS (
           SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg

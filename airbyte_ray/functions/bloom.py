@@ -128,7 +128,7 @@ def bloom_anti_join(
         else keys_ds.select_columns([keys_col]).map_batches(
             lambda t: t.rename_columns([on]), batch_format="pyarrow"
         )
-    )
+    ).materialize()  # consumed twice: bloom build + exact verification
     bloom = build_bloom(keys_named, on, est_keys, fp_rate)
     bref = ray.put((bloom.bits.tobytes(), bloom.n_bits, bloom.k))
 
@@ -145,10 +145,17 @@ def bloom_anti_join(
         maybe = b.contains(_key_np(t[on]))
         return t.filter(pa.array(maybe if want_maybe else ~maybe))
 
+    # `big` is scanned twice (definite + maybe split) — deliberately NOT
+    # materialized: for the lake-scale input this operator targets, two
+    # column-pruned streaming reads beat spilling the whole table to the
+    # object store.  `maybes` (member + FP band, ≪ big) IS materialized
+    # because it feeds two consumers.
     definite = big.map_batches(
         lambda t: split(t, False), batch_format="pyarrow"
     )
-    maybes = big.map_batches(lambda t: split(t, True), batch_format="pyarrow")
+    maybes = big.map_batches(
+        lambda t: split(t, True), batch_format="pyarrow"
+    ).materialize()
 
     # exact verification runs on KEYS, not rows: distinct maybe-keys are
     # hash-bucketed against the key set, and the surviving (false-positive)

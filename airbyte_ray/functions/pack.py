@@ -51,7 +51,9 @@ import ray.data
 def _block_token_count(t: pa.Table, tokens_col: str, add_eos: bool) -> int:
     if t.num_rows == 0 or tokens_col not in t.schema.names:  # empty sort block
         return 0
-    n = int(pc.sum(pc.list_value_length(t[tokens_col])).as_py() or 0)
+    # null token lists count as empty docs (they still get an EOS) — the
+    # count MUST agree with _flat_tokens or every later block's offsets shift
+    n = int(pc.sum(pc.fill_null(pc.list_value_length(t[tokens_col]), 0)).as_py() or 0)
     return n + (t.num_rows if add_eos else 0)
 
 
@@ -80,12 +82,16 @@ def _default_parallelism() -> int:
 
 def _flat_tokens(t: pa.Table, tokens_col: str, eos: int | None) -> np.ndarray:
     """Block's token stream as one int32 array, EOS appended per doc.
-    Vectorized: the EOS slots are a mask write, not a per-doc loop."""
+    Vectorized: the EOS slots are a mask write, not a per-doc loop.
+    Null token lists are empty docs (flatten drops them; fill_null keeps
+    the lengths aligned with the count pass)."""
     la = t[tokens_col].combine_chunks()
     flat = la.flatten().to_numpy(zero_copy_only=False).astype(np.int32, copy=False)
     if eos is None:
         return flat
-    lens = pc.list_value_length(la).to_numpy(zero_copy_only=False).astype(np.int64)
+    lens = pc.fill_null(pc.list_value_length(la), 0).to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
     total = int(lens.sum()) + len(lens)
     out = np.full(total, np.int32(eos), np.int32)
     mask = np.ones(total, bool)

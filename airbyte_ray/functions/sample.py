@@ -28,10 +28,16 @@ import ray.data
 
 
 def rate_threshold_hex(rate: float) -> str:
-    """8-hex-digit keep threshold for ``rate`` ∈ [0, 1] — `int` truncation,
+    """8-hex-digit keep threshold for ``rate`` ∈ [0, 1) — `int` truncation,
     the documented tie with SQL ``printf('%08x', CAST(floor(rate *
-    4294967296) AS BIGINT))``."""
-    return format(min(int(rate * 2**32), 2**32 - 1), "08x")
+    4294967296) AS BIGINT))``.  Rates ≥ 1.0 return ``"g"`` — lexically
+    above every hex digest, so the ``draw < threshold`` rule keeps EVERY
+    row (clamping to ``ffffffff`` would drop the ~2^-32 of keys whose
+    digest prefix is exactly ffffffff — at 10^10 docs, real rows lost).
+    SQL side of a keep-all stratum: just TRUE."""
+    if rate >= 1.0:
+        return "g"
+    return format(max(int(rate * 2**32), 0), "08x")
 
 
 def _keep_mask(keys: pa.Array, thresholds: np.ndarray) -> np.ndarray:

@@ -26,19 +26,31 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-_H1_KEY = "graft_cms_h1_000"  # pd.util.hash_array keys must be 16 bytes
-_H2_KEY = "graft_cms_h2_000"
+def _mix64(h: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — derives a second, independent-enough hash
+    stream from the first.  Needed because ``pd.util.hash_array`` IGNORES
+    ``hash_key`` for numeric dtypes (verified: int64 arrays hash
+    identically under different keys), so keying SipHash twice silently
+    collapses double hashing for the driver's int64 key columns."""
+    with np.errstate(over="ignore"):
+        h = h.astype(np.uint64, copy=True)
+        h += np.uint64(0x9E3779B97F4A7C15)  # stream increment: 0 must not fix
+        h ^= h >> np.uint64(30)
+        h *= np.uint64(0xBF58476D1CE4E5B9)
+        h ^= h >> np.uint64(27)
+        h *= np.uint64(0x94D049BB133111EB)
+        h ^= h >> np.uint64(31)
+    return h
 
 
 def _two_hashes(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Two independent 64-bit SipHash streams per key (h_i = h1 + i*h2 —
-    Kirsch–Mitzenmacher double hashing)."""
+    """Two 64-bit hash streams per key (h_i = h1 + i*h2 —
+    Kirsch–Mitzenmacher double hashing); h2 = splitmix64(h1) so the
+    streams stay distinct for EVERY input dtype."""
     import pandas as pd
 
-    return (
-        pd.util.hash_array(keys, hash_key=_H1_KEY),
-        pd.util.hash_array(keys, hash_key=_H2_KEY),
-    )
+    h1 = pd.util.hash_array(keys)
+    return h1, _mix64(h1)
 
 
 class CountMinSketch:

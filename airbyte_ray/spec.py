@@ -34,7 +34,7 @@ STREAM_CONFIG_SCHEMA: dict = {
         "cursor_field": {"type": ["string", "null"]},
         "primary_key": {"type": "array", "items": {"type": "string"}},
         "num_partitions": {"type": "integer", "minimum": 1},
-        "format": {"enum": ["parquet", "json", "csv"]},
+        "format": {"enum": ["parquet", "json", "csv", "avro"]},
         "slice_window_s": {"type": ["number", "null"], "exclusiveMinimum": 0},
         "lookback_s": {"type": "number", "minimum": 0},
     },
@@ -114,7 +114,7 @@ PIPELINE_SPEC_SCHEMA: dict = {
                 "path": {"type": "string"},
                 "stream": {"type": "string"},
                 "mode": {"enum": ["append", "overwrite", "append_dedup"]},
-                "format": {"enum": ["parquet", "json", "csv"]},
+                "format": {"enum": ["parquet", "json", "csv", "avro"]},
                 "primary_key": {"type": "array", "items": {"type": "string"}},
                 "num_partitions": {"type": "integer", "minimum": 1},
                 "state_dir": {"type": "string"},

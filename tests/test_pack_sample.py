@@ -235,7 +235,9 @@ def test_repetition_stats_matches_duckdb_on_corpus():
     )
     exp = duckdb.sql(
         rf"""WITH w AS (
-               SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+               SELECT doc_id,
+                      list_filter(string_split_regex(trim(text), '\s+'),
+                                  x -> x <> '') AS ws
                FROM '{docs}'
              ), big AS (
                SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg
@@ -255,3 +257,31 @@ def test_repetition_stats_matches_duckdb_on_corpus():
     ).df()
     for c in ("n_words", "n_distinct_words", "n_bigrams", "top_bigram_count"):
         assert list(got[c]) == list(exp[c]), c
+
+
+def test_repetition_oracle_sql_handles_blank_docs():
+    """The driver oracle's list_filter form must agree with the engine on
+    empty / whitespace-only documents (review finding: raw
+    string_split_regex yields [''] => n_words=1 divergence)."""
+    texts = ["", "   ", "\t", "a b a"]
+    t = pa.table({"doc_id": pa.array(range(len(texts))), "text": pa.array(texts)})
+    got = (
+        ray.data.from_arrow(t)
+        .map_batches(repetition_stats("text"), batch_format="pyarrow")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", t)
+    from airbyte_ray.driver_queries import ORACLE_SQL
+    exp = con.execute(ORACLE_SQL["repetition"]).df().sort_values("doc_id").reset_index(drop=True)
+    for c in ("n_words", "n_distinct_words", "n_bigrams", "top_bigram_count"):
+        assert list(got[c]) == list(exp[c]), c
+
+
+def test_rate_threshold_keep_all_sentinel():
+    assert rate_threshold_hex(1.0) == "g"
+    assert rate_threshold_hex(2.0) == "g"
+    assert rate_threshold_hex(0.5) == "80000000"
+    assert rate_threshold_hex(0.0) == "00000000"
+    # every hex digest sorts below "g"
+    assert "ffffffff" < "g"

@@ -101,3 +101,18 @@ def test_exact_quantiles_nulls_and_empty():
     assert got["value"].to_pylist() == [2.0]
     empty = pa.table({"v": pa.array([], pa.float64())})
     assert exact_quantiles(ray.data.from_arrow(empty), "v", [0.5]).num_rows == 0
+
+
+def test_two_hashes_distinct_for_numeric_keys():
+    """Review finding: pd.util.hash_array ignores hash_key for numeric
+    dtypes, so a keyed second SipHash silently collapsed double hashing
+    for int64 key columns (the driver's user_id/c_custkey).  The
+    splitmix64-derived stream must differ for every dtype."""
+    from airbyte_ray.functions.sketch import _two_hashes
+
+    for arr in (np.arange(1000, dtype=np.int64),
+                np.array([f"k{i}" for i in range(1000)], object)):
+        h1, h2 = _two_hashes(arr)
+        assert (h1 != h2).all()
+        # and h2 must not be a trivial shift of h1 across elements
+        assert len(np.unique(h2)) == len(h2)
