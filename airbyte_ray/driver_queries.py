@@ -910,6 +910,15 @@ def q_bloom_antijoin(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_sample_bottomk(sf_dir: str) -> ray.data.Dataset:
+    """Exact-size deterministic uniform sample (bottom-k md5 priorities):
+    per-block combiner + tiny final sort — the reproducible 'take exactly
+    k docs' primitive a training run snapshots its eval set with."""
+    from .functions.sample import bottom_k_sample
+
+    return bottom_k_sample(_docs(sf_dir, columns=["doc_id", "source"]), k=100, seed=7)
+
+
 def q_quantiles(sf_dir: str) -> pa.Table:
     """Exact distributed quantiles of events.value — sort + prefix-scan
     rank + rank filter; only the picked rows reach the driver."""
@@ -970,6 +979,7 @@ QUERIES = {
     "heavy_hitters": q_heavy_hitters,
     "bloom_antijoin": q_bloom_antijoin,
     "quantiles": q_quantiles,
+    "sample_bottomk": q_sample_bottomk,
 }
 
 _CANON = "md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
@@ -1288,6 +1298,11 @@ ORACLE_SQL = {
     "bloom_antijoin": """
         SELECT c_custkey, c_name FROM customer
         WHERE c_custkey NOT IN (SELECT user_id FROM events)
+    """,
+    "sample_bottomk": """
+        SELECT doc_id, source FROM documents
+        ORDER BY md5('7:' || CAST(doc_id AS VARCHAR)), doc_id
+        LIMIT 100
     """,
     "quantiles": """
         SELECT CAST(0.1 AS DOUBLE) AS q, quantile_disc(value, 0.1) AS value FROM events

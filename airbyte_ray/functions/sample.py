@@ -82,6 +82,37 @@ def rate_sample(
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def bottom_k_sample(
+    ds: ray.data.Dataset, k: int, key_col: str = "doc_id", seed: int = 0,
+) -> ray.data.Dataset:
+    """EXACTLY ``k`` rows, uniformly at random yet fully deterministic:
+    the k rows whose ``md5(seed:key)`` priorities are smallest (a bottom-k
+    sketch — Cohen & Kaplan 2007).  Unlike :func:`rate_sample` the output
+    size is exact, and unlike ``ds.random_sample`` the subset is a pure
+    function of (seed, keys): re-runs, resumes, and the SQL oracle
+    (``ORDER BY md5(...) LIMIT k``) agree row-for-row.
+
+    Scale plan: each block keeps only its own bottom-k (a combiner —
+    output ∝ blocks·k, not corpus), one tiny final sort+limit finishes.
+    No global sort of the corpus."""
+    from .pack import shuffle_key_md5
+
+    def local_bottom(t: pa.Table) -> pa.Table:
+        t = t.append_column("_prio", shuffle_key_md5(
+            t[key_col].combine_chunks() if isinstance(t[key_col], pa.ChunkedArray)
+            else t[key_col], seed))
+        idx = pc.sort_indices(t, sort_keys=[("_prio", "ascending"),
+                                            (key_col, "ascending")])
+        return t.take(idx[: min(k, t.num_rows)])
+
+    return (
+        ds.map_batches(local_bottom, batch_format="pyarrow")
+        .sort(["_prio", key_col])
+        .limit(k)
+        .map_batches(lambda t: t.drop_columns(["_prio"]), batch_format="pyarrow")
+    )
+
+
 def upsample(
     ds: ray.data.Dataset,
     factors: dict[str, int],

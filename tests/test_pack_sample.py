@@ -285,3 +285,24 @@ def test_rate_threshold_keep_all_sentinel():
     assert rate_threshold_hex(0.0) == "00000000"
     # every hex digest sorts below "g"
     assert "ffffffff" < "g"
+
+
+def test_bottom_k_sample_exact_and_deterministic():
+    from airbyte_ray.functions.sample import bottom_k_sample
+
+    t = _mix_table(300)
+    outs = []
+    for nb in (1, 6):
+        ds = ray.data.from_arrow(t).repartition(nb)
+        got = bottom_k_sample(ds, k=40, seed=3).to_pandas()
+        outs.append(sorted(got["doc_id"]))
+        assert len(got) == 40
+    assert outs[0] == outs[1]  # layout-invariant
+    exp = duckdb.sql(
+        """SELECT doc_id FROM (SELECT CAST(i AS VARCHAR) AS doc_id
+                               FROM generate_series(0, 299) t(i))
+           ORDER BY md5('3:' || doc_id), doc_id LIMIT 40"""
+    ).df()
+    assert outs[0] == sorted(exp["doc_id"])
+    # k > n returns everything
+    assert bottom_k_sample(ray.data.from_arrow(_mix_table(10)), k=50).count() == 10
