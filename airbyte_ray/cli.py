@@ -142,6 +142,18 @@ def main(argv: list[str] | None = None) -> int:
 
     args = p.parse_args(argv)
 
+    if args.cmd == "corpus":  # validate BEFORE paying for a Ray session
+        rates = {}
+        for spec in args.rate:
+            src, sep, r = spec.partition("=")
+            try:
+                if not sep or not src:
+                    raise ValueError
+                rates[src] = float(r)
+            except ValueError:
+                p.error(f"--rate expects SRC=RATE (a float), got {spec!r}")
+        args.rates_parsed = rates
+
     if args.cmd == "status":  # no Ray needed
         from .state.manifest import Manifest
 
@@ -259,22 +271,11 @@ def main(argv: list[str] | None = None) -> int:
             )
             out = SyncEngine(args.dest).sync(cfg, args.src if len(args.src) > 1 else args.src[0])
         elif args.cmd == "corpus":
-            import ray.data
-
             from .pipelines.corpus import CorpusConfig, build_corpus
 
-            rates = {}
-            for spec in args.rate:
-                src, sep, r = spec.partition("=")
-                try:
-                    if not sep or not src:
-                        raise ValueError
-                    rates[src] = float(r)
-                except ValueError:
-                    p.error(f"--rate expects SRC=RATE (a float), got {spec!r}")
             cfg = CorpusConfig(
                 seq_len=args.seq_len, eos=args.eos, vocab=args.vocab,
-                min_words=args.min_words, rates=rates,
+                min_words=args.min_words, rates=args.rates_parsed,
                 dedup=not args.no_dedup,
                 collect_metrics=not args.streaming,
             )

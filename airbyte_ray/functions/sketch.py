@@ -176,7 +176,7 @@ def exact_quantiles(
     ds: ray.data.Dataset, col: str, qs: list[float]
 ) -> pa.Table:
     """EXACT discrete quantiles (DuckDB ``quantile_disc`` semantics: the
-    element at sorted index ``floor((n-1)·q)``), computed distributed:
+    element at sorted index ``max(ceil(n·q)-1, 0)``), computed distributed:
     one range-partitioned sort, the zero-exchange ``global_index`` prefix
     scan, and an is-in filter for the ≤ len(qs) target ranks — only those
     rows reach the driver.  For a quick percentile on 100 TB prefer a
@@ -189,9 +189,15 @@ def exact_quantiles(
     ).materialize()
     n = filtered.count()
     if n == 0:
-        return pa.table({"q": pa.array([], pa.float64()),
-                         "value": pa.array([], pa.float64())})
-    rank_for = {q: int((n - 1) * q) for q in qs}
+        # match the SQL shape: one row per q, value NULL
+        return pa.table({"q": pa.array(list(qs), pa.float64()),
+                         "value": pa.array([None] * len(qs), pa.float64())})
+    import math
+
+    # quantile_disc rank: verified against DuckDB for n=1..10 across q —
+    # NOT floor((n-1)q) (diverges whenever n·q is non-integral, e.g.
+    # n=997 q=0.9: 896 vs the correct 897)
+    rank_for = {q: max(math.ceil(n * q) - 1, 0) for q in qs}
     ranks = sorted(set(rank_for.values()))
     idxd = global_index(filtered.sort(col), out="__rank")
     rset = pa.array(ranks, pa.int64())

@@ -82,9 +82,11 @@ def test_exact_quantiles_matches_quantile_disc():
     from airbyte_ray.functions.sketch import exact_quantiles
 
     rng = np.random.default_rng(5)
-    vals = np.round(rng.normal(50, 10, 997), 1)  # rounding forces ties
+    # 997 DISTINCT values and a prime n: ties or n%20==0 would mask a
+    # wrong rank formula (review finding: floor((n-1)q) passed by luck)
+    vals = rng.permutation(997).astype(np.float64)
     t = pa.table({"v": pa.array(vals)})
-    qs = [0.0, 0.1, 0.5, 0.9, 1.0]
+    qs = [0.0, 0.1, 0.33, 0.5, 0.9, 1.0]
     got = exact_quantiles(ray.data.from_arrow(t).repartition(7), "v", qs)
     con = duckdb.connect()
     con.register("t", t)
@@ -99,8 +101,10 @@ def test_exact_quantiles_nulls_and_empty():
     t = pa.table({"v": pa.array([None, 3.0, None, 1.0, 2.0])})
     got = exact_quantiles(ray.data.from_arrow(t), "v", [0.5])
     assert got["value"].to_pylist() == [2.0]
+    # empty input matches the SQL shape: one row per q, value NULL
     empty = pa.table({"v": pa.array([], pa.float64())})
-    assert exact_quantiles(ray.data.from_arrow(empty), "v", [0.5]).num_rows == 0
+    e = exact_quantiles(ray.data.from_arrow(empty), "v", [0.5])
+    assert e["q"].to_pylist() == [0.5] and e["value"].to_pylist() == [None]
 
 
 def test_two_hashes_distinct_for_numeric_keys():
