@@ -919,6 +919,29 @@ def q_sample_bottomk(sf_dir: str) -> ray.data.Dataset:
     return bottom_k_sample(_docs(sf_dir, columns=["doc_id", "source"]), k=100, seed=7)
 
 
+def q_grouped_topn(sf_dir: str) -> ray.data.Dataset:
+    """Per-key window rank: top-3 events per user by value (ties by
+    event_id) — batch-local prune before the exchange, so the shuffle
+    carries ≤3 rows per (key, batch)."""
+    from .functions.agg import grouped_topn
+
+    return grouped_topn(
+        _events(sf_dir, columns=["user_id", "event_id", "value"]),
+        key="user_id", order_col="value", n=3, tie_col="event_id",
+    )
+
+
+def q_pivot_counts(sf_dir: str) -> ray.data.Dataset:
+    """Conditional aggregation: per-user event_type counts as columns."""
+    from .functions.agg import pivot_counts
+
+    return pivot_counts(
+        _events(sf_dir, columns=["user_id", "event_type"]),
+        key="user_id", pivot_col="event_type",
+        values=["click", "error", "purchase", "signup", "view"],
+    )
+
+
 def q_quantiles(sf_dir: str) -> pa.Table:
     """Exact distributed quantiles of events.value — sort + prefix-scan
     rank + rank filter; only the picked rows reach the driver."""
@@ -980,6 +1003,8 @@ QUERIES = {
     "bloom_antijoin": q_bloom_antijoin,
     "quantiles": q_quantiles,
     "sample_bottomk": q_sample_bottomk,
+    "grouped_topn": q_grouped_topn,
+    "pivot_counts": q_pivot_counts,
 }
 
 _CANON = "md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
@@ -1303,6 +1328,24 @@ ORACLE_SQL = {
         SELECT doc_id, source FROM documents
         ORDER BY md5('7:' || CAST(doc_id AS VARCHAR)), doc_id
         LIMIT 100
+    """,
+    "grouped_topn": """
+        SELECT user_id, event_id, value, rnk FROM (
+          SELECT user_id, event_id, value,
+                 row_number() OVER (
+                   PARTITION BY user_id ORDER BY value DESC, event_id
+                 ) AS rnk
+          FROM events
+        ) WHERE rnk <= 3
+    """,
+    "pivot_counts": """
+        SELECT user_id,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+               CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+        FROM events GROUP BY user_id
     """,
     "quantiles": """
         SELECT CAST(0.1 AS DOUBLE) AS q, quantile_disc(value, 0.1) AS value FROM events

@@ -1,0 +1,94 @@
+"""Grouped-analytics operators: per-key top-N and pivoted counts.
+
+Both follow the engine's partial-aggregate discipline (SURVEY §2.7 —
+combine inside ``map_batches`` before the exchange):
+
+* :func:`grouped_topn` — each batch first prunes to its own per-key
+  top-N (so the shuffle carries ≤ N rows per key per batch, not the
+  corpus), then one groupby finishes and ranks.  The per-key window-rank
+  analog of the replay's ``row_number()=1`` LWW collapse.
+* :func:`pivot_counts` — conditional aggregation: one int column per
+  pivot value built vectorized in the combiner, summed by one tiny
+  groupby.  The dbt-style "cast the enum wide" normalization shape.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+from ray.data.aggregate import Sum
+
+
+def _topn_prune(t: pa.Table, key: str, order_col: str, tie_col: str,
+                n: int, descending: bool) -> pa.Table:
+    """Keep each key's best ≤n rows of this table (vectorized run-length
+    positions over a (key, order, tie) sort)."""
+    if t.num_rows == 0:
+        return t
+    idx = pc.sort_indices(t, sort_keys=[
+        (key, "ascending"),
+        (order_col, "descending" if descending else "ascending"),
+        (tie_col, "ascending"),
+    ])
+    t = t.take(idx)
+    keys = t[key].to_numpy(zero_copy_only=False)
+    new = np.concatenate([[True], keys[1:] != keys[:-1]])
+    starts = np.flatnonzero(new)
+    runs = np.diff(np.concatenate([starts, [len(keys)]]))
+    pos = np.arange(len(keys)) - np.repeat(starts, runs)
+    return t.filter(pa.array(pos < n))
+
+
+def grouped_topn(
+    ds: ray.data.Dataset, key: str, order_col: str, n: int,
+    descending: bool = True, tie_col: str | None = None,
+    rank_col: str = "rnk",
+) -> ray.data.Dataset:
+    """Per-key top-N with an explicit 1-based ``rank_col`` (ties broken by
+    ``tie_col``, default the key itself — pass a unique column for
+    determinism).  Equals ``row_number() OVER (PARTITION BY key ORDER BY
+    order_col [DESC], tie_col) ≤ n``."""
+    tie = tie_col or key
+
+    def local(t: pa.Table) -> pa.Table:
+        return _topn_prune(t, key, order_col, tie, n, descending)
+
+    def finish(g: pa.Table) -> pa.Table:
+        g = _topn_prune(g, key, order_col, tie, n, descending)
+        return g.append_column(rank_col, pa.array(
+            np.arange(1, g.num_rows + 1, dtype=np.int64)))
+
+    return (
+        ds.map_batches(local, batch_format="pyarrow")
+        .groupby(key)
+        .map_groups(finish, batch_format="pyarrow")
+    )
+
+
+def pivot_counts(
+    ds: ray.data.Dataset, key: str, pivot_col: str, values: list[str],
+) -> ray.data.Dataset:
+    """One row per key with an int64 count column per pivot value —
+    conditional aggregation with a per-batch combiner (the exchange sees
+    ≤ |keys| rows per batch, each |values|+1 wide)."""
+
+    def combine(t: pa.Table) -> pa.Table:
+        cols = {key: t[key]}
+        for v in values:
+            cols[v] = pc.equal(t[pivot_col], v).cast(pa.int64())
+        wide = pa.table(cols)
+        return pa.TableGroupBy(wide, key).aggregate(
+            [(v, "sum") for v in values]
+        ).rename_columns([key] + list(values))
+
+    out = ds.map_batches(combine, batch_format="pyarrow").groupby(key).aggregate(
+        *[Sum(v, alias_name=f"_{v}") for v in values]
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {key: t[key], **{v: t[f"_{v}"] for v in values}}
+        ),
+        batch_format="pyarrow",
+    )
