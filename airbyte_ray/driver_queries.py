@@ -919,6 +919,18 @@ def q_sample_bottomk(sf_dir: str) -> ray.data.Dataset:
     return bottom_k_sample(_docs(sf_dir, columns=["doc_id", "source"]), k=100, seed=7)
 
 
+def q_quality_gate(sf_dir: str) -> ray.data.Dataset:
+    """Composition: one distributed result drives another — the exact
+    25th-percentile token count becomes the broadcast cutoff for an
+    in-task filter (the reproducible quality gate a corpus build uses)."""
+    from .functions.sketch import percentile_filter
+
+    counted = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        token_count("text"), batch_format="pyarrow"
+    ).map_batches(lambda t: t.drop_columns(["text"]), batch_format="pyarrow")
+    return percentile_filter(counted, "n_tokens", 0.25, keep="ge")
+
+
 def q_grouped_topn(sf_dir: str) -> ray.data.Dataset:
     """Per-key window rank: top-3 events per user by value (ties by
     event_id) — batch-local prune before the exchange, so the shuffle
@@ -1005,6 +1017,7 @@ QUERIES = {
     "sample_bottomk": q_sample_bottomk,
     "grouped_topn": q_grouped_topn,
     "pivot_counts": q_pivot_counts,
+    "quality_gate": q_quality_gate,
 }
 
 _CANON = "md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
@@ -1328,6 +1341,15 @@ ORACLE_SQL = {
         SELECT doc_id, source FROM documents
         ORDER BY md5('7:' || CAST(doc_id AS VARCHAR)), doc_id
         LIMIT 100
+    """,
+    "quality_gate": """
+        WITH counted AS (
+          SELECT doc_id, len(regexp_extract_all(text,
+                 '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')) AS n_tokens
+          FROM documents
+        )
+        SELECT doc_id, n_tokens FROM counted
+        WHERE n_tokens >= (SELECT quantile_disc(n_tokens, 0.25) FROM counted)
     """,
     "grouped_topn": """
         SELECT user_id, event_id, value, rnk FROM (

@@ -212,6 +212,26 @@ def exact_quantiles(
     })
 
 
+def percentile_filter(
+    ds: ray.data.Dataset, col: str, q: float, keep: str = "ge",
+) -> ray.data.Dataset:
+    """Percentile-gated filter: compute the exact q-quantile of ``col``
+    (one distributed pass), broadcast the scalar cutoff, filter in-task —
+    the reproducible "drop the bottom decile by token count" quality gate.
+    ``keep``: 'ge' keeps rows ≥ cutoff, 'le' keeps ≤."""
+    if keep not in ("ge", "le"):
+        raise ValueError(keep)
+    cut = exact_quantiles(ds, col, [q])["value"][0].as_py()
+    if cut is None:  # empty input
+        return ds
+    op = pc.greater_equal if keep == "ge" else pc.less_equal
+
+    def fn(t: pa.Table) -> pa.Table:
+        return t.filter(op(t[col], cut))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 class HyperLogLog:
     """HLL distinct-count sketch (2^p registers, elementwise-max merge).
     Standard bias-corrected estimate incl. the small-range (linear

@@ -212,6 +212,24 @@ def run_bench() -> dict:
             seq_len=2048, eos=0,
         ))
 
+        # end-to-end corpus build (scrub → gate → dedup → mix → tokenize →
+        # pack → write), streaming mode, over the sf documents table
+        from airbyte_ray.pipelines.corpus import CorpusConfig, build_corpus
+
+        def corpus_bench(sf_dir):
+            out_dir = os.path.join(BENCH_ROOT, "corpus_out")
+            shutil.rmtree(out_dir, ignore_errors=True)
+            return build_corpus(
+                ray.data.read_parquet(
+                    os.path.join(sf_dir, "documents.parquet"),
+                    columns=["doc_id", "text", "source"],
+                ),
+                out_dir,
+                CorpusConfig(seq_len=512, collect_metrics=False),
+            )
+
+        timed("corpus_build", corpus_bench)
+
     ray.shutdown()
     return {
         "metric": "cdc_replay_sec",

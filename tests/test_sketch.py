@@ -120,3 +120,21 @@ def test_two_hashes_distinct_for_numeric_keys():
         assert (h1 != h2).all()
         # and h2 must not be a trivial shift of h1 across elements
         assert len(np.unique(h2)) == len(h2)
+
+
+def test_percentile_filter_matches_subquery():
+    from airbyte_ray.functions.sketch import percentile_filter
+
+    rng = np.random.default_rng(9)
+    vals = rng.integers(0, 1000, 500)
+    t = pa.table({"id": pa.array(range(500)), "v": pa.array(vals)})
+    got = (
+        percentile_filter(ray.data.from_arrow(t).repartition(5), "v", 0.25)
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", t)
+    exp = con.execute(
+        "SELECT id, v FROM t WHERE v >= (SELECT quantile_disc(v, 0.25) FROM t) ORDER BY id"
+    ).df()
+    assert list(got["id"]) == list(exp["id"])
