@@ -925,10 +925,7 @@ def q_quality_gate(sf_dir: str) -> ray.data.Dataset:
     in-task filter (the reproducible quality gate a corpus build uses)."""
     from .functions.sketch import percentile_filter
 
-    counted = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
-        token_count("text"), batch_format="pyarrow"
-    ).map_batches(lambda t: t.drop_columns(["text"]), batch_format="pyarrow")
-    return percentile_filter(counted, "n_tokens", 0.25, keep="ge")
+    return percentile_filter(q_token_count(sf_dir), "n_tokens", 0.25, keep="ge")
 
 
 def q_grouped_topn(sf_dir: str) -> ray.data.Dataset:
@@ -1342,10 +1339,10 @@ ORACLE_SQL = {
         ORDER BY md5('7:' || CAST(doc_id AS VARCHAR)), doc_id
         LIMIT 100
     """,
-    "quality_gate": """
+    "quality_gate": f"""
         WITH counted AS (
           SELECT doc_id, len(regexp_extract_all(text,
-                 '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')) AS n_tokens
+                 '{_TOKEN_RE_SQL}')) AS n_tokens
           FROM documents
         )
         SELECT doc_id, n_tokens FROM counted

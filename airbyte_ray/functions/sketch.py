@@ -221,9 +221,17 @@ def percentile_filter(
     ``keep``: 'ge' keeps rows ≥ cutoff, 'le' keeps ≤."""
     if keep not in ("ge", "le"):
         raise ValueError(keep)
+    if not 0.0 <= q <= 1.0:
+        raise ValueError(f"q must be in [0, 1], got {q}")
+    # pin the input once: the quantile pass and the filter pass must see
+    # the SAME rows, and without this the whole upstream plan re-executes
+    # for the second consumer (pre-prune columns before calling at scale)
+    ds = ds.materialize()
     cut = exact_quantiles(ds, col, [q])["value"][0].as_py()
-    if cut is None:  # empty input
-        return ds
+    if cut is None:
+        # no non-null values: `col >= NULL` is false for every row in the
+        # SQL semantics this operator mirrors — keep nothing
+        return ds.map_batches(lambda t: t.slice(0, 0), batch_format="pyarrow")
     op = pc.greater_equal if keep == "ge" else pc.less_equal
 
     def fn(t: pa.Table) -> pa.Table:

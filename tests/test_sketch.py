@@ -138,3 +138,14 @@ def test_percentile_filter_matches_subquery():
         "SELECT id, v FROM t WHERE v >= (SELECT quantile_disc(v, 0.25) FROM t) ORDER BY id"
     ).df()
     assert list(got["id"]) == list(exp["id"])
+
+
+def test_percentile_filter_all_null_keeps_nothing():
+    from airbyte_ray.functions.sketch import percentile_filter
+
+    t = pa.table({"id": pa.array(range(10)), "v": pa.array([None] * 10, pa.float64())})
+    got = percentile_filter(ray.data.from_arrow(t), "v", 0.5)
+    assert got.count() == 0  # col >= NULL is false for every row
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        percentile_filter(ray.data.from_arrow(t), "v", 1.5)
