@@ -928,6 +928,18 @@ def q_quality_gate(sf_dir: str) -> ray.data.Dataset:
     return percentile_filter(q_token_count(sf_dir), "n_tokens", 0.25, keep="ge")
 
 
+def q_sample_upsample(sf_dir: str) -> ray.data.Dataset:
+    """Integer upsampling by stratum: srcN replicates N%3 times (0 drops,
+    1 keeps, 2 doubles), copies tagged with copy_idx — vectorized take
+    with a repeat index, zero exchange; oracle = LATERAL generate_series."""
+    from .functions.sample import upsample
+
+    factors = {f"src{n}": n % 3 for n in range(1000)}
+    return upsample(
+        _docs(sf_dir, columns=["doc_id", "source"]), factors, strat_col="source"
+    )
+
+
 def q_grouped_topn(sf_dir: str) -> ray.data.Dataset:
     """Per-key window rank: top-3 events per user by value (ties by
     event_id) — batch-local prune before the exchange, so the shuffle
@@ -1015,6 +1027,7 @@ QUERIES = {
     "grouped_topn": q_grouped_topn,
     "pivot_counts": q_pivot_counts,
     "quality_gate": q_quality_gate,
+    "sample_upsample": q_sample_upsample,
 }
 
 _CANON = "md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
@@ -1347,6 +1360,12 @@ ORACLE_SQL = {
         )
         SELECT doc_id, n_tokens FROM counted
         WHERE n_tokens >= (SELECT quantile_disc(n_tokens, 0.25) FROM counted)
+    """,
+    "sample_upsample": """
+        SELECT doc_id, source, CAST(i AS BIGINT) AS copy_idx
+        FROM documents,
+             LATERAL (SELECT unnest(generate_series(
+                        0, CAST(substr(source, 4) AS BIGINT) % 3 - 1)) AS i) g
     """,
     "grouped_topn": """
         SELECT user_id, event_id, value, rnk FROM (
