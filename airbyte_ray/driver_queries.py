@@ -973,6 +973,202 @@ def q_quantiles(sf_dir: str) -> pa.Table:
     )
 
 
+def _plant_clusters(t: pa.Table) -> pa.Table:
+    """Overwrite embeddings with 8 planted, well-separated spherical
+    clusters: row r belongs to cluster ``vec_id % 8`` (center = basis
+    vector e_r, plus a small deterministic sinusoidal perturbation), so
+    converged k-means co-membership is a pure function of vec_id."""
+    ids = t["vec_id"].to_numpy(zero_copy_only=False)
+    d = 64
+    centers = np.zeros((8, d), np.float64)
+    centers[np.arange(8), np.arange(8)] = 1.0
+    noise = 0.05 * np.sin(np.outer(ids + 1, np.arange(1, d + 1)))
+    emb = (centers[ids % 8] + noise).astype(np.float32)
+    cols = {n: t[n] for n in t.schema.names}
+    cols["embedding"] = pa.array(list(emb))
+    return pa.table(cols).select(t.schema.names)
+
+
+def q_embedding_cluster(sf_dir: str) -> ray.data.Dataset:
+    """Distributed Lloyd k-means (per-batch partial-sum combiner, broadcast
+    centroids) over planted clusters; output labels each vector with its
+    cluster representative (min vec_id in the cluster), which the planted
+    geometry pins to ``vec_id % 8``."""
+    from ray.data.aggregate import Min
+
+    from .functions.cluster import assign_clusters, kmeans_fit
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    ).map_batches(_plant_clusters, batch_format="pyarrow")
+    init_t = _plant_clusters(
+        pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"]).slice(0, 8)
+    )
+    init = np.stack([np.asarray(v, np.float32) for v in init_t["embedding"].to_pylist()])
+    cents = kmeans_fit(ds, init=init, iters=5)
+    labeled = assign_clusters(ds, cents)
+    reps = labeled.groupby("cluster").aggregate(Min("vec_id", alias_name="cluster_rep"))
+    rep_map = {r["cluster"]: r["cluster_rep"] for r in reps.take_all()}
+
+    def relabel(t: pa.Table) -> pa.Table:
+        cl = t["cluster"].to_numpy(zero_copy_only=False)
+        lut = np.full(int(cl.max(initial=0)) + 1, -1, np.int64)
+        for c, rep in rep_map.items():
+            if c < len(lut):
+                lut[c] = rep
+        return pa.table({"vec_id": t["vec_id"], "cluster_rep": pa.array(lut[cl])})
+
+    return labeled.map_batches(relabel, batch_format="pyarrow")
+
+
+_DECON_N = 8          # word n-gram width
+_DECON_TEST_MOD = 97  # docs with doc_id % 97 == 0 form the benchmark set
+_DECON_PLANT_MOD = 29  # docs with doc_id % 29 == 0 get a test snippet appended
+_DECON_SNIP_WORDS = 12
+
+
+def _decon_corpus(sf_dir: str) -> tuple[ray.data.Dataset, pa.Table]:
+    """(planted corpus, benchmark table): benchmark = every %97 doc
+    (original text); planting appends the first 12 words of benchmark doc
+    ``97 * (doc_id % n_test)`` to every %29 doc that is not itself a
+    benchmark doc — mirrored exactly by the SQL oracle."""
+    test = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    _ids = test["doc_id"].to_numpy(zero_copy_only=False)
+    test = test.filter(pa.array(_ids % _DECON_TEST_MOD == 0))
+    n_test = test.num_rows
+    snips = np.array(
+        [" ".join(s.split(" ")[:_DECON_SNIP_WORDS]) for s in test["text"].to_pylist()],
+        dtype=object,
+    )
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        mask = (ids % _DECON_PLANT_MOD == 0) & (ids % _DECON_TEST_MOD != 0)
+        snip = pa.array(snips[ids % n_test], pa.string())
+        joined = pc.binary_join_element_wise(t["text"], snip, " ")
+        text = pc.if_else(pa.array(mask), joined, t["text"])
+        return pa.table({"doc_id": t["doc_id"], "text": text})
+
+    corpus = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        plant, batch_format="pyarrow"
+    )
+    return corpus, test
+
+
+def q_decontaminate(sf_dir: str) -> ray.data.Dataset:
+    """Benchmark decontamination: word-8-gram overlap against a broadcast
+    test-set gram table flags every contaminated corpus doc (one streaming
+    pass, Arrow kernels only)."""
+    from .functions.decontam import decontaminate
+
+    corpus, test = _decon_corpus(sf_dir)
+    return decontaminate(corpus, test, n=_DECON_N, keep_clean=False)
+
+
+def q_pricing_summary(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q1-shaped pricing summary: read-pruned columns, vectorized
+    derived measures, per-batch Arrow combiner, tiny global groupby —
+    the post-load ELT aggregate every warehouse sync feeds."""
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_tax", "l_shipdate"],
+    )
+    cutoff = pa.scalar(np.datetime64("1998-09-02", "us"), pa.timestamp("us"))
+
+    def combine(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"], cutoff))
+        disc = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        charge = pc.multiply(disc, pc.add(pa.scalar(1.0), t["l_tax"]))
+        t = pa.table({
+            "l_returnflag": t["l_returnflag"], "l_linestatus": t["l_linestatus"],
+            "qty": t["l_quantity"], "base": t["l_extendedprice"],
+            "disc_price": disc, "charge": charge, "disc": t["l_discount"],
+        })
+        g = pa.TableGroupBy(t, ["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty", "sum"), ("base", "sum"), ("disc_price", "sum"),
+             ("charge", "sum"), ("disc", "sum"), ("qty", "count")]
+        )
+        return g.rename_columns(["l_returnflag", "l_linestatus", "p_qty", "p_base",
+                                 "p_disc_price", "p_charge", "p_disc", "p_n"])
+
+    partials = li.map_batches(combine, batch_format="pyarrow")
+    out = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("p_qty", alias_name="sum_qty"), Sum("p_base", alias_name="sum_base_price"),
+        Sum("p_disc_price", alias_name="sum_disc_price"), Sum("p_charge", alias_name="sum_charge"),
+        Sum("p_disc", alias_name="s_disc"), Sum("p_n", alias_name="count_order"),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["count_order"].cast(pa.float64())
+        return pa.table({
+            "l_returnflag": t["l_returnflag"], "l_linestatus": t["l_linestatus"],
+            "sum_qty": t["sum_qty"], "sum_base_price": t["sum_base_price"],
+            "sum_disc_price": t["sum_disc_price"], "sum_charge": t["sum_charge"],
+            "avg_qty": pc.divide(t["sum_qty"], n),
+            "avg_price": pc.divide(t["sum_base_price"], n),
+            "avg_disc": pc.divide(t["s_disc"], n),
+            "count_order": t["count_order"],
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def q_revenue_by_nation(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q5-shaped multi-join rollup: nation broadcast into customer,
+    customer⋈orders and orders⋈lineitem as partitioned hash joins, then a
+    combiner + tiny groupby for revenue per nation."""
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                           columns=["n_nationkey", "n_name"])
+    cust = ray.data.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                                 columns=["c_custkey", "c_nationkey"])
+    cust_n = broadcast_join(
+        cust, nation.rename_columns(["c_nationkey", "n_name"]), on="c_nationkey"
+    ).map_batches(lambda t: t.select(["c_custkey", "n_name"])
+                  .rename_columns(["o_custkey", "n_name"]), batch_format="pyarrow")
+    orders = ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                                   columns=["o_orderkey", "o_custkey"])
+    ord_n = hash_join(orders, cust_n, on="o_custkey", num_buckets=16).map_batches(
+        lambda t: t.select(["o_orderkey", "n_name"]).rename_columns(["l_orderkey", "n_name"]),
+        batch_format="pyarrow",
+    )
+    li = ray.data.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                               columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    joined = hash_join(li, ord_n, on="l_orderkey", num_buckets=16)
+
+    def combine(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        g = pa.TableGroupBy(pa.table({"n_name": t["n_name"], "rev": rev}),
+                            ["n_name"]).aggregate([("rev", "sum")])
+        return g.rename_columns(["n_name", "p_rev"])
+
+    return (joined.map_batches(combine, batch_format="pyarrow")
+            .groupby("n_name").aggregate(Sum("p_rev", alias_name="revenue")))
+
+
+def q_approx_distinct(sf_dir: str) -> ray.data.Dataset:
+    """Exact per-group distinct via two-level groupby; the streaming HLL
+    sketch over the same column is computed alongside and the query FAILS
+    LOUDLY if the estimate strays >5% from truth — the sketch is
+    validated, the emitted numbers stay exact."""
+    from .functions.sketch import approx_distinct
+
+    ev = _events(sf_dir, columns=["event_type", "user_id"])
+    pairs = ev.groupby(["event_type", "user_id"]).aggregate(Count(alias_name="_c"))
+    out = pairs.groupby("event_type").aggregate(Count(alias_name="n_users"))
+    est = approx_distinct(_events(sf_dir, columns=["user_id"]), "user_id", p=12)
+    truth = _events(sf_dir, columns=["user_id"]).groupby("user_id").aggregate(
+        Count(alias_name="_c")).count()
+    if abs(est - truth) / max(truth, 1) > 0.05:
+        raise AssertionError(f"HLL estimate {est} vs exact {truth} diverged >5%")
+    return out.map_batches(
+        lambda t: t.select(["event_type", "n_users"]), batch_format="pyarrow"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry + oracles
 # ---------------------------------------------------------------------------
@@ -1028,6 +1224,11 @@ QUERIES = {
     "pivot_counts": q_pivot_counts,
     "quality_gate": q_quality_gate,
     "sample_upsample": q_sample_upsample,
+    "embedding_cluster": q_embedding_cluster,
+    "decontaminate": q_decontaminate,
+    "pricing_summary": q_pricing_summary,
+    "revenue_by_nation": q_revenue_by_nation,
+    "approx_distinct": q_approx_distinct,
 }
 
 _CANON = "md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
@@ -1433,5 +1634,64 @@ ORACLE_SQL = {
                coalesce(n_bigrams, 0) AS n_bigrams,
                coalesce(top_bigram_count, 0) AS top_bigram_count
         FROM w LEFT JOIN topb USING (doc_id)
+    """,
+    # embedding_cluster: planted geometry (8 orthogonal centers, row r in
+    # cluster r = vec_id % 8) makes converged k-means co-membership a pure
+    # function of vec_id; the cluster representative (min member id) of
+    # residue class r is r itself.
+    "embedding_cluster": """
+        SELECT vec_id, vec_id % 8 AS cluster_rep FROM embeddings
+    """,
+    # decontaminate: rebuild the SAME planted corpus in SQL (benchmark =
+    # %97 docs verbatim; %29 non-benchmark docs get the first 12 words of
+    # benchmark doc 97*(doc_id % n_test) appended), generate word 8-grams
+    # for every doc, and join against the benchmark docs' gram set.
+    "decontaminate": f"""
+        WITH nt AS (SELECT count(*) AS c FROM documents WHERE doc_id % {_DECON_TEST_MOD} = 0),
+        plant AS (
+          SELECT d.doc_id,
+                 CASE WHEN d.doc_id % {_DECON_PLANT_MOD} = 0
+                       AND d.doc_id % {_DECON_TEST_MOD} <> 0
+                      THEN d.text || ' ' ||
+                           array_to_string((string_split(t.text, ' '))[1:{_DECON_SNIP_WORDS}], ' ')
+                      ELSE d.text END AS text
+          FROM documents d
+          LEFT JOIN documents t
+            ON t.doc_id = {_DECON_TEST_MOD} * (d.doc_id % (SELECT c FROM nt))
+        ),
+        grams AS (
+          SELECT doc_id, array_to_string(ws[i:i+{_DECON_N - 1}], ' ') AS g
+          FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM plant),
+               LATERAL (SELECT unnest(generate_series(
+                          1, greatest(len(ws) - {_DECON_N - 1}, 0))) AS i) s
+        ),
+        tg AS (SELECT DISTINCT g FROM grams WHERE doc_id % {_DECON_TEST_MOD} = 0)
+        SELECT DISTINCT doc_id FROM grams JOIN tg USING (g)
+    """,
+    "pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               sum(l_quantity) AS sum_qty,
+               sum(l_extendedprice) AS sum_base_price,
+               sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+               sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
+               avg(l_quantity) AS avg_qty,
+               avg(l_extendedprice) AS avg_price,
+               avg(l_discount) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "revenue_by_nation": """
+        SELECT n.n_name, sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    """,
+    "approx_distinct": """
+        SELECT event_type, count(DISTINCT user_id) AS n_users
+        FROM events GROUP BY event_type
     """,
 }

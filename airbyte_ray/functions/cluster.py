@@ -1,0 +1,162 @@
+"""Distributed k-means clustering over an embedding column (``list<float>``).
+
+The reference has no vector ops; this belongs to the training-data operator
+family (corpus bucketing / topic balancing / semantic dedup pre-pass all
+start from a k-means partition of the embedding space).
+
+Scale shape (the part that matters at 100 TB):
+
+* **fit** — each Lloyd iteration is ONE streaming pass: every batch does a
+  single matmul against the broadcast ``(k × d)`` centroid matrix, assigns
+  rows to their nearest centroid, and emits only ``k`` partial rows
+  (cluster, count, per-dimension sums exploded into ``d`` columns).  A
+  native Ray ``groupby("cluster").aggregate(Sum...)`` reduces the partials
+  (shuffle volume = O(batches × k × d), never O(corpus)), and the driver
+  folds the resulting ``k × (d+1)`` table into new centroids.  Centroids
+  travel via ``ray.put`` once per iteration and are fetched once per worker
+  (``config._worker_state`` cache), not re-shipped per batch.
+* **assign** — one matmul per batch against the broadcast centroids; output
+  adds a single int32 column.
+
+Spherical mode (the default) L2-normalizes rows and centroids so the
+assignment metric is cosine — the same quantizer family as
+:func:`airbyte_ray.functions.ann.train_ivf_centroids`, but exposed as a
+first-class clustering operator with a deterministic, resumable iteration
+loop (explicit ``init`` or a seeded ``random_sample`` init).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+from ray.data.aggregate import Sum
+
+from ..config import _worker_state
+from .ann import _matrix, _normalize
+
+
+def _partial_sums(t: pa.Table, cref, col: str, spherical: bool) -> pa.Table:
+    """One batch → ≤k partial rows: (cluster, n, s0..s{d-1})."""
+    cents = _worker_state(("kmeans_cents", cref.hex()), lambda: ray.get(cref))
+    k, d = cents.shape
+    if t.num_rows == 0:
+        cols = {"cluster": pa.array([], pa.int32()), "n": pa.array([], pa.int64())}
+        for j in range(d):
+            cols[f"s{j}"] = pa.array([], pa.float64())
+        return pa.table(cols)
+    m = _matrix(t, col)
+    pts = _normalize(m) if spherical else m
+    # nearest centroid: cosine == dot on normalized rows; euclidean via
+    # |x|^2 - 2x.c + |c|^2 (|x|^2 constant per row, dropped)
+    if spherical:
+        assign = np.argmax(pts @ cents.T, axis=1)
+    else:
+        scores = pts @ cents.T - 0.5 * np.sum(cents * cents, axis=1)[None, :]
+        assign = np.argmax(scores, axis=1)
+    sums = np.zeros((k, d), dtype=np.float64)
+    np.add.at(sums, assign, pts.astype(np.float64))
+    counts = np.bincount(assign, minlength=k).astype(np.int64)
+    cols = {"cluster": pa.array(np.arange(k, dtype=np.int32)), "n": pa.array(counts)}
+    for j in range(d):
+        cols[f"s{j}"] = pa.array(sums[:, j])
+    return pa.table(cols)
+
+
+def _assign_batch(t: pa.Table, cref, col: str, id_col: str, out: str, spherical: bool) -> pa.Table:
+    cents = _worker_state(("kmeans_cents", cref.hex()), lambda: ray.get(cref))
+    if t.num_rows == 0:
+        return pa.table({id_col: pa.array([], t[id_col].type), out: pa.array([], pa.int32())})
+    pts = _matrix(t, col)
+    if spherical:
+        pts = _normalize(pts)
+        assign = np.argmax(pts @ cents.T, axis=1)
+    else:
+        scores = pts @ cents.T - 0.5 * np.sum(cents * cents, axis=1)[None, :]
+        assign = np.argmax(scores, axis=1)
+    return pa.table({id_col: t[id_col], out: pa.array(assign.astype(np.int32))})
+
+
+def kmeans_fit(
+    ds: ray.data.Dataset,
+    k: int | None = None,
+    init: np.ndarray | None = None,
+    col: str = "embedding",
+    iters: int = 10,
+    spherical: bool = True,
+    tol: float = 1e-6,
+    seed: int = 97,
+) -> np.ndarray:
+    """Fit k-means and return the final ``(k × d)`` centroid matrix.
+
+    ``init`` (explicit centroids) makes the run fully deterministic;
+    otherwise ``k`` rows are drawn with a seeded ``random_sample`` (random,
+    not first-N — a source-sorted corpus must not bias the quantizer)."""
+    if init is None:
+        if k is None:
+            raise ValueError("pass either init centroids or k")
+        samp = ds.random_sample(min(1.0, (50.0 * k) / max(ds.count(), 1)), seed=seed)
+        rows = samp.limit(k).take_all()
+        if len(rows) < k:
+            rows = ds.limit(k).take_all()
+        init = np.stack([np.asarray(r[col], np.float32) for r in rows])
+    cents = np.asarray(init, np.float64)
+    if spherical:
+        cents = _normalize(cents)
+    k, d = cents.shape
+
+    for _ in range(iters):
+        cref = ray.put(cents.astype(np.float32))
+        partials = ds.select_columns([col]).map_batches(
+            partial(_partial_sums, cref=cref, col=col, spherical=spherical),
+            batch_format="pyarrow",
+        )
+        aggs = [Sum("n", alias_name="n")] + [Sum(f"s{j}", alias_name=f"s{j}") for j in range(d)]
+        red = partials.groupby("cluster").aggregate(*aggs).take_all()
+        new = cents.copy()
+        for row in red:
+            c = row["cluster"]
+            n = row["n"]
+            if n and n > 0:
+                new[c] = np.array([row[f"s{j}"] for j in range(d)]) / n
+        if spherical:
+            new = _normalize(new)
+        shift = float(np.max(np.linalg.norm(new - cents, axis=1)))
+        cents = new
+        if shift <= tol:
+            break
+    return cents.astype(np.float32)
+
+
+def assign_clusters(
+    ds: ray.data.Dataset,
+    centroids: np.ndarray,
+    col: str = "embedding",
+    id_col: str = "vec_id",
+    out: str = "cluster",
+    spherical: bool = True,
+) -> ray.data.Dataset:
+    """Label every row with its nearest-centroid cluster id (int32)."""
+    cref = ray.put(np.asarray(centroids, np.float32))
+    return ds.select_columns([id_col, col]).map_batches(
+        partial(_assign_batch, cref=cref, col=col, id_col=id_col, out=out, spherical=spherical),
+        batch_format="pyarrow",
+    )
+
+
+def kmeans(
+    ds: ray.data.Dataset,
+    k: int | None = None,
+    init: np.ndarray | None = None,
+    col: str = "embedding",
+    id_col: str = "vec_id",
+    iters: int = 10,
+    spherical: bool = True,
+    seed: int = 97,
+) -> tuple[np.ndarray, ray.data.Dataset]:
+    """Fit + assign. Returns ``(centroids, labeled dataset)``."""
+    cents = kmeans_fit(ds, k=k, init=init, col=col, iters=iters, spherical=spherical, seed=seed)
+    return cents, assign_clusters(ds, cents, col=col, id_col=id_col, spherical=spherical)
