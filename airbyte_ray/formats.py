@@ -153,8 +153,6 @@ def write_avro_file(table: pa.Table, path: str, *, block_rows: int = 65536,
         raise ValueError("sync marker must be 16 bytes")
     field_types = [f["type"][1] for f in schema["fields"]]
     encoders = [_col_encoder(t) for t in field_types]
-    cols = [_col_pylist(table.column(i), field_types[i])
-            for i in range(table.num_columns)]
     with open(path, "wb") as fh:
         fh.write(MAGIC)
         meta = {"avro.schema": json.dumps(schema).encode(),
@@ -168,8 +166,15 @@ def write_avro_file(table: pa.Table, path: str, *, block_rows: int = 65536,
         n = table.num_rows
         for lo in range(0, n, block_rows):
             hi = min(lo + block_rows, n)
+            # Arrow→Python per row-block, not whole-table up front: the
+            # pylists are the memory hog (review finding — a 1 GB string
+            # block is several GB as Python objects), so conversion must
+            # track the block_rows window the docstring promises.
+            sl = table.slice(lo, hi - lo)
+            cols = [_col_pylist(sl.column(i), field_types[i])
+                    for i in range(sl.num_columns)]
             buf = bytearray()
-            for i in range(lo, hi):
+            for i in range(hi - lo):
                 for col, enc in zip(cols, encoders):
                     v = col[i]
                     buf += b"\x00" if v is None else enc(v)

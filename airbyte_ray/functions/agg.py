@@ -79,9 +79,14 @@ def pivot_counts(
         for v in values:
             cols[v] = pc.equal(t[pivot_col], v).cast(pa.int64())
         wide = pa.table(cols)
-        return pa.TableGroupBy(wide, key).aggregate(
-            [(v, "sum") for v in values]
-        ).rename_columns([key] + list(values))
+        g = pa.TableGroupBy(wide, key).aggregate([(v, "sum") for v in values])
+        # rename by NAME (aggregate emits '<v>_sum'), not position — pyarrow
+        # has moved group keys between first and last across versions, and a
+        # positional rename would silently shift every count column
+        picked = {key: g[key]}
+        for v in values:
+            picked[v] = g[f"{v}_sum"]
+        return pa.table(picked)
 
     out = ds.map_batches(combine, batch_format="pyarrow").groupby(key).aggregate(
         *[Sum(v, alias_name=f"_{v}") for v in values]

@@ -73,35 +73,27 @@ def build_bloom(
     merge_groups: int = 32,
 ) -> BloomFilter:
     """Distributed build: partial filters per block, OR-fold in parallel,
-    driver ORs ≤ ``merge_groups`` blobs."""
-    import zlib
+    driver ORs ≤ ``merge_groups`` blobs — the shared ``_fold_blobs``
+    scaffold from ``sketch.py``."""
+    from .sketch import _fold_blobs
 
     proto = BloomFilter.sized(est_keys, fp_rate)
     n_bits, k = proto.n_bits, proto.k
 
-    def partial(t: pa.Table) -> pa.Table:
+    def make_blob(t: pa.Table) -> bytes:
         b = BloomFilter(n_bits, k)
         if t.num_rows:
             b.add(_key_np(t[col]))
-        blob = b.bits.tobytes()
-        return pa.table({"g": pa.array([zlib.crc32(blob) % merge_groups], pa.int64()),
-                         "blob": pa.array([blob], pa.binary())})
+        return b.bits.tobytes()
 
-    def fold(grp: pa.Table) -> pa.Table:
-        acc = np.zeros(len(proto.bits), np.uint8)
-        for blob in grp["blob"].to_pylist():
-            np.bitwise_or(acc, np.frombuffer(blob, np.uint8), out=acc)
-        return pa.table({"blob": pa.array([acc.tobytes()], pa.binary())})
-
-    folded = (
-        ds.select_columns([col])
-        .map_batches(partial, batch_format="pyarrow")
-        .groupby("g")
-        .map_groups(fold, batch_format="pyarrow")
+    acc = _fold_blobs(
+        ds, col, make_blob,
+        new_acc=lambda: np.zeros(len(proto.bits), np.uint8),
+        absorb=lambda a, b: np.bitwise_or(a, np.frombuffer(b, np.uint8), out=a),
+        merge_groups=merge_groups,
     )
     out = BloomFilter(n_bits, k)
-    for row in folded.take_all():
-        np.bitwise_or(out.bits, np.frombuffer(row["blob"], np.uint8), out=out.bits)
+    np.bitwise_or(out.bits, acc, out=out.bits)
     return out
 
 

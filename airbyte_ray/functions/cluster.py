@@ -80,6 +80,26 @@ def _assign_batch(t: pa.Table, cref, col: str, id_col: str, out: str, spherical:
     return pa.table({id_col: t[id_col], out: pa.array(assign.astype(np.int32))})
 
 
+def _kmeanspp(cand: np.ndarray, k: int, seed: int) -> np.ndarray:
+    """k-means++ (D²-weighted) seeding over a candidate pool: a uniform
+    k-draw collides clusters with probability 1 - k!/k^k (≳90% at k=4),
+    so each next seed is drawn ∝ squared distance to the nearest chosen
+    one.  Pool is a driver-side sample by contract (≤ ~50k × d)."""
+    rng = np.random.default_rng(seed)
+    picks = [int(rng.integers(len(cand)))]
+    d2 = np.sum((cand - cand[picks[0]]) ** 2, axis=1)
+    for _ in range(1, k):
+        total = float(d2.sum())
+        if total <= 0:  # all remaining candidates coincide with a seed
+            remaining = np.setdiff1d(np.arange(len(cand)), picks)
+            picks.extend(remaining[: k - len(picks)].tolist())
+            break
+        nxt = int(rng.choice(len(cand), p=d2 / total))
+        picks.append(nxt)
+        d2 = np.minimum(d2, np.sum((cand - cand[nxt]) ** 2, axis=1))
+    return cand[picks[:k]]
+
+
 def kmeans_fit(
     ds: ray.data.Dataset,
     k: int | None = None,
@@ -93,16 +113,28 @@ def kmeans_fit(
     """Fit k-means and return the final ``(k × d)`` centroid matrix.
 
     ``init`` (explicit centroids) makes the run fully deterministic;
-    otherwise ``k`` rows are drawn with a seeded ``random_sample`` (random,
-    not first-N — a source-sorted corpus must not bias the quantizer)."""
+    otherwise a seeded Bernoulli sample pools ~50k candidates and k-means++
+    (seeded D²-weighted seeding) picks ``k`` of them driver-side — neither
+    a source-sorted corpus (taking the FIRST k of the sample — review
+    finding) nor uniform k-draw cluster collisions bias the quantizer."""
+    # Pin the (projected) input once: Lloyd re-reads it every iteration,
+    # and an unpinned lazy plan would re-execute upstream per pass — and
+    # converge against a moving target if upstream is nondeterministic
+    # (same discipline as sketch.percentile_filter).
+    ds = ds.select_columns([col]).materialize()
     if init is None:
         if k is None:
             raise ValueError("pass either init centroids or k")
-        samp = ds.random_sample(min(1.0, (50.0 * k) / max(ds.count(), 1)), seed=seed)
-        rows = samp.limit(k).take_all()
-        if len(rows) < k:
-            rows = ds.limit(k).take_all()
-        init = np.stack([np.asarray(r[col], np.float32) for r in rows])
+        n = max(ds.count(), 1)
+        pool = ds.random_sample(min(1.0, (50_000.0 + k) / n), seed=seed).take_all()
+        if len(pool) < k:
+            pool = ds.take_all()
+        if len(pool) < k:
+            raise ValueError(f"k={k} exceeds dataset size {len(pool)}")
+        cand = np.stack([np.asarray(r[col], np.float64) for r in pool])
+        if spherical:
+            cand = _normalize(cand)
+        init = _kmeanspp(cand, k, seed)
     cents = np.asarray(init, np.float64)
     if spherical:
         cents = _normalize(cents)
@@ -110,7 +142,7 @@ def kmeans_fit(
 
     for _ in range(iters):
         cref = ray.put(cents.astype(np.float32))
-        partials = ds.select_columns([col]).map_batches(
+        partials = ds.map_batches(
             partial(_partial_sums, cref=cref, col=col, spherical=spherical),
             batch_format="pyarrow",
         )

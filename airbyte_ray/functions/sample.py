@@ -42,9 +42,13 @@ def rate_threshold_hex(rate: float) -> str:
 
 def _keep_mask(keys: pa.Array, thresholds: np.ndarray) -> np.ndarray:
     """hex(md5(key))[:8] < per-row threshold.  hashlib loop — no Arrow md5
-    kernel (same trade-off as ``text.fingerprint_md5``)."""
+    kernel (same trade-off as ``text.fingerprint_md5``).  Null keys are
+    always dropped — SQL's ``md5(CAST(key AS VARCHAR)) < threshold`` is
+    NULL for NULL keys, which WHERE filters out, and '~' sorts above every
+    threshold including the keep-all 'g'."""
     draws = np.array(
-        [hashlib.md5(v.encode()).hexdigest()[:8] for v in keys.cast(pa.string()).to_pylist()]
+        [hashlib.md5(v.encode()).hexdigest()[:8] if v is not None else "~"
+         for v in keys.cast(pa.string()).to_pylist()]
     )
     return draws < thresholds
 

@@ -97,26 +97,32 @@ def _key_np(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
     return a.to_numpy(zero_copy_only=False)
 
 
-def build_cms(
-    ds: ray.data.Dataset, col: str, d: int = 4, w: int = 1 << 15,
+def _fold_blobs(
+    ds: ray.data.Dataset,
+    col: str,
+    make_blob,
+    new_acc,
+    absorb,
     merge_groups: int = 32,
-) -> CountMinSketch:
-    """One pass + bucketed parallel merge → one sketch on the driver."""
-    def partial(t: pa.Table) -> pa.Table:
-        s = CountMinSketch(d, w)
-        if t.num_rows:
-            s.update(_key_np(t[col]))
-        import zlib
+) -> np.ndarray:
+    """Shared scaffold for every commutative-monoid sketch build (CMS, HLL,
+    Bloom): one partial blob per block, crc32-bucketed parallel fold, then
+    the driver absorbs ≤ ``merge_groups`` blobs.  ``make_blob(table) ->
+    bytes``; ``new_acc() -> ndarray``; ``absorb(acc, blob_bytes)`` in-place.
+    Factored from three hand-rolled copies (review finding) so the fold
+    plan has one implementation to fix/tune."""
+    import zlib
 
-        blob = s.to_bytes()
+    def partial(t: pa.Table) -> pa.Table:
+        blob = make_blob(t)
         g = zlib.crc32(blob) % merge_groups  # spread partials across folders
         return pa.table({"g": pa.array([g], pa.int64()),
                          "blob": pa.array([blob], pa.binary())})
 
     def fold(grp: pa.Table) -> pa.Table:
-        acc = np.zeros(d * w, np.int64)
+        acc = new_acc()
         for b in grp["blob"].to_pylist():
-            acc += np.frombuffer(b, np.int64)
+            absorb(acc, b)
         return pa.table({"blob": pa.array([acc.tobytes()], pa.binary())})
 
     folded = (
@@ -125,9 +131,31 @@ def build_cms(
         .groupby("g")
         .map_groups(fold, batch_format="pyarrow")
     )
-    out = CountMinSketch(d, w)
+    acc = new_acc()
     for row in folded.take_all():  # ≤ merge_groups blobs
-        out.counts += np.frombuffer(row["blob"], np.int64).reshape(d, w)
+        absorb(acc, row["blob"])
+    return acc
+
+
+def build_cms(
+    ds: ray.data.Dataset, col: str, d: int = 4, w: int = 1 << 15,
+    merge_groups: int = 32,
+) -> CountMinSketch:
+    """One pass + bucketed parallel merge → one sketch on the driver."""
+    def make_blob(t: pa.Table) -> bytes:
+        s = CountMinSketch(d, w)
+        if t.num_rows:
+            s.update(_key_np(t[col]))
+        return s.to_bytes()
+
+    acc = _fold_blobs(
+        ds, col, make_blob,
+        new_acc=lambda: np.zeros(d * w, np.int64),
+        absorb=lambda a, b: np.add(a, np.frombuffer(b, np.int64), out=a),
+        merge_groups=merge_groups,
+    )
+    out = CountMinSketch(d, w)
+    out.counts += acc.reshape(d, w)
     return out
 
 
@@ -150,6 +178,11 @@ def heavy_hitters(
 
     from ..config import _worker_state
 
+    # pin the (projected) input once: the sketch pass and the candidate
+    # pass must see the SAME rows — an unpinned lazy plan would execute
+    # upstream twice and break the no-false-negative guarantee if upstream
+    # is nondeterministic (same discipline as percentile_filter)
+    ds = ds.select_columns([col]).materialize()
     sk = build_cms(ds, col, d, w)
     sref = ray.put(sk.to_bytes())
 
@@ -182,6 +215,11 @@ def exact_quantiles(
     rows reach the driver.  For a quick percentile on 100 TB prefer a
     sampled approximation; this is the exact path (percentile CUTOFFS for
     quality filtering need exactness to be reproducible)."""
+    bad = [q for q in qs if not 0.0 <= q <= 1.0]
+    if bad:
+        # validate before paying for the distributed sort — an out-of-range
+        # q otherwise surfaces as an opaque KeyError after the full pass
+        raise ValueError(f"quantiles must be in [0, 1], got {bad}")
     from .pack import global_index
 
     filtered = ds.select_columns([col]).map_batches(
@@ -283,33 +321,22 @@ def approx_distinct(
     ds: ray.data.Dataset, col: str, p: int = 12, merge_groups: int = 32
 ) -> float:
     """Distributed HLL distinct estimate — same partial/fold plan as
-    :func:`build_cms` (registers merge by elementwise max)."""
+    :func:`build_cms` (registers merge by elementwise max), via the shared
+    ``_fold_blobs`` scaffold."""
     m = 1 << p
 
-    def partial(t: pa.Table) -> pa.Table:
+    def make_blob(t: pa.Table) -> bytes:
         h = HyperLogLog(p)
         if t.num_rows:
             h.update(_key_np(t[col]))
-        import zlib
+        return h.reg.tobytes()
 
-        blob = h.reg.tobytes()
-        g = zlib.crc32(blob) % merge_groups
-        return pa.table({"g": pa.array([g], pa.int64()),
-                         "blob": pa.array([blob], pa.binary())})
-
-    def fold(grp: pa.Table) -> pa.Table:
-        acc = np.zeros(m, np.uint8)
-        for b in grp["blob"].to_pylist():
-            np.maximum(acc, np.frombuffer(b, np.uint8), out=acc)
-        return pa.table({"blob": pa.array([acc.tobytes()], pa.binary())})
-
-    folded = (
-        ds.select_columns([col])
-        .map_batches(partial, batch_format="pyarrow")
-        .groupby("g")
-        .map_groups(fold, batch_format="pyarrow")
+    acc = _fold_blobs(
+        ds, col, make_blob,
+        new_acc=lambda: np.zeros(m, np.uint8),
+        absorb=lambda a, b: np.maximum(a, np.frombuffer(b, np.uint8), out=a),
+        merge_groups=merge_groups,
     )
     out = HyperLogLog(p)
-    for row in folded.take_all():
-        np.maximum(out.reg, np.frombuffer(row["blob"], np.uint8), out=out.reg)
+    np.maximum(out.reg, acc, out=out.reg)
     return out.estimate()

@@ -37,7 +37,7 @@ def state_flavor(state: Any) -> str:
     """'legacy' | 'migrated_legacy' | 'global' | 'stream' (raises otherwise)."""
     if isinstance(state, Mapping):
         return "legacy"
-    if isinstance(state, list):
+    if isinstance(state, list) and all(isinstance(m, Mapping) for m in state):
         if len(state) == 1 and str(state[0].get("type", "")).upper() == "LEGACY":
             return "migrated_legacy"
         if len(state) == 1 and str(state[0].get("type", "")).upper() == "GLOBAL":
@@ -77,7 +77,12 @@ def normalize_state(
 
 
 def _stream_file(name: str, namespace: str | None) -> str:
-    return f"{namespace}.{name}.json" if namespace else f"{name}.json"
+    # The engine reads '{name}.json' (StreamState, incremental.py:57); the
+    # namespace is preserved INSIDE the blob, not in the filename —
+    # a namespaced filename would make the migrated cursor silently
+    # unloadable (review finding).  Cross-namespace name collisions are
+    # rejected loudly in import_state instead.
+    return f"{name}.json"
 
 
 def import_state(
@@ -99,6 +104,16 @@ def import_state(
     shared, per = normalize_state(state)
     cursor_fields = cursor_fields or {}
     os.makedirs(state_dir, exist_ok=True)
+    names_seen: dict[str, str | None] = {}
+    for (name, ns), _ in per.items():
+        if name in names_seen and names_seen[name] != ns:
+            raise ValueError(
+                f"stream name {name!r} appears under namespaces "
+                f"{names_seen[name]!r} and {ns!r}: one state_dir holds one "
+                "namespace's streams — import each namespace into its own "
+                "state_dir"
+            )
+        names_seen[name] = ns
     imported, skipped = [], []
     for (name, ns), blob in per.items():
         path = os.path.join(state_dir, _stream_file(name, ns))
@@ -110,6 +125,7 @@ def import_state(
             "cursor": blob.get(cfield),
             "sync_id": 0,
             "runs": [],
+            "namespace": ns,
             "migrated_blob": blob,
         }
         tmp = path + ".tmp"
@@ -140,7 +156,9 @@ def import_state(
 def export_legacy(state_dir: str) -> dict:
     """Bare legacy mapping {stream: blob} from the per-stream store —
     the ``_get_legacy_state`` analog (create_state_message's legacy
-    ``data`` field).  Namespaced files export as ``namespace.stream``."""
+    ``data`` field).  Namespaced streams (namespace recorded INSIDE the
+    blob — the filename is always ``{name}.json`` so the engine loads it)
+    export as ``namespace.stream``."""
     out: dict[str, dict] = {}
     if not os.path.isdir(state_dir):
         return out
@@ -152,5 +170,7 @@ def export_legacy(state_dir: str) -> dict:
         blob = dict(st.get("migrated_blob") or {})
         if st.get("cursor") is not None:
             blob.setdefault("cursor", st["cursor"])
-        out[fn[: -len(".json")]] = blob
+        name = fn[: -len(".json")]
+        ns = st.get("namespace")
+        out[f"{ns}.{name}" if ns else name] = blob
     return out
