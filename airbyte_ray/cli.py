@@ -237,7 +237,11 @@ def main(argv: list[str] | None = None) -> int:
 
             lake = LakeTable(args.lake)
             if args.partitioned:
-                out = lake.apply_partitioned(args.log[0], delta=args.delta)
+                # every --log root, not just the first (review finding:
+                # silently dropping rootB+ looked like a complete apply)
+                applies = [lake.apply_partitioned(r, delta=args.delta)
+                           for r in args.log]
+                out = applies[0] if len(applies) == 1 else {"roots": applies}
             elif args.chunk:
                 out = {"runs": lake.apply_chunked(
                     args.log, chunk_lsns=args.chunk, delta=args.delta

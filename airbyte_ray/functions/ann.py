@@ -146,15 +146,29 @@ def lsh_topk(
     planes = _hyperplanes(dim, nbits)
     qkeys = _bucket_keys(q, planes)
 
-    # probe set per query: own bucket + nprobe-1 nearest by key hamming
-    all_keys = np.arange(1 << nbits)
+    # probe set per query: own bucket + nprobe-1 nearest by key hamming —
+    # enumerated as a hamming BALL around qkey (radius 0, 1, 2, … until
+    # nprobe keys, each ring in ascending key order, matching the previous
+    # stable-argsort tie-break).  Materializing + popcounting all 2^nbits
+    # keys was exponential (32 GiB at nbits=32 — review finding); the ball
+    # costs O(nprobe · nbits^radius) and never touches keys it won't probe.
+    import itertools
+
+    def _probe_ball(qk: int) -> list[int]:
+        out: list[int] = []
+        for r in range(nbits + 1):
+            if len(out) >= nprobe:
+                break
+            ring = sorted(
+                qk ^ sum(1 << p for p in combo)
+                for combo in itertools.combinations(range(nbits), r)
+            )
+            out.extend(ring[: nprobe - len(out)])
+        return out
+
     probe: set[int] = set()
     for qk in qkeys:
-        x = (all_keys ^ qk).astype(np.uint64)  # width-correct popcount —
-        # the old uint16 cast masked bits ≥ 16, so nbits > 16 silently
-        # probed the wrong buckets (review finding)
-        ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
-        probe.update(all_keys[np.argsort(ham, kind="stable")[:nprobe]].tolist())
+        probe.update(_probe_ball(int(qk)))
     probe_ref = ray.put((planes, frozenset(probe)))
 
     def bucket_filter(t: pa.Table) -> pa.Table:

@@ -893,8 +893,12 @@ def _bucket_jaccard(g: pa.Table, pref, threshold: float) -> pa.Table:
     pidx); sort by (pidx, side), compute the exact metric per adjacent
     row-pair, rebind ids from the broadcast pair table."""
     pt = _worker_state(("ngram_pairs_tbl", pref.hex()), lambda: ray.get(pref))
-    g = g.take(pc.sort_indices(g, sort_keys=[("pidx", "ascending"), ("side", "ascending")]))
+    # grams in the sort keys: duplicate corpus ids emit >1 row per side, and
+    # a deterministic first-of-side pick needs a total order within the group
+    g = g.take(pc.sort_indices(g, sort_keys=[
+        ("pidx", "ascending"), ("side", "ascending"), ("grams", "ascending")]))
     pidx = g["pidx"].to_numpy()
+    sides = g["side"].to_numpy()
     grams = g["grams"].to_pylist()
     out_p: list[int] = []
     out_j: list[float] = []
@@ -903,9 +907,18 @@ def _bucket_jaccard(g: pa.Table, pref, threshold: float) -> pa.Table:
         j = i + 1
         while j < n and pidx[j] == pidx[i]:
             j += 1
-        if j - i == 2:  # both sides present (always, for unique corpus ids)
-            a = np.frombuffer(grams[i] or b"", np.uint64)
-            b = np.frombuffer(grams[i + 1] or b"", np.uint64)
+        # first row of EACH side — a `group size == 2` check silently
+        # dropped pairs whenever the corpus contained duplicate ids
+        # (review finding); with dupes the first occurrence per side wins
+        # deterministically (grams sort above)
+        grp = sides[i:j]
+        has_a = (grp == 0).any()
+        has_b = (grp == 1).any()
+        if has_a and has_b:
+            a_pos = i + int(np.argmax(grp == 0))
+            b_pos = i + int(np.argmax(grp == 1))
+            a = np.frombuffer(grams[a_pos] or b"", np.uint64)
+            b = np.frombuffer(grams[b_pos] or b"", np.uint64)
             if len(a) == 0 and len(b) == 0:
                 jac = 1.0  # two empty docs are identical
             else:

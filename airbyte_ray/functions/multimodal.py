@@ -32,6 +32,7 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -150,7 +151,9 @@ class ImageFeatures:
 
     def __call__(self, t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
-            e3 = pa.FixedSizeListArray.from_arrays(pa.array([], pa.float64()), 3)
+            # float32, matching the non-empty branch (mean/std of float32
+            # pixels) — a float64 empty block made schemas data-dependent
+            e3 = pa.FixedSizeListArray.from_arrays(pa.array([], pa.float32()), 3)
             return t.append_column("feat_mean", e3).append_column("feat_std", e3)
         flat = np.asarray(t[self.pixels_col].combine_chunks().flatten(), np.float32)
         px = flat.reshape(t.num_rows, -1, 3)
@@ -315,17 +318,32 @@ class RaggedResize:
     """Vectorized nearest-neighbour resize of RAGGED decoded images to a
     fixed (side, side, 3): one fancy-index gather over the whole batch —
     per-row source coordinates computed by broadcasting, no per-image
-    Python work beyond the offsets."""
+    Python work beyond the offsets.
+
+    Rows that are not resizable images — null ``pixels`` (the
+    ``MediaDecode(strict=False)`` pass-through for non-image media) or a
+    zero ``img_w``/``img_h`` — are DROPPED, not crashed on: a null width
+    cast to int64 previously produced a garbage gather index (review
+    finding)."""
 
     def __init__(self, side: int, pixels_col: str = "pixels"):
         self.side, self.pixels_col = side, pixels_col
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        n = t.num_rows
         side = self.side
         arr = pa.FixedSizeListArray.from_arrays(
             pa.array([], pa.uint8()), side * side * 3
         )
+        if t.num_rows:
+            ok = pc.and_(
+                pc.is_valid(t[self.pixels_col]),
+                pc.and_(
+                    pc.greater(pc.fill_null(t["img_w"], 0), 0),
+                    pc.greater(pc.fill_null(t["img_h"], 0), 0),
+                ),
+            )
+            t = t.filter(ok)
+        n = t.num_rows
         if n == 0:
             return t.drop_columns([self.pixels_col]).append_column(self.pixels_col, arr)
         la = t[self.pixels_col].combine_chunks()

@@ -31,6 +31,12 @@ class CdcStreamConfig:
     snapshot_path: str | None = None  # initial base table (first sync only)
     partitioned: bool = False  # log is key-partitioned part=NNNNN shards
     replay: ReplayConfig = field(default_factory=ReplayConfig)
+    #: declared payload columns (the ConfiguredCatalog json_schema analog).
+    #: In a SHARED WAL the unified file schema is the union of every
+    #: stream's columns; without a declaration each stream's lake would
+    #: absorb every other stream's columns as all-null fields (review
+    #: finding).  None → accept the unified payload (single-stream WALs).
+    columns: list[str] | None = None
 
 
 class CdcCatalogEngine:
@@ -152,9 +158,21 @@ class CdcCatalogEngine:
             pa.field(nm, tp) for nm, tp in zip(ev_schema.names, ev_schema.types)
             if nm not in _META_COLS and nm not in ("op", stream_col)
         ])
+
+        def _payload_for(n: str) -> pa.Schema:
+            # restrict the unified WAL payload to the stream's DECLARED
+            # columns so stream A's lake never absorbs stream B's fields
+            # as all-null columns (review finding); undeclared streams
+            # accept the union (single-stream-WAL behavior)
+            cols = self.streams[n].columns
+            if cols is None:
+                return payload
+            keep = set(cols)
+            return pa.schema([f for f in payload if f.name in keep])
+
         out_schemas = {
-            n: payload if lakes[n].manifest.schema is None
-            else unify_schemas(lakes[n].manifest.schema, payload)
+            n: _payload_for(n) if lakes[n].manifest.schema is None
+            else unify_schemas(lakes[n].manifest.schema, _payload_for(n))
             for n in names
         }
         ctxs = {
@@ -166,7 +184,12 @@ class CdcCatalogEngine:
                     p: {"paths": e.paths, "deltas": e.delta_paths}
                     for p, e in lakes[n].manifest.partitions.items()
                 },
-                "delta_mode": False,
+                # honor each stream's configured write amplification — a
+                # hardcoded False silently rewrote full segments for
+                # delta-configured streams (review finding); partitions
+                # without a base yet fall back to full writes inside
+                # _merge_partition, same as apply_log
+                "delta_mode": lakes[n].config.delta_mode,
                 "run_lsn_hi": wms[n] + 1,
             }
             for n in names

@@ -88,6 +88,19 @@ PIPELINE_SPEC_SCHEMA: dict = {
                     "properties": {
                         "type": {"enum": ["api_key", "bearer", "basic", "oauth2"]},
                     },
+                    # per-type required keys (build_auth's contract): without
+                    # these a malformed auth spec passed validation and died
+                    # as an opaque KeyError inside actor init (review finding)
+                    "allOf": [
+                        {"if": {"properties": {"type": {"const": "api_key"}}},
+                         "then": {"required": ["header", "token"]}},
+                        {"if": {"properties": {"type": {"const": "bearer"}}},
+                         "then": {"required": ["token"]}},
+                        {"if": {"properties": {"type": {"const": "basic"}}},
+                         "then": {"required": ["username"]}},
+                        {"if": {"properties": {"type": {"const": "oauth2"}}},
+                         "then": {"required": ["token_dir"]}},
+                    ],
                 },
             },
             "allOf": [

@@ -114,3 +114,77 @@ def test_sync_shared_single_pass_and_divergent_watermarks(tmp_path, monkeypatch)
     from airbyte_ray.oracle import replay_oracle
     for n in ev:
         assert eng.lake(n).to_table().equals(replay_oracle(None, [ev[n]]))
+
+
+def test_sync_shared_declared_columns_no_cross_pollution(tmp_path):
+    """Streams declaring their payload columns never absorb another
+    stream's fields from the shared WAL (review finding: the unified WAL
+    schema leaked every stream's columns into every lake)."""
+    import numpy as np
+    import pyarrow as pa
+
+    rows_a = pa.table({
+        "lsn": pa.array([1, 3], pa.int64()),
+        "op": ["update", "update"],
+        "doc_id": ["a1", "a2"],
+        "x": pa.array([10, 20], pa.int64()),
+        "y": pa.array([None, None], pa.int64()),
+        "stream": ["a", "a"],
+    })
+    rows_b = pa.table({
+        "lsn": pa.array([2, 4], pa.int64()),
+        "op": ["update", "update"],
+        "doc_id": ["b1", "b2"],
+        "x": pa.array([None, None], pa.int64()),
+        "y": pa.array([7, 8], pa.int64()),
+        "stream": ["b", "b"],
+    })
+    wal = tmp_path / "wal.parquet"
+    pq.write_table(pa.concat_tables([rows_a, rows_b]), wal)
+
+    eng = CdcCatalogEngine(str(tmp_path / "root"), [
+        CdcStreamConfig("a", str(wal), columns=["doc_id", "x"],
+                        replay=ReplayConfig(num_partitions=2)),
+        CdcStreamConfig("b", str(wal), columns=["doc_id", "y"],
+                        replay=ReplayConfig(num_partitions=2)),
+    ])
+    out = eng.sync_shared(str(wal))
+    assert out["applied_events"] == 4
+    ta = eng.lake("a").to_table()
+    tb = eng.lake("b").to_table()
+    assert "y" not in ta.schema.names and "x" in ta.schema.names
+    assert "x" not in tb.schema.names and "y" in tb.schema.names
+    assert sorted(ta["doc_id"].to_pylist()) == ["a1", "a2"]
+    assert sorted(tb["y"].to_pylist()) == [7, 8]
+
+
+def test_sync_shared_honors_delta_mode(tmp_path):
+    """A delta-configured stream gets O(changes) delta files from the
+    shared-WAL path too (review finding: delta_mode was hardcoded False)."""
+    import pyarrow as pa
+
+    base = gen.gen_base(80, seed=9)
+    ev1 = gen.gen_events(200, 80, seed=10)
+    ev2 = gen.gen_events(200, 80, seed=11, start_lsn=gen.next_lsn(ev1))
+    bp = tmp_path / "base.parquet"
+    pq.write_table(base, bp)
+
+    def wal_of(ev, p):
+        pq.write_table(
+            ev.append_column("stream", pa.array(["s"] * ev.num_rows)), p
+        )
+
+    w1, w2 = tmp_path / "w1.parquet", tmp_path / "w2.parquet"
+    wal_of(ev1, w1)
+    wal_of(ev2, w2)
+
+    eng = CdcCatalogEngine(str(tmp_path / "root"), [
+        CdcStreamConfig("s", str(w1), snapshot_path=str(bp),
+                        replay=ReplayConfig(num_partitions=4, delta_mode=True)),
+    ])
+    eng.sync_shared(str(w1))
+    out2 = eng.sync_shared(str(w2))
+    assert out2["applied_events"] > 0
+    lake = eng.lake("s")
+    assert any(e.delta_paths for e in lake.manifest.partitions.values())
+    assert lake.to_table().equals(replay_oracle(base, [ev1, ev2]))
