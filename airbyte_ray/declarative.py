@@ -257,7 +257,9 @@ def _macros(now: _dt.datetime | None) -> dict:
     }
 
 
-_INTERP_RE = _re.compile(r"\{\{(.*?)\}\}")
+# DOTALL: YAML folded/wrapped placeholders span lines — without it a
+# multi-line "{{ … }}" silently stayed a literal string (review finding)
+_INTERP_RE = _re.compile(r"\{\{(.*?)\}\}", _re.DOTALL)
 
 
 def _eval_interp(node: ast.AST, ns: dict, macros: dict):

@@ -88,7 +88,8 @@ def q_cdc_lww_latest(sf_dir: str) -> ray.data.Dataset:
     )
     reduced = pre.groupby("part").map_groups(
         lambda g: lww_reduce(g).drop_columns(
-            [c for c in ("part", "part_salt", "n_src", "ts", "event_type", "value", CDC_UPDATED_AT)]
+            [c for c in ("part", "part_salt", "n_src", "lsn_seen",
+                         "ts", "event_type", "value", CDC_UPDATED_AT)]
         ),
         batch_format="pyarrow",
     )

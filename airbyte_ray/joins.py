@@ -29,6 +29,7 @@ import ray
 import ray.data
 
 from .pipelines.replay import stable_hash
+from .schemas import conform_table
 
 
 def _key_hash(t: pa.Table, on: list[str]) -> np.ndarray:
@@ -179,9 +180,12 @@ def asof_join(
     l = l.map_batches(widen(r_only, r_types), batch_format="pyarrow").select_columns(col_order)
     r = r.map_batches(widen(l_only, l_types), batch_format="pyarrow").select_columns(col_order)
 
-    # pd.merge_asof is the kernel, but the union's null-fill turns int columns
-    # float64 in pandas — conform the output back to the exact Arrow schema
-    # (ints stay nullable ints) so dtypes survive the bucket round-trip.
+    # pd.merge_asof is the matching kernel, but ONLY (by, on, positional
+    # index) go through pandas: the old whole-table to_pandas round-trip
+    # degraded null-bearing int64 value columns to float64, silently
+    # corrupting ids above 2^53 — the schema conform restored the dtype but
+    # not the precision (review finding).  Values are gathered Arrow-side
+    # by index; a null match index takes as a null row.
     out_schema = pa.schema(
         [(by, l_types[by]), (on, l_types[on])]
         + [(c, l_types[c]) for c in l_only]
@@ -190,14 +194,46 @@ def asof_join(
     )
 
     def bucket_asof(g: pa.Table) -> pa.Table:
-        df = g.to_pandas()
-        ldf = df[df["__side"] == 0][[by, on] + l_only].sort_values(on, kind="stable")
-        rdf = df[df["__side"] == 1][[by, on] + r_only].sort_values(on, kind="stable")
-        rdf = rdf.rename(columns={on: on + "_right"})
-        out = pd.merge_asof(
-            ldf, rdf, left_on=on, right_on=on + "_right", by=by, direction=direction
-        )
-        return pa.Table.from_pandas(out, schema=out_schema, preserve_index=False)
+        is_left = pc.equal(g["__side"], 0)
+        lt = g.filter(is_left).select([by, on] + l_only).combine_chunks()
+        rt = g.filter(pc.invert(is_left)).select([by, on] + r_only).combine_chunks()
+        if lt.num_rows == 0:
+            return out_schema.empty_table()
+        if rt.num_rows == 0:
+            ridx = pa.array([None] * lt.num_rows, pa.int64())
+            l_take, r_take = lt, rt
+        else:
+            ldf = pd.DataFrame({
+                by: lt[by].to_numpy(zero_copy_only=False),
+                on: lt[on].to_numpy(zero_copy_only=False),
+                "__lidx": np.arange(lt.num_rows, dtype=np.int64),
+            }).sort_values(on, kind="stable")
+            rdf = pd.DataFrame({
+                by: rt[by].to_numpy(zero_copy_only=False),
+                "__ron": rt[on].to_numpy(zero_copy_only=False),
+                "__ridx": np.arange(rt.num_rows, dtype=np.int64),
+            }).sort_values("__ron", kind="stable")
+            m = pd.merge_asof(ldf, rdf, left_on=on, right_on="__ron",
+                              by=by, direction=direction)
+            lidx = m["__lidx"].to_numpy(np.int64)
+            rraw = m["__ridx"].to_numpy(np.float64)  # NaN = no match
+            matched = ~np.isnan(rraw)
+            l_take = lt.take(pa.array(lidx))
+            ridx = pa.array(np.where(matched, rraw, 0).astype(np.int64),
+                            mask=~matched)
+            r_take = rt.take(ridx)
+        cols = {by: l_take[by], on: l_take[on]}
+        for c in l_only:
+            cols[c] = l_take[c]
+        if rt.num_rows == 0:
+            cols[on + "_right"] = pa.nulls(lt.num_rows, r_types[on])
+            for c in r_only:
+                cols[c] = pa.nulls(lt.num_rows, r_types[c])
+        else:
+            cols[on + "_right"] = r_take[on]
+            for c in r_only:
+                cols[c] = r_take[c]
+        return conform_table(pa.table(cols), out_schema)
 
     return l.union(r).groupby("__bucket").map_groups(bucket_asof, batch_format="pyarrow")
 

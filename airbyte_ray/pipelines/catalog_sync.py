@@ -129,7 +129,7 @@ class CdcCatalogEngine:
         import pyarrow as pa
 
         from ..schemas import unify_schemas
-        from ..sources.event_log import log_max_lsn, read_event_log, unified_event_schema
+        from ..sources.event_log import log_max_lsn, read_event_log_with_schema
         from .replay import _META_COLS, _merge_partition, _pre_reduce, lww_reduce
 
         gs = self.load_global()
@@ -153,7 +153,10 @@ class CdcCatalogEngine:
             lakes[name] = lake
 
         wms = {n: lakes[n].manifest.watermark for n in names}
-        ev_schema = unified_event_schema(log_paths)
+        # one footer pass: dataset (lazy) + unified schema together
+        wal_ds, ev_schema = read_event_log_with_schema(
+            log_paths, min_lsn=min(wms.values()), max_lsn=top
+        )
         payload = pa.schema([
             pa.field(nm, tp) for nm, tp in zip(ev_schema.names, ev_schema.types)
             if nm not in _META_COLS and nm not in ("op", stream_col)
@@ -204,7 +207,7 @@ class CdcCatalogEngine:
         route_schema = pa.schema(
             [(nm, tp) for nm, tp in zip(ev_schema.names, ev_schema.types)
              if nm != stream_col]
-            + [("n_src", pa.int64()), ("part", pa.int64()),
+            + [("n_src", pa.int64()), ("lsn_seen", pa.int64()), ("part", pa.int64()),
                ("part_salt", pa.int64()), ("stream_idx", pa.int64())]
         )
 
@@ -240,9 +243,7 @@ class CdcCatalogEngine:
                 "stream_name", pa.array([names[i]] * lineage.num_rows)
             )
 
-        routed = read_event_log(
-            log_paths, min_lsn=min(wms.values()), max_lsn=top
-        ).map_batches(split_route, batch_format="pyarrow")
+        routed = wal_ds.map_batches(split_route, batch_format="pyarrow")
         if any_salted:
             routed = routed.groupby(["stream_idx", "part_salt"]).map_groups(
                 lww_multi, batch_format="pyarrow"

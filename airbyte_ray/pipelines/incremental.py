@@ -218,6 +218,16 @@ class SyncEngine:
         seg = f"seg-{sync_id:08d}"
 
         def _write(dset, path):
+            # crash-idempotency: Ray stamps output files with a fresh
+            # per-execution UUID, so a retry after a mid-write crash would
+            # add a SECOND full copy beside the partial first one (review
+            # finding).  The target dir can only hold uncommitted leftovers
+            # of this same sync_id (commit bumps sync_id; read() sees only
+            # state-visible segments) — clear it first.
+            if os.path.isdir(path):
+                import shutil as _sh
+
+                _sh.rmtree(path)
             if cfg.format == "json":
                 dset.write_json(path)
             elif cfg.format == "csv":
@@ -290,19 +300,11 @@ class SyncEngine:
         cursor to the source's footer max.  Metadata-only."""
         import datetime as _dt
 
+        from ..sources.event_log import stat_minmax
+
         files = _parquet_files(src_paths)
         typ = pq.read_schema(files[0]).field(cfg.cursor_field).type
-        mn = mx = None
-        for f in files:
-            md = pq.read_metadata(f)
-            idx = _leaf_index(md, cfg.cursor_field)
-            if idx is None:
-                continue
-            for rg in range(md.num_row_groups):
-                s = md.row_group(rg).column(idx).statistics
-                if s is not None and s.has_min_max:
-                    mn = s.min if mn is None or s.min < mn else mn
-                    mx = s.max if mx is None or s.max > mx else mx
+        mn, mx = stat_minmax(files, cfg.cursor_field)
         if mx is None:
             return []
         is_ts = pa.types.is_timestamp(typ)
@@ -323,6 +325,16 @@ class SyncEngine:
     def _write_dedup(self, cfg, ds, sdir, sync_id, state) -> tuple[int, object]:
         pk = cfg.primary_key
         P = cfg.num_partitions
+        pinned = state.get("dedup_num_partitions")
+        if pinned is not None and pinned != P:
+            # same contract as LakeTable: existing segments are keyed by the
+            # original hash partitioning, and re-hashing to a different P
+            # would duplicate primary keys across partitions (review finding)
+            raise ValueError(
+                f"num_partitions is fixed at first append_dedup sync "
+                f"(state has {pinned}, config asks {P})"
+            )
+        state["dedup_num_partitions"] = P
         stamped = ds.map_batches(
             partial(_stamp_and_part, pk=pk, num_partitions=P, cursor=cfg.cursor_field),
             batch_format="pyarrow",
@@ -427,17 +439,6 @@ def _read_avro(paths: list[str]) -> ray.data.Dataset:
     )
 
 
-def _leaf_index(md, col: str) -> int | None:
-    """Parquet LEAF column index for a top-level column — row-group
-    statistics index by leaf, and any multi-leaf column (struct/list) before
-    ``col`` shifts the numbering vs the Arrow field index (review finding,
-    same as event_log.log_max_lsn)."""
-    for i in range(md.num_columns):
-        if md.schema.column(i).path == col:
-            return i
-    return None
-
-
 def _parquet_files(src_paths) -> list[str]:
     """Expand files / dirs / globs to concrete parquet files (schema and
     footer reads need real files even though ray.data accepts dirs)."""
@@ -463,23 +464,14 @@ def _first_parquet(src_paths) -> str:
 
 def _footer_max(seg_dir: str, col: str):
     """Max of ``col`` over a segment directory from parquet footer row-group
-    statistics — metadata-only, no data scan (the lake's ``log_max_lsn``
-    pattern applied to the cursor watermark)."""
-    import glob as _g
+    statistics — delegates to the shared (Ray-fanned-out past 256 files)
+    helper in ``sources/event_log`` instead of a second hand-rolled
+    leaf-index scan (review finding)."""
+    from ..sources.event_log import stat_minmax
 
-    mx = None
-    for p in _g.glob(os.path.join(seg_dir, "**", "*.parquet"), recursive=True):
-        md = pq.read_metadata(p)
-        idx = _leaf_index(md, col)
-        if idx is None:
-            continue
-        for rg in range(md.num_row_groups):
-            s = md.row_group(rg).column(idx).statistics
-            if s is not None and s.has_min_max:
-                v = s.max
-                if mx is None or v > mx:
-                    mx = v
-    return mx
+    if not os.path.isdir(seg_dir):
+        return None  # empty sync: Ray writes no dir for a zero-row dataset
+    return stat_minmax(seg_dir, col)[1]
 
 
 def _stamp_and_part(t: pa.Table, pk: list[str], num_partitions: int, cursor: str | None) -> pa.Table:

@@ -58,6 +58,7 @@ from ..state.manifest import Manifest, PartitionEntry
 #: event-envelope columns that are not payload
 _META_COLS = (
     "lsn", "op", CDC_UPDATED_AT, CDC_DELETED_AT, "part", "part_salt", "n_src",
+    "lsn_seen",  # watermark combiner column (max lsn consumed incl. losers)
     "_ab_cdc_snapshot",  # explicit snapshot-event flag (envelope, not payload)
 )
 #: internal columns stored in lake segments alongside the payload
@@ -90,7 +91,10 @@ def lww_reduce(t: pa.Table, policy: tuple | None = None) -> pa.Table:
     A trailing ``("lsn", "descending")`` tiebreaker is appended when absent
     so the winner is total-ordered (identical redeliveries still collapse).
     If an ``n_src`` column is present it is summed per key (applied-event
-    lineage count)."""
+    lineage count); if an ``lsn_seen`` column is present it is max-folded
+    per key — under a CUSTOM policy the winner's lsn can be lower than a
+    consumed loser's, and committing the survivors' max as the watermark
+    permanently re-read those losers (review finding)."""
     if t.num_rows == 0:
         return t
     policy = tuple(policy) if policy else DEFAULT_POLICY
@@ -106,11 +110,20 @@ def lww_reduce(t: pa.Table, policy: tuple | None = None) -> pa.Table:
     inv, _ = pd.factorize(ids[order], sort=False)
     first = ~pd.Index(inv).duplicated(keep="first")
     keep_idx = order[first]
+    folds = []
     if "n_src" in t.schema.names:
         sums = np.bincount(inv, weights=t["n_src"].to_numpy()[order].astype(np.float64))
-        kept = t.drop_columns(["n_src"]).take(pa.array(keep_idx))
-        return kept.append_column("n_src", pa.array(sums[inv[first]].astype(np.int64)))
-    return t.take(pa.array(keep_idx))
+        folds.append(("n_src", pa.array(sums[inv[first]].astype(np.int64))))
+    if "lsn_seen" in t.schema.names:
+        maxs = np.full(int(inv.max()) + 1, np.iinfo(np.int64).min, np.int64)
+        np.maximum.at(maxs, inv, t["lsn_seen"].to_numpy()[order])
+        folds.append(("lsn_seen", pa.array(maxs[inv[first]])))
+    if not folds:
+        return t.take(pa.array(keep_idx))
+    kept = t.drop_columns([n for n, _ in folds]).take(pa.array(keep_idx))
+    for n, arr in folds:
+        kept = kept.append_column(n, arr)
+    return kept
 
 
 def _pre_reduce(t: pa.Table, num_partitions: int, salt_factor: int,
@@ -120,6 +133,10 @@ def _pre_reduce(t: pa.Table, num_partitions: int, salt_factor: int,
         return t
     if "n_src" not in t.schema.names:
         t = t.append_column("n_src", pa.array(np.ones(t.num_rows, np.int64)))
+    if "lsn_seen" not in t.schema.names:
+        # watermark source of truth: max lsn CONSUMED (winners and losers),
+        # max-folded through every reduce — see lww_reduce
+        t = t.append_column("lsn_seen", t["lsn"])
     t = lww_reduce(t, policy)
     h = stable_hash(t["doc_id"])
     part = (h % np.uint64(num_partitions)).astype(np.int64)
@@ -223,13 +240,19 @@ def _merge_partition(group: pa.Table, ctx: dict) -> pa.Table:
     lineage table.  Runs as a stateless Ray task per partition (groupby
     path) or inside a merge-applier actor (scatter path)."""
     policy = tuple(map(tuple, ctx["policy"])) if ctx.get("policy") else None
-    t = lww_reduce(group, policy)
+    # the partition-aligned shard path reduces the complete partition
+    # in-task just before calling — don't pay the (idempotent) reduce twice
+    t = group if ctx.get("pre_reduced") else lww_reduce(group, policy)
     part = int(t["part"][0].as_py())
     out_schema = pa.ipc.read_schema(pa.BufferReader(ctx["schema"]))
     seg_schema = _seg_schema_of(out_schema)
 
     lsn_lo = int(pc.min(t["lsn"]).as_py())
-    lsn_hi = int(pc.max(t["lsn"]).as_py())
+    # watermark from lsn_seen (max lsn CONSUMED incl. policy losers) — the
+    # survivors' max stalled the watermark under custom policies whenever a
+    # high-lsn event lost the comparator (review finding)
+    lsn_hi = int(pc.max(t["lsn_seen"]).as_py()) if "lsn_seen" in t.schema.names \
+        else int(pc.max(t["lsn"]).as_py())
     n_events = int(pc.sum(t["n_src"]).as_py()) if "n_src" in t.schema.names else t.num_rows
 
     old_entry = ctx["old_segments"].get(part)
@@ -261,6 +284,10 @@ def _merge_partition(group: pa.Table, ctx: dict) -> pa.Table:
                     lifted = lifted.append_column(
                         "n_src", pa.array(np.zeros(touched.num_rows, np.int64))
                     )
+                if "lsn_seen" in t.schema.names:
+                    # explicit (not null-filled by conform): the max-fold in
+                    # lww_reduce needs a null-free int64 column
+                    lifted = lifted.append_column("lsn_seen", touched[LSN_COL])
                 lifted = conform_table(lifted, t.schema)
                 t = lww_reduce(pa.concat_tables([t, lifted]), policy)
 
@@ -413,11 +440,13 @@ def _apply_partition_shard(batch: pa.Table, ctx: dict) -> pa.Table:
                     "input is not aligned with the lake partitioning; use apply_log()"
                 )
         t = t.append_column("n_src", pa.array(np.ones(t.num_rows, np.int64)))
+        t = t.append_column("lsn_seen", t["lsn"])
         t = lww_reduce(
             t, tuple(map(tuple, ctx["policy"])) if ctx.get("policy") else None
         )
         t = t.append_column("part", pa.array(np.full(t.num_rows, part, np.int64)))
-        outs.append(_merge_partition(t, ctx))
+        # whole partition reduced in-task just above — skip the second pass
+        outs.append(_merge_partition(t, {**ctx, "pre_reduced": True}))
     if not outs:
         return _LINEAGE_SCHEMA.empty_table()
     return pa.concat_tables(outs)
@@ -626,12 +655,16 @@ class LakeTable:
         touched partition's full segment — apply cost O(changes), bounded
         write amplification for hot partitions; resolve happens at read or
         via :meth:`compact`."""
-        from ..sources.event_log import unified_event_schema
+        from ..sources.event_log import read_event_log_with_schema
 
-        ds = read_event_log(paths, min_lsn=self.manifest.watermark, max_lsn=max_lsn)
-        # schema from footers (metadata-only) — avoids a partial execution
+        # ONE footer pass yields both the dataset and the schema hint
+        # (metadata-only; avoids a partial execution AND the second
+        # O(files) sweep — review finding)
+        ds, schema = read_event_log_with_schema(
+            paths, min_lsn=self.manifest.watermark, max_lsn=max_lsn
+        )
         return self._apply_ds(
-            ds, already_filtered=True, schema_hint=unified_event_schema(paths),
+            ds, already_filtered=True, schema_hint=schema,
             delta=self.config.delta_mode if delta is None else delta,
         )
 
@@ -1072,13 +1105,16 @@ class LakeTable:
         layered = [e for e in m.partitions.values() if e.delta_paths]
         parts_ds = []
         if plain:
-            ds = ray.data.read_parquet(
+            from ..sources.event_log import read_parquet_conformed
+
+            # schema-group the base files: after schema evolution the
+            # UNTOUCHED partitions still hold old-schema segments, and one
+            # read_parquet over mixed schemas crashes on widened columns or
+            # silently drops added ones (review finding)
+            parts_ds.append(read_parquet_conformed(
                 [os.path.join(self.lake_dir, p) for e in plain for p in e.paths],
-                partitioning=None,
-            )
-            parts_ds.append(
-                ds.map_batches(partial(conform_table, schema=target), batch_format="pyarrow")
-            )
+                target=target,
+            ))
         if layered:
             lake_dir = self.lake_dir
             schema_bytes = seg_schema.serialize().to_pybytes()

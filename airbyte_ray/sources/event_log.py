@@ -78,40 +78,118 @@ def unified_event_schema(paths: str | list[str]) -> pa.Schema:
     )
 
 
-def _file_max_lsn(f: str):
-    """Row-group-statistics max of ``lsn`` for one file (leaf-path indexed)."""
+def _file_stat_minmax(f: str, col: str):
+    """Row-group-statistics (min, max) of ``col`` for one file.
+
+    The row-group column index is resolved by LEAF path, not the Arrow
+    top-level field index: any multi-leaf column (struct/list<struct>)
+    before ``col`` shifts the leaf numbering, and the top-level index would
+    silently read another column's statistics (review finding)."""
     md = pq.read_metadata(f)
     # parquet leaf paths: md.schema.column(i).path == dotted leaf name
     leaf_idx = None
     for i in range(md.num_columns):
-        if md.schema.column(i).path == "lsn":
+        if md.schema.column(i).path == col:
             leaf_idx = i
             break
     if leaf_idx is None:
-        return None
-    mx = None
+        return None, None
+    mn = mx = None
     for rg in range(md.num_row_groups):
         st = md.row_group(rg).column(leaf_idx).statistics
         if st is not None and st.has_min_max:
+            mn = st.min if mn is None else min(mn, st.min)
             mx = st.max if mx is None else max(mx, st.max)
-    return mx
+    return mn, mx
+
+
+def stat_minmax(paths: str | list[str], col: str) -> tuple:
+    """(min, max) of ``col`` across files from parquet footer statistics —
+    O(footers), no data scan; fans out as Ray tasks past
+    :data:`FOOTER_FANOUT_THRESHOLD` files.  THE shared max-stat helper:
+    watermark bounds (lsn), cursor watermarks, and slice windows all use it
+    (two hand-rolled copies previously lived in ``pipelines/incremental.py``
+    without the fan-out — review finding)."""
+    from functools import partial as _partial
+
+    def combine(res):
+        mns = [m for m, _ in res if m is not None]
+        mxs = [m for _, m in res if m is not None]
+        return (min(mns, default=None), max(mxs, default=None))
+
+    return _fanout_footers(_expand(paths), _partial(_file_stat_minmax, col=col), combine)
 
 
 def log_max_lsn(paths: str | list[str]) -> int | None:
     """Max lsn across the log from parquet row-group statistics — O(footers),
-    no data scan (the CdcTargetPosition fix at job start); footer reads fan
-    out as Ray tasks past :data:`FOOTER_FANOUT_THRESHOLD` files.
+    no data scan (the CdcTargetPosition fix at job start)."""
+    return stat_minmax(paths, "lsn")[1]
 
-    The row-group column index is resolved by LEAF path, not the Arrow
-    top-level field index: any multi-leaf column (struct/list<struct>)
-    before ``lsn`` shifts the leaf numbering, and the top-level index would
-    silently read another column's statistics — wrong replay bounds
-    (review finding)."""
-    return _fanout_footers(
-        _expand(paths),
-        _file_max_lsn,
-        lambda ms: max((m for m in ms if m is not None), default=None),
+
+def _schema_groups(files: list[str]) -> tuple[dict[bytes, list[str]], pa.Schema]:
+    """ONE footer read per file feeds both the unified schema and the
+    by-schema file grouping (was 2× O(files) driver-side reads — review
+    finding); fanned out as Ray tasks past FOOTER_FANOUT_THRESHOLD files.
+    Unifies over the DISTINCT schemas only (epochs ≪ files)."""
+    ser: list[bytes] = _fanout_footers(
+        files, lambda f: pq.read_schema(f).serialize().to_pybytes(), list
     )
+    by_schema: dict[bytes, list[str]] = {}
+    for f, b in zip(files, ser):
+        by_schema.setdefault(b, []).append(f)
+    schema = reduce(
+        unify_schemas,
+        (pa.ipc.read_schema(pa.py_buffer(b)) for b in by_schema),
+    )
+    return by_schema, schema
+
+
+def read_parquet_conformed(
+    files: list[str],
+    target: pa.Schema | None = None,
+    filter=None,
+) -> ray.data.Dataset:
+    """Read a mixed-schema parquet file set as ONE Dataset: group files by
+    identical footer schema (each read stays zero-surprise), conform every
+    batch to ``target`` (default: the unified schema), union.  A single
+    ``read_parquet`` over schema-evolved files lets the first fragment
+    dictate the schema — crashing on widened columns or silently dropping
+    added ones (review finding against ``LakeTable.read``)."""
+    by_schema, unified = _schema_groups(files)
+    target = target or unified
+    parts = []
+    for fs in by_schema.values():
+        ds = ray.data.read_parquet(fs, filter=filter, partitioning=None)
+        parts.append(ds.map_batches(partial(conform_table, schema=target), batch_format="pyarrow"))
+    ds = parts[0]
+    for p in parts[1:]:
+        ds = ds.union(p)
+    return ds
+
+
+def read_event_log_with_schema(
+    paths: str | list[str],
+    min_lsn: int = -1,
+    max_lsn: int | None = None,
+) -> tuple[ray.data.Dataset, pa.Schema]:
+    """:func:`read_event_log` plus the unified schema from the SAME footer
+    pass — callers needing both (apply_log's schema hint) previously paid
+    two full O(files) metadata sweeps (review finding)."""
+    files = _expand(paths)
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {paths}")
+    by_schema, schema = _schema_groups(files)
+    flt = pc.field("lsn") > pa.scalar(min_lsn, pa.int64())
+    if max_lsn is not None:
+        flt = flt & (pc.field("lsn") <= pa.scalar(max_lsn, pa.int64()))
+    parts = []
+    for fs in by_schema.values():
+        ds = ray.data.read_parquet(fs, filter=flt, partitioning=None)
+        parts.append(ds.map_batches(partial(conform_table, schema=schema), batch_format="pyarrow"))
+    ds = parts[0]
+    for p in parts[1:]:
+        ds = ds.union(p)
+    return ds, schema
 
 
 def read_event_log(
@@ -121,37 +199,7 @@ def read_event_log(
 ) -> ray.data.Dataset:
     """Read the change log as one Dataset with a unified schema, keeping only
     ``min_lsn < lsn <= max_lsn`` (row-group predicate pushdown)."""
-    files = _expand(paths)
-    if not files:
-        raise FileNotFoundError(f"no parquet files under {paths}")
-    # ONE footer read per file feeds both the unified schema and the
-    # by-schema grouping (was 2× O(files) driver-side reads — review
-    # finding); fanned out as Ray tasks past FOOTER_FANOUT_THRESHOLD files
-    ser: list[bytes] = _fanout_footers(
-        files, lambda f: pq.read_schema(f).serialize().to_pybytes(), list
-    )
-    # group files by identical schema so each read stays zero-surprise, then
-    # conform every batch to the unified schema and union.  Unify over the
-    # DISTINCT schemas only (epochs ≪ files).
-    by_schema: dict[bytes, list[str]] = {}
-    for f, b in zip(files, ser):
-        by_schema.setdefault(b, []).append(f)
-    schema = reduce(
-        unify_schemas,
-        (pa.ipc.read_schema(pa.py_buffer(b)) for b in by_schema),
-    )
-    flt = pc.field("lsn") > pa.scalar(min_lsn, pa.int64())
-    if max_lsn is not None:
-        flt = flt & (pc.field("lsn") <= pa.scalar(max_lsn, pa.int64()))
-
-    parts = []
-    for fs in by_schema.values():
-        ds = ray.data.read_parquet(fs, filter=flt, partitioning=None)
-        parts.append(ds.map_batches(partial(conform_table, schema=schema), batch_format="pyarrow"))
-    ds = parts[0]
-    for p in parts[1:]:
-        ds = ds.union(p)
-    return ds
+    return read_event_log_with_schema(paths, min_lsn, max_lsn)[0]
 
 
 SNAPSHOT_COL = "_ab_cdc_snapshot"

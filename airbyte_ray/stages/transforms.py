@@ -142,12 +142,25 @@ def hash_id(
     def fn(t: pa.Table) -> pa.Table:
         # null_handling="skip" drops NULL components AND their separators —
         # exactly concat_ws semantics (concat_ws('|','a',NULL)='a'), so
-        # surrogate keys agree with the oracle even on null key columns
+        # surrogate keys agree with the oracle even on null key columns.
+        # CAVEAT (review finding, verified): the Arrow kernel drops the
+        # whole OUTPUT ROW when every component is null, shortening the
+        # array; DuckDB's concat_ws gives '' there — splice '' back in.
         arrs = [t[c].cast(pa.string()) for c in cols]
         joined = pc.binary_join_element_wise(*arrs, "|", null_handling="skip")
+        vals = joined.to_pylist()
+        if len(vals) != t.num_rows:
+            import numpy as np
+
+            any_valid = np.zeros(t.num_rows, bool)
+            for a in arrs:
+                any_valid |= pc.is_valid(a).to_numpy(zero_copy_only=False)
+            full = np.full(t.num_rows, "", object)
+            full[any_valid] = vals
+            vals = full.tolist()
         digests = pa.array(
             [hashlib.md5(s.encode()).hexdigest() if s is not None else None
-             for s in joined.to_pylist()]
+             for s in vals]
         )
         return t.append_column(name, digests)
 

@@ -99,13 +99,14 @@ def test_sync_shared_single_pass_and_divergent_watermarks(tmp_path, monkeypatch)
     assert lake_a.manifest.watermark > 0
 
     calls = {"n": 0}
-    real = el.read_event_log
+    real = el.read_event_log_with_schema
 
     def counting(*a, **kw):
         calls["n"] += 1
         return real(*a, **kw)
 
-    monkeypatch.setattr(el, "read_event_log", counting)
+    # read_event_log delegates here, so this counts every WAL scan
+    monkeypatch.setattr(el, "read_event_log_with_schema", counting)
     out = eng.sync_shared(str(lp))
     assert calls["n"] == 1  # ONE WAL scan for 3 streams
     assert out["streams"]["a"]["applied_events"] == 0  # already ahead → no-op

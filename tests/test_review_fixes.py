@@ -7,6 +7,7 @@ import json
 import numpy as np
 import pyarrow as pa
 import pytest
+import ray
 import ray.data as rd
 
 from airbyte_ray.functions.cluster import assign_clusters, kmeans_fit
@@ -170,3 +171,148 @@ def test_lsh_topk_large_nbits_fast():
     out = lsh_topk(rd.from_arrow(t), emb[:2], k=3, nbits=24, nprobe=4).to_pandas()
     assert time.perf_counter() - t0 < 30
     assert set(out.query_id) <= {0, 1}
+
+
+def test_policy_loser_still_advances_watermark(tmp_path):
+    """Under a custom merge policy a high-LSN event that LOSES the
+    comparator must still advance the committed watermark — the survivors'
+    max stalled it and re-read the loser forever (review finding)."""
+    import pyarrow.parquet as pq
+
+    from airbyte_ray.pipelines.replay import LakeTable, ReplayConfig
+
+    ev = pa.table({
+        "lsn": pa.array([10, 20], pa.int64()),
+        "op": ["update", "update"],
+        "doc_id": ["a", "a"],
+        "cursor": pa.array([5, 3], pa.int64()),  # lsn 20 has LOWER cursor → loses
+    })
+    p = tmp_path / "ev.parquet"
+    pq.write_table(ev, p)
+    lake = LakeTable(str(tmp_path / "lake"),
+                     ReplayConfig(num_partitions=2,
+                                  merge_policy=(("cursor", "descending"),)))
+    out1 = lake.apply_log(str(p))
+    assert out1["applied_events"] == 2
+    assert lake.manifest.watermark == 20  # max CONSUMED, not max survivor (10)
+    t = lake.to_table()
+    assert t["cursor"].to_pylist() == [5]  # policy winner kept
+    out2 = lake.apply_log(str(p))  # full redelivery: nothing newer
+    assert out2["applied_events"] == 0
+
+
+def test_hash_id_all_null_key_row():
+    """All-null key rows must hash like DuckDB md5(concat_ws(...)) = md5('')
+    instead of crashing on the Arrow kernel's row-dropping behavior."""
+    import hashlib
+
+    from airbyte_ray.stages.transforms import hash_id
+
+    t = pa.table({"a": pa.array(["x", None]), "b": pa.array(["y", None])})
+    out = hash_id(["a", "b"])(t)
+    assert out["_airbyte_hashid"].to_pylist() == [
+        hashlib.md5(b"x|y").hexdigest(), hashlib.md5(b"").hexdigest()]
+
+
+def test_lake_read_after_schema_evolution(tmp_path):
+    """Untouched partitions keep old-schema segments; read() must conform
+    every group instead of letting the first fragment dictate the schema."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from airbyte_ray.pipelines.replay import LakeTable, ReplayConfig
+
+    base = pa.table({"doc_id": [f"d{i}" for i in range(40)],
+                     "n_tok": pa.array(range(40), pa.int32())})
+    lake = LakeTable(str(tmp_path / "lake"), ReplayConfig(num_partitions=8))
+    lake.init_snapshot(ray.data.from_arrow(base))
+    # evolved apply (int64 + added col) touching only one key
+    ev = pa.table({"lsn": pa.array([1], pa.int64()), "op": ["update"],
+                   "doc_id": ["d0"],
+                   "n_tok": pa.array([2**40], pa.int64()),
+                   "extra": pa.array(["new"], pa.string())})
+    p = tmp_path / "ev.parquet"
+    pq.write_table(ev, p)
+    lake.apply_log(str(p))
+    blocks = [b for b in ray.get(lake.read().to_arrow_refs()) if b.num_rows]
+    t = pa.concat_tables(blocks)  # plain path covers the untouched partitions
+    assert t.schema.field("n_tok").type == pa.int64()
+    assert "extra" in t.schema.names
+    got = {r["doc_id"]: r for r in t.to_pylist()}
+    assert got["d0"]["n_tok"] == 2**40 and got["d0"]["extra"] == "new"
+    assert got["d1"]["n_tok"] == 1 and got["d1"]["extra"] is None
+
+
+def test_asof_join_preserves_large_int64(ray_session):
+    """Value columns must not round-trip through pandas float64: ids above
+    2^53 came back rounded (review finding)."""
+    import ray.data as rd2
+
+    from airbyte_ray.joins import asof_join
+
+    big = 9007199254740993  # 2^53 + 1: not representable in float64
+    left = rd2.from_arrow(pa.table({
+        "k": ["u", "u"], "ts": pa.array([10, 20], pa.int64()),
+        "lval": pa.array([big, big + 2], pa.int64())}))
+    right = rd2.from_arrow(pa.table({
+        "k": ["u"], "ts": pa.array([5], pa.int64()),
+        "rval": pa.array([big + 1], pa.int64())}))
+    out = asof_join(left, right, by="k", on="ts", num_buckets=2)
+    out = pa.concat_tables(
+        [b for b in ray.get(out.to_arrow_refs()) if b.num_rows])
+    vals = {r["ts"]: r for r in out.to_pylist()}
+    assert vals[10]["lval"] == big and vals[10]["rval"] == big + 1
+    assert vals[20]["lval"] == big + 2
+
+
+def test_append_sync_retry_is_idempotent(tmp_path):
+    """A retried append sync must not commit a second copy beside a crashed
+    run's partial files (Ray's per-execution write UUID made the two runs'
+    files coexist — review finding)."""
+    import pyarrow.parquet as pq
+
+    from airbyte_ray.config import DestinationSyncMode, StreamConfig, SyncMode
+    from airbyte_ray.pipelines.incremental import SyncEngine
+
+    src = pa.table({"id": pa.array(range(10), pa.int64()),
+                    "v": pa.array(range(10), pa.int64())})
+    sp = tmp_path / "src.parquet"
+    pq.write_table(src, sp)
+    eng = SyncEngine(str(tmp_path / "dest"), str(tmp_path / "state"))
+    cfg = StreamConfig(name="s", sync_mode=SyncMode.full_refresh,
+                       destination_sync_mode=DestinationSyncMode.append)
+    # simulate a crashed earlier attempt of the SAME sync: partial files
+    # already sit in the exact segment dir the retry will use
+    ghost = tmp_path / "dest" / "s" / "seg-00000001"
+    ghost.mkdir(parents=True)
+    pq.write_table(src.slice(0, 4), ghost / "deadbeef_000000_000000.parquet")
+    eng.sync(cfg, str(sp))
+    assert eng.read("s").count() == 10  # not 14, not 20
+
+
+def test_dedup_num_partitions_pinned(tmp_path):
+    import pyarrow.parquet as pq
+    import pytest as _pt
+
+    from airbyte_ray.config import DestinationSyncMode, StreamConfig, SyncMode
+    from airbyte_ray.pipelines.incremental import SyncEngine
+
+    src = pa.table({"id": pa.array(range(8), pa.int64()),
+                    "v": pa.array(range(8), pa.int64())})
+    sp = tmp_path / "src.parquet"
+    pq.write_table(src, sp)
+    eng = SyncEngine(str(tmp_path / "dest"), str(tmp_path / "state"))
+    mk = lambda P: StreamConfig(
+        name="s", sync_mode=SyncMode.full_refresh,
+        destination_sync_mode=DestinationSyncMode.append_dedup,
+        primary_key=["id"], num_partitions=P)
+    eng.sync(mk(8), str(sp))
+    with _pt.raises(ValueError, match="fixed at first"):
+        eng.sync(mk(4), str(sp))
+
+
+def test_interpolation_multiline_placeholder():
+    from airbyte_ray.declarative import interpolate
+
+    assert interpolate("{{ config.a\n}}", {"config": {"a": 41}}) == 41
+    assert interpolate("x-{{ config.a\n }}-y", {"config": {"a": 1}}) == "x-1-y"
