@@ -1170,6 +1170,43 @@ def q_approx_distinct(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_tokenize_vocab(sf_dir: str) -> ray.data.Dataset:
+    """Frequency-vocab tokenization: distributed word counting (per-batch
+    Arrow combiner) builds the top-50 vocab, a broadcast searchsorted
+    encode pass emits token ids.  Output exploded to (doc_id, pos, token)
+    scalar rows so the value hash covers every id."""
+    from .functions.tokenize import tokenize_corpus
+
+    _, enc = tokenize_corpus(
+        _docs(sf_dir, columns=["doc_id", "text"]), vocab_size=50
+    )
+
+    def explode(t: pa.Table) -> pa.Table:
+        toks = t["tokens"].combine_chunks()
+        n = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        doc = np.repeat(t["doc_id"].to_numpy(zero_copy_only=False), n)
+        pos = np.concatenate([np.arange(c, dtype=np.int64) for c in n]) if len(n) else \
+            np.array([], np.int64)
+        return pa.table({
+            "doc_id": pa.array(doc, pa.int64()),
+            "pos": pa.array(pos + 1),  # 1-based, matching generate_series
+            "token": toks.flatten(),
+        })
+
+    return enc.map_batches(explode, batch_format="pyarrow")
+
+
+def q_sample_per_group(sf_dir: str) -> ray.data.Dataset:
+    """Grouped reservoir: exactly 7 docs per source, deterministic in
+    md5(seed:doc_id) priorities; the reified rank checks the permutation."""
+    from .functions.sample import grouped_bottom_k
+
+    return grouped_bottom_k(
+        _docs(sf_dir, columns=["doc_id", "source"]),
+        k=7, group_col="source", key_col="doc_id", seed=11,
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry + oracles
 # ---------------------------------------------------------------------------
@@ -1230,6 +1267,8 @@ QUERIES = {
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
     "approx_distinct": q_approx_distinct,
+    "tokenize_vocab": q_tokenize_vocab,
+    "sample_per_group": q_sample_per_group,
 }
 
 _CANON = "md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
@@ -1694,5 +1733,24 @@ ORACLE_SQL = {
     "approx_distinct": """
         SELECT event_type, count(DISTINCT user_id) AS n_users
         FROM events GROUP BY event_type
+    """,
+    # tokenize_vocab: vocab id = 1-based rank under (freq desc, word asc)
+    # over the top 50 words; OOV = 0; output one scalar row per token.
+    "tokenize_vocab": """
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        u AS (SELECT doc_id, i AS pos, ws[i] AS word
+              FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) s),
+        v AS (SELECT word, CAST(row_number() OVER (ORDER BY count(*) DESC, word)
+                                AS INTEGER) AS id
+              FROM u GROUP BY word ORDER BY count(*) DESC, word LIMIT 50)
+        SELECT u.doc_id, u.pos, COALESCE(v.id, 0) AS token
+        FROM u LEFT JOIN v USING (word)
+    """,
+    "sample_per_group": """
+        SELECT doc_id, source, rnk FROM (
+          SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY md5('11:' || CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+          FROM documents) WHERE rnk <= 7
     """,
 }

@@ -117,6 +117,38 @@ def bottom_k_sample(
     )
 
 
+def grouped_bottom_k(
+    ds: ray.data.Dataset,
+    k: int,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    seed: int = 0,
+    rank_col: str = "rnk",
+) -> ray.data.Dataset:
+    """EXACTLY ``k`` rows PER GROUP, uniformly at random yet deterministic
+    (the grouped reservoir): each row's priority is ``md5(seed:key)`` and
+    each group keeps its ``k`` smallest — the per-group analog of
+    :func:`bottom_k_sample`, reusing the :func:`agg.grouped_topn`
+    batch-local-prune combiner (shuffle carries ≤ k rows per group per
+    batch).  ``rank_col`` reifies the within-group priority order so the
+    SQL oracle (row_number over md5) checks the permutation, not just
+    membership."""
+    from .agg import grouped_topn
+    from .pack import shuffle_key_md5
+
+    def prio(t: pa.Table) -> pa.Table:
+        key = t[key_col]
+        key = key.combine_chunks() if isinstance(key, pa.ChunkedArray) else key
+        return t.append_column("_prio", shuffle_key_md5(key, seed))
+
+    out = grouped_topn(
+        ds.map_batches(prio, batch_format="pyarrow"),
+        key=group_col, order_col="_prio", n=k,
+        descending=False, tie_col=key_col, rank_col=rank_col,
+    )
+    return out.map_batches(lambda t: t.drop_columns(["_prio"]), batch_format="pyarrow")
+
+
 def upsample(
     ds: ray.data.Dataset,
     factors: dict[str, int],
