@@ -79,7 +79,13 @@ def _cursor_candidates(schema: pa.Schema) -> list[str]:
         if f.name not in out and _hinted(f.name) and orderable(f.type):
             out.append(f.name)
     for f in schema:
-        if f.name not in out and pa.types.is_integer(f.type) and f.name.lower().endswith("id"):
+        # exact 'id' or '*_id' only — a bare endswith('id') promoted value
+        # columns like 'paid'/'bid'/'valid' to cursors (review finding, the
+        # same substring class _hinted was hardened against)
+        nm = f.name.lower()
+        if f.name not in out and pa.types.is_integer(f.type) and (
+            nm == "id" or nm.endswith("_id")
+        ):
             out.append(f.name)
     return out
 

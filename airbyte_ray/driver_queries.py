@@ -88,8 +88,8 @@ def q_cdc_lww_latest(sf_dir: str) -> ray.data.Dataset:
     )
     reduced = pre.groupby("part").map_groups(
         lambda g: lww_reduce(g).drop_columns(
-            [c for c in ("part", "part_salt", "n_src", "lsn_seen",
-                         "ts", "event_type", "value", CDC_UPDATED_AT)]
+            ["part", "part_salt", "n_src", "lsn_seen",
+             "ts", "event_type", "value", CDC_UPDATED_AT]
         ),
         batch_format="pyarrow",
     )
@@ -113,23 +113,30 @@ def q_declarative_paginated(sf_dir: str) -> ray.data.Dataset:
     )
     import hashlib as _hl
 
-    # deterministic fixture dir per sf_dir: re-runs REUSE it instead of
-    # leaking a fresh mkdtemp each time (review finding); contents are a
-    # pure function of the input table, so reuse is safe
-    api = os.path.join("/tmp", f"pag_api_{_hl.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]}")
+    # deterministic fixture dir: re-runs REUSE it instead of leaking a fresh
+    # mkdtemp each time (review finding).  Keyed by the SOURCE file's
+    # (path, mtime, size) — same pattern as ann_ivf_indexed — so a
+    # regenerated events.parquet invalidates the cache instead of serving
+    # stale pages against a fresh oracle (review finding).
+    st = os.stat(os.path.join(sf_dir, "events.parquet"))
+    tag = _hl.md5(
+        f"{os.path.abspath(sf_dir)}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:10]
+    api = os.path.join("/tmp", f"pag_api_{tag}")
     done = os.path.join(api, ".done")
     etypes = sorted(set(t["event_type"].to_pylist()))
     page_size = 500
+    spec = {
+        "api_dir": api,
+        "path_template": "{event_type}/page-{page}.json",
+        "paginator": "cursor",
+        "paginator_args": {"cursor_path": "next", "start": 0},
+        "record_path": "data",
+        "slices": [{"event_type": et} for et in etypes],
+    }
     if os.path.exists(done):
-        spec = {
-            "api_dir": api,
-            "path_template": "{event_type}/page-{page}.json",
-            "paginator": "cursor",
-            "paginator_args": {"cursor_path": "next", "start": 0},
-            "record_path": "data",
-            "slices": [{"event_type": et} for et in etypes],
-        }
         return read_paginated(spec)
+    shutil.rmtree(api, ignore_errors=True)  # half-built leftovers
     for et in etypes:
         sub = t.filter(pc.equal(t["event_type"], et)).sort_by("event_id")
         recs = sub.select(["event_id", "user_id", "value"]).to_pylist()
@@ -143,14 +150,6 @@ def q_declarative_paginated(sf_dir: str) -> ray.data.Dataset:
                 json.dump(body, f)
     with open(done, "w") as f:
         f.write("ok")
-    spec = {
-        "api_dir": api,
-        "path_template": "{event_type}/page-{page}.json",
-        "paginator": "cursor",
-        "paginator_args": {"cursor_path": "next", "start": 0},
-        "record_path": "data",
-        "slices": [{"event_type": et} for et in etypes],
-    }
     return read_paginated(spec)
 
 
@@ -424,10 +423,12 @@ def q_unnest(sf_dir: str) -> ray.data.Dataset:
     stream_processor.py:386-426): one row per (vec_id, pos, val)."""
 
     def explode(t: pa.Table) -> pa.Table:
+        from .stages.nested import ragged_positions
+
         lists = t["embedding"].combine_chunks()
         lengths = pc.list_value_length(lists).to_numpy()
         ids = np.repeat(t["vec_id"].to_numpy(), lengths)
-        pos = np.concatenate([np.arange(1, n + 1) for n in lengths]) if len(lengths) else np.array([], np.int64)
+        pos = ragged_positions(lengths) + 1
         vals = np.asarray(lists.flatten(), np.float32)
         return pa.table(
             {"vec_id": pa.array(ids), "pos": pa.array(pos.astype(np.int64)),
@@ -448,13 +449,12 @@ def q_nested_children(sf_dir: str) -> ray.data.Dataset:
     from .stages.nested import normalize_nested
 
     def pack(t: pa.Table) -> pa.Table:
+        from .stages.nested import ragged_positions
+
         lists = t["embedding"].combine_chunks()
         flat = lists.flatten()
         lengths = pc.list_value_length(lists).to_numpy(zero_copy_only=False).astype(np.int64)
-        pos = (
-            np.concatenate([np.arange(n) for n in lengths])
-            if lengths.sum() else np.array([], np.int64)
-        )
+        pos = ragged_positions(lengths)
         st = pa.StructArray.from_arrays(
             [pa.array(pos.astype(np.int64)), flat], names=["pos", "val"]
         )
@@ -1182,11 +1182,12 @@ def q_tokenize_vocab(sf_dir: str) -> ray.data.Dataset:
     )
 
     def explode(t: pa.Table) -> pa.Table:
+        from .stages.nested import ragged_positions
+
         toks = t["tokens"].combine_chunks()
         n = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
         doc = np.repeat(t["doc_id"].to_numpy(zero_copy_only=False), n)
-        pos = np.concatenate([np.arange(c, dtype=np.int64) for c in n]) if len(n) else \
-            np.array([], np.int64)
+        pos = ragged_positions(n)
         return pa.table({
             "doc_id": pa.array(doc, pa.int64()),
             "pos": pa.array(pos + 1),  # 1-based, matching generate_series

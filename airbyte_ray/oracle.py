@@ -36,7 +36,9 @@ def replay_oracle(base: pa.Table | None, event_tables: Iterable[pa.Table]) -> pa
     schema = base.schema if base is not None else None
     payload_schemas = []
     for t in event_tables:
-        drop = [c for c in ("lsn", "op", "_ab_cdc_updated_at", "_ab_cdc_deleted_at") if c in t.schema.names]
+        drop = [c for c in ("lsn", "op", "_ab_cdc_updated_at", "_ab_cdc_deleted_at",
+                            "_ab_cdc_snapshot")  # engine meta col (snapshot flag)
+                if c in t.schema.names]
         payload_schemas.append(t.drop_columns(drop).schema)
     for s in payload_schemas:
         schema = s if schema is None else unify_schemas(schema, s)

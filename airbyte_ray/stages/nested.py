@@ -45,17 +45,26 @@ def _flatten_structs(t: pa.Table, prefix: str = "") -> pa.Table:
     return pa.table(out_cols)
 
 
+def ragged_positions(lengths: np.ndarray) -> np.ndarray:
+    """0-based position within each run, fully vectorized — the per-row
+    ``np.concatenate([np.arange(n) for n in lengths])`` idiom allocated one
+    tiny ndarray per row on the hot explode path (review finding)."""
+    lengths = np.asarray(lengths, np.int64)
+    total = int(lengths.sum())
+    if total == 0:
+        return np.array([], np.int64)
+    return np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(lengths) - lengths, lengths
+    )
+
+
 def _explode_list(t: pa.Table, col: str, fk: str) -> pa.Table:
     """Child-stream rows for one list column: (fk, _airbyte_index, fields…)."""
     lists = t[col].combine_chunks()
     lengths = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
     lengths = np.nan_to_num(lengths.astype(np.float64)).astype(np.int64)
     fk_vals = np.repeat(t[fk].to_numpy(zero_copy_only=False), lengths)
-    idx = (
-        np.concatenate([np.arange(n) for n in lengths])
-        if lengths.sum()
-        else np.array([], np.int64)
-    )
+    idx = ragged_positions(lengths)
     flat = lists.flatten()
     cols = {fk: pa.array(fk_vals, pa.string()), "_airbyte_index": pa.array(idx.astype(np.int64))}
     if pa.types.is_struct(flat.type):

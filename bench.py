@@ -26,7 +26,11 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-SF = SF_DIR.rstrip("/").split("sf")[-1]
+# parse the scale factor from the BASENAME only ('sf0.1' → '0.1'): an 'sf'
+# anywhere earlier in the path made float(SF) blow up AFTER the whole
+# benchmark had run (review finding)
+_base = os.path.basename(SF_DIR.rstrip("/"))
+SF = _base[2:] if _base.startswith("sf") else "0.1"
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
