@@ -1170,6 +1170,21 @@ def q_approx_distinct(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_dedup_semantic(sf_dir: str) -> ray.data.Dataset:
+    """SemDeDup-shaped semantic near-dup pairs over the SAME planted
+    colinear fixture as dedup_embedding: k-means partitions the corpus and
+    each cluster runs one exact pairwise-cosine matmul.  Colinear copies
+    always share the nearest centroid, so the exhaustive SQL oracle checks
+    recall AND precision of the cluster-bounded plan."""
+    from .functions.cluster import semantic_near_dups
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    corpus = ds.map_batches(_plant_colinear, batch_format="pyarrow")
+    out = semantic_near_dups(corpus, "embedding", "vec_id",
+                             threshold=0.99, n_clusters=8, iters=4)
+    return out.map_batches(lambda t: t.select(["a", "b"]), batch_format="pyarrow")
+
+
 def q_tokenize_vocab(sf_dir: str) -> ray.data.Dataset:
     """Frequency-vocab tokenization: distributed word counting (per-batch
     Arrow combiner) builds the top-50 vocab, a broadcast searchsorted
@@ -1270,6 +1285,7 @@ QUERIES = {
     "approx_distinct": q_approx_distinct,
     "tokenize_vocab": q_tokenize_vocab,
     "sample_per_group": q_sample_per_group,
+    "dedup_semantic": q_dedup_semantic,
 }
 
 _CANON = "md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
@@ -1753,5 +1769,18 @@ ORACLE_SQL = {
                  row_number() OVER (PARTITION BY source
                    ORDER BY md5('11:' || CAST(doc_id AS VARCHAR)), doc_id) AS rnk
           FROM documents) WHERE rnk <= 7
+    """,
+    # dedup_semantic: identical exhaustive ground truth as dedup_embedding —
+    # the cluster-bounded plan must recover exactly the planted pairs.
+    "dedup_semantic": """
+        WITH corpus AS (
+          SELECT vec_id, embedding FROM embeddings
+          UNION ALL
+          SELECT vec_id + 1000000, list_transform(embedding, x -> x * 2)
+          FROM embeddings WHERE vec_id % 10 = 0
+        )
+        SELECT x.vec_id AS a, y.vec_id AS b
+        FROM corpus x JOIN corpus y ON x.vec_id < y.vec_id
+        WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.99
     """,
 }

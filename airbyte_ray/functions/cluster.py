@@ -192,3 +192,67 @@ def kmeans(
     """Fit + assign. Returns ``(centroids, labeled dataset)``."""
     cents = kmeans_fit(ds, k=k, init=init, col=col, iters=iters, spherical=spherical, seed=seed)
     return cents, assign_clusters(ds, cents, col=col, id_col=id_col, spherical=spherical)
+
+
+def semantic_near_dups(
+    ds: ray.data.Dataset,
+    col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.99,
+    n_clusters: int = 64,
+    iters: int = 5,
+    seed: int = 97,
+    max_cluster_rows: int = 100_000,
+) -> ray.data.Dataset:
+    """SemDeDup-shaped semantic near-duplicate pairs: spherical k-means
+    partitions the corpus, then each CLUSTER runs one exact pairwise-cosine
+    matmul — the quadratic is bounded by cluster size (pick ``n_clusters``
+    so corpus/k ≲ ``max_cluster_rows``; a larger cluster fails loudly
+    instead of silently OOMing the task).  Near-identical vectors share a
+    nearest centroid by construction (cosine of colinear copies is 1), so
+    recall is not at the mercy of LSH bucketing — the trade the LSH path
+    (``dedup.embedding_near_dups``) makes in the other direction.
+
+    Output: (a, b, cos) with a < b."""
+    labeled = ds.select_columns([id_col, col])
+
+    def attach(t: pa.Table, cref) -> pa.Table:
+        cents = _worker_state(("kmeans_cents", cref.hex()), lambda: ray.get(cref))
+        if t.num_rows == 0:
+            return t.append_column("cluster", pa.array([], pa.int32()))
+        pts = _normalize(_matrix(t, col))
+        assign = np.argmax(pts @ cents.T, axis=1).astype(np.int32)
+        return t.append_column("cluster", pa.array(assign))
+
+    cents = kmeans_fit(ds, k=n_clusters, col=col, iters=iters, spherical=True, seed=seed)
+    cref = ray.put(cents)
+    with_cluster = labeled.map_batches(partial(attach, cref=cref), batch_format="pyarrow")
+
+    def pairs(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        if n > max_cluster_rows:
+            raise ValueError(
+                f"cluster of {n} rows exceeds max_cluster_rows={max_cluster_rows}; "
+                "raise n_clusters (the quadratic verify is bounded by cluster size)"
+            )
+        empty = pa.table({"a": pa.array([], g[id_col].type),
+                          "b": pa.array([], g[id_col].type),
+                          "cos": pa.array([], pa.float64())})
+        if n < 2:
+            return empty
+        m = _normalize(_matrix(g, col))
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        m, ids = m[order], ids[order]
+        sims = m @ m.T
+        ai, bi = np.triu_indices(n, k=1)
+        keep = sims[ai, bi] >= threshold
+        if not keep.any():
+            return empty
+        return pa.table({
+            "a": pa.array(ids[ai[keep]]),
+            "b": pa.array(ids[bi[keep]]),
+            "cos": pa.array(sims[ai[keep], bi[keep]].astype(np.float64)),
+        })
+
+    return with_cluster.groupby("cluster").map_groups(pairs, batch_format="pyarrow")

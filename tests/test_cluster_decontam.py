@@ -104,3 +104,36 @@ def test_decontaminate_counts_multiple_hits():
                           n=3).to_pandas()
     # test grams: 'a b c','b c d','c d e' — all three appear in the doc
     assert m.n_hits.tolist() == [3]
+
+
+def test_semantic_near_dups_recovers_planted_pairs():
+    from airbyte_ray.functions.cluster import semantic_near_dups
+
+    t, emb, ids, k = _planted(n=300, k=6, d=32)
+    # plant colinear copies of every 10th vector at id+1000
+    import pyarrow.compute as pc
+    sub = t.filter(pa.array(ids % 10 == 0))
+    embc = sub["embedding"].combine_chunks()
+    vals = pc.multiply(embc.flatten(), pa.scalar(3.0, pa.float32())).cast(pa.float32())
+    copy = pa.table({"vec_id": pc.add(sub["vec_id"], pa.scalar(1000, pa.int64())),
+                     "embedding": pa.ListArray.from_arrays(embc.offsets, vals)})
+    corpus = rd.from_arrow(pa.concat_tables([t, copy])).repartition(4)
+    out = semantic_near_dups(corpus, threshold=0.999, n_clusters=6, iters=4).to_pandas()
+    got = {tuple(sorted(p)) for p in zip(out.a, out.b)}
+    expected = {(int(i), int(i) + 1000) for i in ids[ids % 10 == 0]}
+    assert expected <= got
+    # precision: planted geometry keeps natural pairs well below 0.999
+    # except same-cluster members with identical noiseless direction; every
+    # reported pair must actually clear the threshold
+    assert (out.cos >= 0.999).all()
+
+
+def test_semantic_near_dups_cluster_cap():
+    import pytest as _pt
+
+    from airbyte_ray.functions.cluster import semantic_near_dups
+
+    t, _, _, _ = _planted(n=64, k=2, d=16)
+    with _pt.raises(ValueError, match="max_cluster_rows"):
+        semantic_near_dups(rd.from_arrow(t), n_clusters=2, iters=2,
+                           max_cluster_rows=10).to_pandas()
