@@ -1070,8 +1070,14 @@ def q_decontaminate(sf_dir: str) -> ray.data.Dataset:
 
 def q_pricing_summary(sf_dir: str) -> ray.data.Dataset:
     """TPC-H Q1-shaped pricing summary: read-pruned columns, vectorized
-    derived measures, per-batch Arrow combiner, tiny global groupby —
-    the post-load ELT aggregate every warehouse sync feeds."""
+    derived measures, per-batch Arrow combiner, tiny global groupby — the
+    post-load ELT aggregate every warehouse sync feeds.
+
+    Money math is EXACT int64 grid arithmetic (price → cents, discount/tax
+    → basis points), not float sums: float summation is order-dependent in
+    the last bits and the driver HASH-compares values, so a float total
+    that differs from DuckDB's by 1 ulp — or rounds across a half-boundary
+    under Arrow's half-even vs DuckDB's half-away — would flake."""
     li = ray.data.read_parquet(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_returnflag", "l_linestatus", "l_quantity",
@@ -1081,40 +1087,39 @@ def q_pricing_summary(sf_dir: str) -> ray.data.Dataset:
 
     def combine(t: pa.Table) -> pa.Table:
         t = t.filter(pc.less_equal(t["l_shipdate"], cutoff))
-        disc = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        charge = pc.multiply(disc, pc.add(pa.scalar(1.0), t["l_tax"]))
+        # exact grids: qty integer-valued, price 2dp, disc/tax 2dp
+        qty = pc.round(t["l_quantity"]).cast(pa.int64())
+        price_c = pc.round(pc.multiply(t["l_extendedprice"], pa.scalar(100.0))).cast(pa.int64())
+        disc_c = pc.round(pc.multiply(t["l_discount"], pa.scalar(100.0))).cast(pa.int64())
+        tax_c = pc.round(pc.multiply(t["l_tax"], pa.scalar(100.0))).cast(pa.int64())
+        disc_c4 = pc.multiply(price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_c))
+        charge_c6 = pc.multiply(disc_c4, pc.add(pa.scalar(100, pa.int64()), tax_c))
         t = pa.table({
             "l_returnflag": t["l_returnflag"], "l_linestatus": t["l_linestatus"],
-            "qty": t["l_quantity"], "base": t["l_extendedprice"],
-            "disc_price": disc, "charge": charge, "disc": t["l_discount"],
+            "qty": qty, "base_c": price_c, "disc_c4": disc_c4,
+            "charge_c6": charge_c6,
         })
         g = pa.TableGroupBy(t, ["l_returnflag", "l_linestatus"]).aggregate(
-            [("qty", "sum"), ("base", "sum"), ("disc_price", "sum"),
-             ("charge", "sum"), ("disc", "sum"), ("qty", "count")]
+            [("qty", "sum"), ("base_c", "sum"), ("disc_c4", "sum"),
+             ("charge_c6", "sum"), ("qty", "count")]
         )
         return g.rename_columns(["l_returnflag", "l_linestatus", "p_qty", "p_base",
-                                 "p_disc_price", "p_charge", "p_disc", "p_n"])
+                                 "p_disc", "p_charge", "p_n"])
 
     partials = li.map_batches(combine, batch_format="pyarrow")
     out = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("p_qty", alias_name="sum_qty"), Sum("p_base", alias_name="sum_base_price"),
-        Sum("p_disc_price", alias_name="sum_disc_price"), Sum("p_charge", alias_name="sum_charge"),
-        Sum("p_disc", alias_name="s_disc"), Sum("p_n", alias_name="count_order"),
+        Sum("p_qty", alias_name="sum_qty"),
+        Sum("p_base", alias_name="sum_base_price_c"),
+        Sum("p_disc", alias_name="sum_disc_price_c4"),
+        Sum("p_charge", alias_name="sum_charge_c6"),
+        Sum("p_n", alias_name="count_order"),
     )
-
-    def finish(t: pa.Table) -> pa.Table:
-        n = t["count_order"].cast(pa.float64())
-        return pa.table({
-            "l_returnflag": t["l_returnflag"], "l_linestatus": t["l_linestatus"],
-            "sum_qty": t["sum_qty"], "sum_base_price": t["sum_base_price"],
-            "sum_disc_price": t["sum_disc_price"], "sum_charge": t["sum_charge"],
-            "avg_qty": pc.divide(t["sum_qty"], n),
-            "avg_price": pc.divide(t["sum_base_price"], n),
-            "avg_disc": pc.divide(t["s_disc"], n),
-            "count_order": t["count_order"],
-        })
-
-    return out.map_batches(finish, batch_format="pyarrow")
+    return out.map_batches(
+        lambda t: t.select(["l_returnflag", "l_linestatus", "sum_qty",
+                            "sum_base_price_c", "sum_disc_price_c4",
+                            "sum_charge_c6", "count_order"]),
+        batch_format="pyarrow",
+    )
 
 
 def q_revenue_by_nation(sf_dir: str) -> ray.data.Dataset:
@@ -1140,14 +1145,16 @@ def q_revenue_by_nation(sf_dir: str) -> ray.data.Dataset:
     joined = hash_join(li, ord_n, on="l_orderkey", num_buckets=16)
 
     def combine(t: pa.Table) -> pa.Table:
-        rev = pc.multiply(t["l_extendedprice"],
-                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        # exact int64 grid (cents × basis points) — see q_pricing_summary
+        price_c = pc.round(pc.multiply(t["l_extendedprice"], pa.scalar(100.0))).cast(pa.int64())
+        disc_c = pc.round(pc.multiply(t["l_discount"], pa.scalar(100.0))).cast(pa.int64())
+        rev = pc.multiply(price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_c))
         g = pa.TableGroupBy(pa.table({"n_name": t["n_name"], "rev": rev}),
                             ["n_name"]).aggregate([("rev", "sum")])
         return g.rename_columns(["n_name", "p_rev"])
 
     return (joined.map_batches(combine, batch_format="pyarrow")
-            .groupby("n_name").aggregate(Sum("p_rev", alias_name="revenue")))
+            .groupby("n_name").aggregate(Sum("p_rev", alias_name="revenue_c4")))
 
 
 def q_approx_distinct(sf_dir: str) -> ray.data.Dataset:
@@ -1183,6 +1190,26 @@ def q_dedup_semantic(sf_dir: str) -> ray.data.Dataset:
     out = semantic_near_dups(corpus, "embedding", "vec_id",
                              threshold=0.99, n_clusters=8, iters=4)
     return out.map_batches(lambda t: t.select(["a", "b"]), batch_format="pyarrow")
+
+
+def q_quality_model_score(sf_dir: str) -> ray.data.Dataset:
+    """Batched model inference: a linear quality classifier loaded once per
+    worker from the object store scores every doc in one vectorized pass.
+    The logit is computed with left-associated IEEE ops over INT features,
+    so the SQL oracle reproduces it bit-for-bit (see functions/score.py's
+    determinism contract)."""
+    from .functions.score import score_batches
+
+    feats = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        quality_score("text"), batch_format="pyarrow"
+    )
+    scored = score_batches(
+        feats, weights=[-0.01, 0.15], bias=-2.0,
+        features=["q_len", "q_n_words"],
+    )
+    return scored.map_batches(
+        lambda t: t.select(["doc_id", "score", "keep"]), batch_format="pyarrow"
+    )
 
 
 def q_tokenize_vocab(sf_dir: str) -> ray.data.Dataset:
@@ -1286,6 +1313,7 @@ QUERIES = {
     "tokenize_vocab": q_tokenize_vocab,
     "sample_per_group": q_sample_per_group,
     "dedup_semantic": q_dedup_semantic,
+    "quality_model_score": q_quality_model_score,
 }
 
 _CANON = "md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
@@ -1725,22 +1753,27 @@ ORACLE_SQL = {
         tg AS (SELECT DISTINCT g FROM grams WHERE doc_id % {_DECON_TEST_MOD} = 0)
         SELECT DISTINCT doc_id FROM grams JOIN tg USING (g)
     """,
+    # pricing_summary / revenue_by_nation: money on EXACT int64 grids
+    # (cents / basis points) so the aggregate is order-independent and the
+    # driver's value hash can never flake on float summation order.
     "pricing_summary": """
         SELECT l_returnflag, l_linestatus,
-               sum(l_quantity) AS sum_qty,
-               sum(l_extendedprice) AS sum_base_price,
-               sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
-               sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
-               avg(l_quantity) AS avg_qty,
-               avg(l_extendedprice) AS avg_price,
-               avg(l_discount) AS avg_disc,
+               sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_price_c,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS sum_disc_price_c4,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                   * (100 + CAST(round(l_tax * 100) AS BIGINT))) AS sum_charge_c6,
                count(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         GROUP BY l_returnflag, l_linestatus
     """,
     "revenue_by_nation": """
-        SELECT n.n_name, sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+        SELECT n.n_name,
+               sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS revenue_c4
         FROM lineitem l
         JOIN orders o ON l.l_orderkey = o.o_orderkey
         JOIN customer c ON o.o_custkey = c.c_custkey
@@ -1769,6 +1802,16 @@ ORACLE_SQL = {
                  row_number() OVER (PARTITION BY source
                    ORDER BY md5('11:' || CAST(doc_id AS VARCHAR)), doc_id) AS rnk
           FROM documents) WHERE rnk <= 7
+    """,
+    # quality_model_score: logit over int features with left-associated
+    # IEEE double ops — bit-identical across engines (no transcendentals).
+    "quality_model_score": """
+        SELECT doc_id,
+               -2.0 + (-0.01) * length(text)
+                    + 0.15 * len(regexp_extract_all(text, '[A-Za-z]+')) AS score,
+               (-2.0 + (-0.01) * length(text)
+                     + 0.15 * len(regexp_extract_all(text, '[A-Za-z]+'))) > 0.0 AS keep
+        FROM documents
     """,
     # dedup_semantic: identical exhaustive ground truth as dedup_embedding —
     # the cluster-bounded plan must recover exactly the planted pairs.
