@@ -1254,6 +1254,109 @@ def q_sample_per_group(sf_dir: str) -> ray.data.Dataset:
 # registry + oracles
 # ---------------------------------------------------------------------------
 
+def q_join_range(sf_dir: str) -> ray.data.Dataset:
+    """Interval (range) join — the custom-operator family the reference
+    lacks (SURVEY §2.6 note): 12 OVERLAPPING value bands ``[i*40, i*40+60)``
+    over the events value domain (each value hits 1–2 bands), joined with
+    the domain-bucketed plan (left rows routed once, intervals replicated
+    to overlapped buckets, one groupby exchange).  Oracle: the equivalent
+    DuckDB inequality join over ``generate_series``."""
+    from .joins import range_join
+
+    i = np.arange(12, dtype=np.int64)
+    bands = pa.table({
+        "band_id": i,
+        "lo": (i * 40).astype(np.float64),
+        "hi": (i * 40 + 60).astype(np.float64),
+    })
+    out = range_join(
+        _events(sf_dir, columns=["event_id", "value"]),
+        ray.data.from_arrow(bands),
+        on="value", lo="lo", hi="hi",
+        bounds=np.linspace(0.0, 500.0, 9)[1:-1],  # 8 domain buckets
+    )
+    return out.map_batches(
+        lambda t: t.select(["event_id", "band_id"]), batch_format="pyarrow"
+    )
+
+
+def q_window_running(sf_dir: str) -> ray.data.Dataset:
+    """Cumulative window aggregate: per user, running money total ordered
+    by event_id, plus lag(event_id).  Money goes through the exact int64
+    cents grid (``floor(value*100)`` — identical float64 expression on both
+    sides) so the running sum is hash-exact, and lag is pure int."""
+    from .functions.agg import running_agg
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = np.floor(t["value"].to_numpy() * 100).astype(np.int64)
+        return pa.table({
+            "user_id": t["user_id"],
+            "event_id": t["event_id"],
+            "cents": pa.array(c),
+        })
+
+    out = running_agg(
+        _events(sf_dir, columns=["user_id", "event_id", "value"])
+        .map_batches(cents, batch_format="pyarrow"),
+        key="user_id", order_col="event_id", val_col="cents",
+        out="run_cents", lag_out="prev_event_id",
+    )
+    return out.map_batches(
+        lambda t: t.drop_columns(["cents"]), batch_format="pyarrow"
+    )
+
+
+def q_media_decode(sf_dir: str) -> ray.data.Dataset:
+    """Multimodal decode, oracle-checked end-to-end: each doc gets a REAL
+    planted image whose dims and fill byte are pure functions of doc_id —
+    even docs a binary PPM, odd docs a 24-bit BMP (both REAL stdlib
+    codecs, ``multimodal.py``).  The actor-pool ``MediaDecode`` stage
+    decodes payload bytes → ragged pixels; the checksum ``px_sum`` (sum of
+    every decoded RGB byte) is recomputed by the oracle as
+    ``w*h*3*fill`` — so the oracle verifies decoded CONTENT, not just
+    header parsing.  The plant/encode loop is fixture generation, not the
+    operator; decode is inherently per-payload (documented)."""
+    from .functions.multimodal import MediaDecode, encode_bmp, encode_ppm
+
+    def plant(t: pa.Table) -> pa.Table:
+        payloads, mimes = [], []
+        for d in t["doc_id"].to_pylist():
+            w, h, fill = 4 + d % 5, 3 + d % 4, d % 251
+            px = np.full((h, w, 3), fill, np.uint8)
+            if d % 2 == 0:
+                payloads.append(encode_ppm(px))
+                mimes.append("image/x-portable-pixmap")
+            else:
+                payloads.append(encode_bmp(px))
+                mimes.append("image/bmp")
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "mime": pa.array(mimes),
+            "payload": pa.array(payloads, pa.binary()),
+        })
+
+    def checksum(t: pa.Table) -> pa.Table:
+        col = t["pixels"].combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = col.offsets.to_numpy(zero_copy_only=False)
+        # lists are never empty (w,h ≥ 3) so reduceat offsets are strict
+        sums = np.add.reduceat(flat, offs[:-1]) if len(flat) else np.array([], np.int64)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "img_w": t["img_w"],
+            "img_h": t["img_h"],
+            "px_sum": pa.array(sums.astype(np.int64)),
+        })
+
+    return (
+        _docs(sf_dir, columns=["doc_id"])
+        .map_batches(plant, batch_format="pyarrow")
+        .map_batches(MediaDecode, batch_format="pyarrow",
+                     batch_size=128, concurrency=(1, 8))
+        .map_batches(checksum, batch_format="pyarrow")
+    )
+
+
 QUERIES = {
     "cdc_replay_upsert": q_cdc_replay_upsert,
     "cdc_lww_latest": q_cdc_lww_latest,
@@ -1314,6 +1417,9 @@ QUERIES = {
     "sample_per_group": q_sample_per_group,
     "dedup_semantic": q_dedup_semantic,
     "quality_model_score": q_quality_model_score,
+    "join_range": q_join_range,
+    "window_running": q_window_running,
+    "media_decode": q_media_decode,
 }
 
 _CANON = "md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
@@ -1383,6 +1489,27 @@ ORACLE_SQL = {
     "join_partitioned": """
         SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, o.o_orderstatus
         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    """,
+    "join_range": """
+        SELECT e.event_id, b.band_id
+        FROM events e JOIN (
+          SELECT CAST(i AS BIGINT) AS band_id, i*40.0 AS lo, i*40.0 + 60.0 AS hi
+          FROM generate_series(0, 11) t(i)
+        ) b ON e.value >= b.lo AND e.value < b.hi
+    """,
+    "window_running": """
+        SELECT user_id, event_id,
+               CAST(SUM(CAST(floor(value*100) AS BIGINT))
+                 OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT) AS run_cents,
+               lag(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_event_id
+        FROM events
+    """,
+    "media_decode": """
+        SELECT doc_id,
+               CAST(4 + doc_id % 5 AS INTEGER) AS img_w,
+               CAST(3 + doc_id % 4 AS INTEGER) AS img_h,
+               (4 + doc_id % 5) * (3 + doc_id % 4) * 3 * (doc_id % 251) AS px_sum
+        FROM documents
     """,
     "join_asof": """
         SELECT e.user_id, e.event_id, v.event_id AS view_event_id

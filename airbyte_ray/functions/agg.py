@@ -67,6 +67,66 @@ def grouped_topn(
     )
 
 
+def running_agg(
+    ds: ray.data.Dataset,
+    key: str,
+    order_col: str,
+    val_col: str,
+    out: str = "run_sum",
+    lag_out: str | None = None,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Cumulative windowed aggregate: per ``key``, ordered by ``order_col``,
+    append the running sum of ``val_col`` (= ``SUM(val) OVER (PARTITION BY
+    key ORDER BY order)``) and, optionally, the previous row's ``order_col``
+    (= ``lag(order) OVER ...``) as ``lag_out``.
+
+    Plan: ONE hash exchange — ``part = hash(key) % P`` routes every key's
+    rows to one partition; inside the partition a single (key, order) sort
+    and a SEGMENTED cumulative sum (vectorized run-length reset, no per-key
+    dispatch) finish the window.  Same partitioning contract as the lake
+    merge: a partition holds corpus/P rows, so P scales with the corpus.
+    Sum is exact for integer ``val_col``; float sums are left-associated in
+    order (bit-identical to a sequential window scan).
+    """
+    from ..pipelines.replay import stable_hash
+
+    def route(t: pa.Table) -> pa.Table:
+        h = stable_hash(t[key].cast(pa.string())) % np.uint64(num_partitions)
+        return t.append_column("__part", pa.array(h.astype(np.int64)))
+
+    def window(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__part"])
+        if g.num_rows == 0:
+            return g.append_column(out, pa.array([], pa.int64()))
+        idx = pc.sort_indices(g, sort_keys=[(key, "ascending"), (order_col, "ascending")])
+        g = g.take(idx).combine_chunks()
+        keys = g[key].to_numpy(zero_copy_only=False)
+        new = np.concatenate([[True], keys[1:] != keys[:-1]])
+        starts = np.flatnonzero(new)
+        runs = np.diff(np.concatenate([starts, [len(keys)]]))
+        v = g[val_col].to_numpy(zero_copy_only=False)
+        cs = np.cumsum(v)
+        seg_base = cs[starts] - v[starts]  # sum strictly before each segment
+        run = cs - np.repeat(seg_base, runs)
+        g = g.append_column(out, pa.array(run))
+        if lag_out is not None:
+            o = g[order_col].to_numpy(zero_copy_only=False)
+            prev = np.empty_like(o)
+            prev[1:] = o[:-1]
+            prev[0] = o[0]
+            g = g.append_column(
+                lag_out, pa.array(prev, mask=new)  # null at each segment head
+            )
+        return g
+
+    return (
+        ds.map_batches(route, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(window, batch_format="pyarrow")
+    )
+
+
 def pivot_counts(
     ds: ray.data.Dataset, key: str, pivot_col: str, values: list[str],
 ) -> ray.data.Dataset:

@@ -53,3 +53,56 @@ def test_pivot_counts_matches_conditional_agg():
     for v in vals:
         assert list(got[v]) == list(exp[v]), v
     assert (got[vals].sum(axis=1) > 0).all()
+
+
+def test_running_agg_matches_window_sum():
+    """Segmented cumulative sum + lag vs the DuckDB window, string key,
+    many partitions (keys split across blocks must still stitch)."""
+    from airbyte_ray.functions.agg import running_agg
+
+    ds = ray.data.read_parquet(EV, columns=["user_id", "event_id"]).repartition(6)
+    ds = ds.map_batches(
+        lambda t: pa.table({
+            "k": t["user_id"].cast(pa.string()),
+            "event_id": t["event_id"],
+            "v": t["event_id"],  # int payload: exact sums
+        }),
+        batch_format="pyarrow",
+    )
+    got = (
+        running_agg(ds, key="k", order_col="event_id", val_col="v",
+                    out="rs", lag_out="prev", num_partitions=5)
+        .to_pandas().sort_values(["k", "event_id"]).reset_index(drop=True)
+    )
+    exp = duckdb.sql(
+        f"""SELECT CAST(user_id AS VARCHAR) k, event_id, event_id v,
+                   CAST(SUM(event_id) OVER w AS BIGINT) rs,
+                   lag(event_id) OVER w prev
+            FROM '{EV}'
+            WINDOW w AS (PARTITION BY CAST(user_id AS VARCHAR) ORDER BY event_id)
+            ORDER BY k, event_id"""
+    ).df()
+    assert got["rs"].tolist() == exp["rs"].tolist()
+    # lag: null at every key head, prior event_id elsewhere
+    assert got["prev"].isna().tolist() == exp["prev"].isna().tolist()
+    m = ~exp["prev"].isna()
+    assert got["prev"][m].astype("int64").tolist() == exp["prev"][m].astype("int64").tolist()
+
+
+def test_running_agg_float_left_associated():
+    """Float running sum is the left-associated sequential scan —
+    bit-identical to an explicit Python accumulation in order."""
+    from airbyte_ray.functions.agg import running_agg
+
+    t = pa.table({"k": ["a"] * 5 + ["b"] * 3,
+                  "o": list(range(5)) + list(range(3)),
+                  "v": [0.1, 0.2, 0.7, 1e16, 1.0, 3.5, 0.25, -1.0]})
+    got = (running_agg(ray.data.from_arrow(t), "k", "o", "v", out="rs")
+           .to_pandas().sort_values(["k", "o"]))
+    exp = []
+    for ks in ("a", "b"):
+        acc = 0.0
+        for v in t.filter(pa.compute.equal(t["k"], ks))["v"].to_pylist():
+            acc += v
+            exp.append(acc)
+    assert got["rs"].tolist() == exp

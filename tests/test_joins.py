@@ -63,3 +63,54 @@ def test_semi_anti_join():
     assert all(r["user_id"] in keys for r in s)
     assert all(r["user_id"] not in keys for r in a)
     assert len(s) + len(a) == ev.count()
+
+
+def test_range_join_matches_duckdb():
+    """Overlapping bands + explicit bounds — the driver query's shape at
+    sf0.001, checked against the DuckDB inequality join."""
+    import numpy as np
+
+    from airbyte_ray.joins import range_join
+
+    i = np.arange(12, dtype=np.int64)
+    bands = pa.table({"band_id": i, "lo": (i * 40).astype(np.float64),
+                      "hi": (i * 40 + 60).astype(np.float64)})
+    ev = ray.data.read_parquet(f"{SF}/events.parquet", columns=["event_id", "value"])
+    got = _sorted_df(
+        range_join(ev, ray.data.from_arrow(bands), on="value", lo="lo", hi="hi",
+                   bounds=np.linspace(0.0, 500.0, 9)[1:-1]).to_pandas(),
+        ["event_id", "band_id"],
+    )
+    exp = duckdb.sql(
+        f"""SELECT e.event_id, e.value, b.band_id, b.lo, b.hi
+            FROM '{SF}/events.parquet' e JOIN (
+              SELECT CAST(i AS BIGINT) band_id, i*40.0 lo, i*40.0+60.0 hi
+              FROM generate_series(0,11) t(i)) b
+            ON e.value >= b.lo AND e.value < b.hi
+            ORDER BY e.event_id, b.band_id"""
+    ).df()
+    assert got["event_id"].tolist() == exp["event_id"].tolist()
+    assert got["band_id"].tolist() == exp["band_id"].tolist()
+
+
+def test_range_join_sampled_bounds_and_edges():
+    """bounds=None (sampled-quantile path), an EMPTY interval (matches
+    nothing), and a domain-spanning interval (replicated to every bucket,
+    matches everything exactly once)."""
+    import numpy as np
+
+    from airbyte_ray.joins import range_join
+
+    left = ray.data.from_arrow(pa.table({
+        "x": np.linspace(0.0, 99.0, 100), "row": np.arange(100, dtype=np.int64)
+    }))
+    right = ray.data.from_arrow(pa.table({
+        "iid": [0, 1, 2],
+        "lo": [50.0, 7.0, -1e9],
+        "hi": [50.0, 9.0, 1e9],  # empty / small / whole-domain
+    }))
+    out = range_join(left, right, on="x", lo="lo", hi="hi", num_buckets=4).to_pandas()
+    assert (out["iid"] == 0).sum() == 0                       # empty interval
+    assert sorted(out[out["iid"] == 1]["x"]) == [7.0, 8.0]    # [7, 9)
+    assert (out["iid"] == 2).sum() == 100                     # once per left row
+    assert len(out) == 102
