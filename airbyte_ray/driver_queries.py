@@ -1357,6 +1357,62 @@ def q_media_decode(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_rollup_sets(sf_dir: str) -> ray.data.Dataset:
+    """GROUP BY ROLLUP(l_returnflag, l_linestatus): every prefix grouping
+    level in ONE pass — the per-batch combiner partial-aggregates all
+    levels, so the exchange carries a handful of rows per batch.  Quantity
+    goes through int64 (TPC-H quantities are integer-valued) so sums are
+    hash-exact; ``gid`` follows SQL GROUPING() bit semantics."""
+    from .functions.agg import rollup_agg
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "qty": t["l_quantity"].cast(pa.int64()),
+        })
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity"],
+    ).map_batches(prep, batch_format="pyarrow")
+    return rollup_agg(ds, ["l_returnflag", "l_linestatus"], "qty",
+                      sum_out="sum_qty", count_out="n")
+
+
+def q_unpivot(sf_dir: str) -> ray.data.Dataset:
+    """Melt the lineitem money columns into (variable, value) rows — the
+    inverse reshape of pivot_counts, zero exchange."""
+    from .stages.transforms import unpivot
+
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_tax"],
+    ).map_batches(
+        unpivot(["l_orderkey", "l_linenumber"],
+                ["l_extendedprice", "l_discount", "l_tax"],
+                var_name="measure", value_name="amount"),
+        batch_format="pyarrow",
+    )
+
+
+def q_join_outer(sf_dir: str) -> ray.data.Dataset:
+    """FULL OUTER partitioned hash join — events ⟗ documents(doc_id ≥ 100)
+    on user_id: low users are left-only (null doc cols), high doc_ids are
+    right-only (null event cols); both unmatched sides must surface
+    exactly once (bucket-local-correct because a key hashes to one
+    bucket)."""
+    def right(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["doc_id"], 100))
+        return pa.table({"user_id": t["doc_id"], "n_chars": t["n_chars"]})
+
+    ev = _events(sf_dir, columns=["event_id", "user_id"])
+    docs = _docs(sf_dir, columns=["doc_id", "n_chars"]).map_batches(
+        right, batch_format="pyarrow"
+    )
+    return hash_join(ev, docs, on="user_id", how="outer")
+
+
 QUERIES = {
     "cdc_replay_upsert": q_cdc_replay_upsert,
     "cdc_lww_latest": q_cdc_lww_latest,
@@ -1420,6 +1476,9 @@ QUERIES = {
     "join_range": q_join_range,
     "window_running": q_window_running,
     "media_decode": q_media_decode,
+    "rollup_sets": q_rollup_sets,
+    "unpivot": q_unpivot,
+    "join_outer": q_join_outer,
 }
 
 _CANON = "md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
@@ -1510,6 +1569,26 @@ ORACLE_SQL = {
                CAST(3 + doc_id % 4 AS INTEGER) AS img_h,
                (4 + doc_id % 5) * (3 + doc_id % 4) * 3 * (doc_id % 251) AS px_sum
         FROM documents
+    """,
+    "rollup_sets": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+               COUNT(*) AS n
+        FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+    "unpivot": """
+        SELECT l_orderkey, l_linenumber, 'l_extendedprice' AS measure, l_extendedprice AS amount FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+    """,
+    "join_outer": """
+        SELECT COALESCE(e.user_id, d.doc_id) AS user_id, e.event_id, d.n_chars
+        FROM events e FULL OUTER JOIN
+             (SELECT doc_id, n_chars FROM documents WHERE doc_id >= 100) d
+        ON e.user_id = d.doc_id
     """,
     "join_asof": """
         SELECT e.user_id, e.event_id, v.event_id AS view_event_id

@@ -127,6 +127,74 @@ def running_agg(
     )
 
 
+def rollup_agg(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    sum_col: str,
+    sum_out: str = "sum_val",
+    count_out: str = "n",
+) -> ray.data.Dataset:
+    """ROLLUP grouping sets: one row per group at EVERY prefix level of
+    ``keys`` — (k1..kn), (k1..kn-1), …, () — like SQL ``GROUP BY ROLLUP``.
+    ``gid`` is the SQL ``GROUPING()`` bitmask (bit set ⇔ that key is
+    aggregated out, first key = most-significant bit).
+
+    Plan: the per-batch combiner partial-aggregates ALL levels at once, so
+    the single exchange carries ≤ Σ|level groups| rows per batch — the
+    corpus never shuffles.  The global fold groups on a composite string
+    key (gid + level key values; aggregated-out columns are NULL)."""
+    n = len(keys)
+    levels = [
+        (keys[:L], sum((1 << (n - 1 - i)) for i in range(L, n)))
+        for L in range(n + 1)
+    ]
+
+    def partial(t: pa.Table) -> pa.Table:
+        outs = []
+        for lv_keys, gid in levels:
+            sel = t.select(lv_keys + [sum_col])
+            if lv_keys:
+                g = pa.TableGroupBy(sel, lv_keys).aggregate(
+                    [(sum_col, "sum"), (sum_col, "count")]
+                )
+                s, c = g[f"{sum_col}_sum"], g[f"{sum_col}_count"].cast(pa.int64())
+                m = g.num_rows
+            else:
+                s = pa.array([pc.sum(sel[sum_col]).as_py() or 0], sel[sum_col].type)
+                c = pa.array([sel.num_rows], pa.int64())
+                g, m = None, 1
+            cols = {}
+            for k in keys:
+                cols[k] = g[k] if g is not None and k in lv_keys else pa.nulls(m, t[k].type)
+            cols["gid"] = pa.array(np.full(m, gid, np.int64))
+            cols[sum_out] = s
+            cols[count_out] = c
+            outs.append(pa.table(cols))
+        return pa.concat_tables(outs)
+
+    def with_gk(t: pa.Table) -> pa.Table:
+        parts = [t["gid"].cast(pa.string())]
+        for k in keys:
+            parts.append(pc.coalesce(t[k].cast(pa.string()), pa.scalar("\x00∅")))
+        return t.append_column(
+            "__gk", pc.binary_join_element_wise(*parts, "\x01")
+        )
+
+    def fold(g: pa.Table) -> pa.Table:
+        cols = {k: g[k].slice(0, 1) for k in keys}
+        cols["gid"] = g["gid"].slice(0, 1)
+        cols[sum_out] = pa.array([pc.sum(g[sum_out]).as_py()], g[sum_out].type)
+        cols[count_out] = pa.array([pc.sum(g[count_out]).as_py()], pa.int64())
+        return pa.table(cols)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(with_gk, batch_format="pyarrow")
+        .groupby("__gk")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+
+
 def pivot_counts(
     ds: ray.data.Dataset, key: str, pivot_col: str, values: list[str],
 ) -> ray.data.Dataset:

@@ -77,7 +77,11 @@ def hash_join(
     num_buckets: int = 32,
 ) -> ray.data.Dataset:
     """Partitioned hash join: bucket by key hash, tag sides, union, single
-    groupby(bucket) shuffle, per-bucket pandas merge."""
+    groupby(bucket) shuffle, per-bucket Arrow join.  ``how`` ∈ {inner,
+    left, outer}: full-outer is bucket-local-correct because every key
+    value hashes to exactly one bucket, so unmatched rows of either side
+    surface exactly once (keys are assumed non-null — SQL null keys never
+    match and should be pre-filtered)."""
     on = [on] if isinstance(on, str) else list(on)
 
     lcols = left.schema().names
@@ -119,7 +123,7 @@ def hash_join(
     # In-bucket join is Arrow-native (pa.Table.join) so integer columns stay
     # integers — a pandas merge would degrade any null-bearing int column to
     # float64 (the round-1 hash_match failure).
-    join_type = {"inner": "inner", "left": "left outer"}[how]
+    join_type = {"inner": "inner", "left": "left outer", "outer": "full outer"}[how]
     out_cols = on + l_only + r_only
 
     def bucket_merge(g: pa.Table) -> pa.Table:

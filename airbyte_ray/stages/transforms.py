@@ -200,3 +200,28 @@ def compose(*fns: Callable[[pa.Table], pa.Table]) -> Callable[[pa.Table], pa.Tab
         return t
 
     return fn
+
+
+def unpivot(
+    id_cols: list[str],
+    value_cols: list[str],
+    var_name: str = "variable",
+    value_name: str = "value",
+):
+    """Melt wide columns into (variable, value) rows — SQL ``UNPIVOT`` /
+    the inverse of :func:`airbyte_ray.functions.agg.pivot_counts`.  Pure
+    per-batch reshape (rows × |value_cols| out), zero exchange; value
+    columns must share a castable common type (widened to the first
+    col's type via Arrow cast, lossless or it raises)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        vt = t[value_cols[0]].type
+        outs = []
+        for vc in value_cols:
+            cols = {c: t[c] for c in id_cols}
+            cols[var_name] = pa.array([vc] * t.num_rows, pa.string())
+            cols[value_name] = t[vc].cast(vt)
+            outs.append(pa.table(cols))
+        return pa.concat_tables(outs)
+
+    return fn

@@ -106,3 +106,33 @@ def test_running_agg_float_left_associated():
             acc += v
             exp.append(acc)
     assert got["rs"].tolist() == exp
+
+
+def test_rollup_agg_levels_and_gid():
+    """All prefix levels present; gid follows SQL GROUPING() bits; totals
+    consistent across levels."""
+    from airbyte_ray.functions.agg import rollup_agg
+
+    t = pa.table({"a": ["x", "x", "y"], "b": ["p", "q", "p"], "v": [1, 2, 4]})
+    got = (rollup_agg(ray.data.from_arrow(t).repartition(2), ["a", "b"], "v")
+           .to_pandas())
+    grand = got[got.gid == 3]
+    assert len(grand) == 1 and grand.sum_val.iloc[0] == 7 and grand.n.iloc[0] == 3
+    lvl_a = got[got.gid == 1].set_index("a")
+    assert lvl_a.loc["x"].sum_val == 3 and lvl_a.loc["y"].sum_val == 4
+    assert got[got.gid == 1].b.isna().all()
+    assert len(got[got.gid == 0]) == 3  # (x,p) (x,q) (y,p)
+    assert got.sum_val.sum() == 7 * 3  # each level re-sums the corpus
+
+
+def test_unpivot_melts_and_casts():
+    from airbyte_ray.stages.transforms import unpivot
+
+    t = pa.table({"id": [1, 2], "m1": [1.5, 2.5], "m2": pa.array([3, 4], pa.int64())})
+    out = pa.Table.from_pylist(
+        ray.data.from_arrow(t)
+        .map_batches(unpivot(["id"], ["m1", "m2"]), batch_format="pyarrow")
+        .take_all()
+    ).to_pandas().sort_values(["variable", "id"])
+    assert out.variable.tolist() == ["m1", "m1", "m2", "m2"]
+    assert out.value.tolist() == [1.5, 2.5, 3.0, 4.0]  # m2 widened to float64

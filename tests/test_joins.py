@@ -114,3 +114,14 @@ def test_range_join_sampled_bounds_and_edges():
     assert sorted(out[out["iid"] == 1]["x"]) == [7.0, 8.0]    # [7, 9)
     assert (out["iid"] == 2).sum() == 100                     # once per left row
     assert len(out) == 102
+
+
+def test_hash_join_full_outer():
+    """Unmatched rows of BOTH sides surface exactly once with null other
+    side; matched keys coalesce."""
+    l = ray.data.from_arrow(pa.table({"k": [1, 2, 3], "lv": ["a", "b", "c"]}))
+    r = ray.data.from_arrow(pa.table({"k": [2, 3, 4], "rv": [20, 30, 40]}))
+    out = hash_join(l, r, on="k", how="outer").to_pandas().sort_values("k")
+    assert out["k"].tolist() == [1, 2, 3, 4]
+    assert out["lv"].tolist() == ["a", "b", "c", None]
+    assert out["rv"].fillna(-1).tolist() == [-1, 20, 30, 40]
