@@ -1413,6 +1413,64 @@ def q_join_outer(sf_dir: str) -> ray.data.Dataset:
     return hash_join(ev, docs, on="user_id", how="outer")
 
 
+def q_window_rolling(sf_dir: str) -> ray.data.Dataset:
+    """Moving-window sum (ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) per
+    user on the exact int64 cents grid — two reads of a segmented cumsum,
+    O(rows) regardless of window width."""
+    from .functions.agg import rolling_agg
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = np.floor(t["value"].to_numpy() * 100).astype(np.int64)
+        return pa.table({
+            "user_id": t["user_id"],
+            "event_id": t["event_id"],
+            "cents": pa.array(c),
+        })
+
+    out = rolling_agg(
+        _events(sf_dir, columns=["user_id", "event_id", "value"])
+        .map_batches(cents, batch_format="pyarrow"),
+        key="user_id", order_col="event_id", val_col="cents",
+        preceding=3, out="roll_cents",
+    )
+    return out.map_batches(
+        lambda t: t.drop_columns(["cents"]), batch_format="pyarrow"
+    )
+
+
+def q_set_ops(sf_dir: str) -> ray.data.Dataset:
+    """SQL INTERSECT and EXCEPT in one result: users who both clicked and
+    errored (intersect) and users who clicked but never errored (except),
+    via the shared one-exchange membership-flag plan."""
+    from .functions.setops import set_compare
+
+    def of_type(v):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t["event_type"], v)).select(["user_id"])
+
+        return fn
+
+    ev = _events(sf_dir, columns=["user_id", "event_type"])
+    clicks = ev.map_batches(of_type("click"), batch_format="pyarrow")
+    errors = ev.map_batches(of_type("error"), batch_format="pyarrow")
+    cmp = set_compare(clicks, errors, ["user_id"])
+
+    def emit(t: pa.Table) -> pa.Table:
+        both = t.filter(pc.and_(t["in_left"], t["in_right"]))
+        l_only = t.filter(pc.and_(t["in_left"], pc.invert(t["in_right"])))
+        return pa.table({
+            "user_id": pa.concat_arrays([
+                both["user_id"].combine_chunks(),
+                l_only["user_id"].combine_chunks(),
+            ]),
+            "op": pa.array(
+                ["intersect"] * both.num_rows + ["except"] * l_only.num_rows
+            ),
+        })
+
+    return cmp.map_batches(emit, batch_format="pyarrow")
+
+
 QUERIES = {
     "cdc_replay_upsert": q_cdc_replay_upsert,
     "cdc_lww_latest": q_cdc_lww_latest,
@@ -1479,6 +1537,8 @@ QUERIES = {
     "rollup_sets": q_rollup_sets,
     "unpivot": q_unpivot,
     "join_outer": q_join_outer,
+    "window_rolling": q_window_rolling,
+    "set_ops": q_set_ops,
 }
 
 _CANON = "md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
@@ -1589,6 +1649,24 @@ ORACLE_SQL = {
         FROM events e FULL OUTER JOIN
              (SELECT doc_id, n_chars FROM documents WHERE doc_id >= 100) d
         ON e.user_id = d.doc_id
+    """,
+    "window_rolling": """
+        SELECT user_id, event_id,
+               CAST(SUM(CAST(floor(value*100) AS BIGINT))
+                 OVER (PARTITION BY user_id ORDER BY event_id
+                       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll_cents
+        FROM events
+    """,
+    "set_ops": """
+        SELECT user_id, 'intersect' AS op FROM (
+          SELECT user_id FROM events WHERE event_type = 'click'
+          INTERSECT
+          SELECT user_id FROM events WHERE event_type = 'error')
+        UNION ALL
+        SELECT user_id, 'except' FROM (
+          SELECT user_id FROM events WHERE event_type = 'click'
+          EXCEPT
+          SELECT user_id FROM events WHERE event_type = 'error')
     """,
     "join_asof": """
         SELECT e.user_id, e.event_id, v.event_id AS view_event_id

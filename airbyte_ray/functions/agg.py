@@ -127,6 +127,49 @@ def running_agg(
     )
 
 
+def rolling_agg(
+    ds: ray.data.Dataset,
+    key: str,
+    order_col: str,
+    val_col: str,
+    preceding: int,
+    out: str = "roll_sum",
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Moving-window sum: per ``key``, ordered by ``order_col``, the sum of
+    the current row and the ``preceding`` rows before it (= ``SUM(val)
+    OVER (PARTITION BY key ORDER BY order ROWS BETWEEN preceding PRECEDING
+    AND CURRENT ROW)``).  Same one-exchange plan as :func:`running_agg`;
+    the window is two reads of a zero-prepended segmented cumsum —
+    ``Z[i+1] - Z[max(i-preceding, seg_start)]`` — so cost is O(rows)
+    regardless of window width."""
+    from ..pipelines.replay import stable_hash
+
+    def route(t: pa.Table) -> pa.Table:
+        h = stable_hash(t[key].cast(pa.string())) % np.uint64(num_partitions)
+        return t.append_column("__part", pa.array(h.astype(np.int64)))
+
+    def window(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__part"])
+        idx = pc.sort_indices(g, sort_keys=[(key, "ascending"), (order_col, "ascending")])
+        g = g.take(idx).combine_chunks()
+        keys = g[key].to_numpy(zero_copy_only=False)
+        new = np.concatenate([[True], keys[1:] != keys[:-1]])
+        starts = np.flatnonzero(new)
+        runs = np.diff(np.concatenate([starts, [len(keys)]]))
+        v = g[val_col].to_numpy(zero_copy_only=False)
+        z = np.concatenate([[v.dtype.type(0)], np.cumsum(v)])  # Z[i] = sum v[:i]
+        i = np.arange(len(keys))
+        lo = np.maximum(i - preceding, np.repeat(starts, runs))
+        return g.append_column(out, pa.array(z[i + 1] - z[lo]))
+
+    return (
+        ds.map_batches(route, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(window, batch_format="pyarrow")
+    )
+
+
 def rollup_agg(
     ds: ray.data.Dataset,
     keys: list[str],

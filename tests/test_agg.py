@@ -136,3 +136,20 @@ def test_unpivot_melts_and_casts():
     ).to_pandas().sort_values(["variable", "id"])
     assert out.variable.tolist() == ["m1", "m1", "m2", "m2"]
     assert out.value.tolist() == [1.5, 2.5, 3.0, 4.0]  # m2 widened to float64
+
+
+def test_rolling_agg_window_semantics():
+    """Window never crosses a key boundary; width > segment = running sum."""
+    from airbyte_ray.functions.agg import rolling_agg
+
+    t = pa.table({"k": ["a"] * 5 + ["b"] * 2,
+                  "o": [1, 2, 3, 4, 5, 1, 2],
+                  "v": [1, 2, 4, 8, 16, 100, 200]})
+    got = (rolling_agg(ray.data.from_arrow(t).repartition(3), "k", "o", "v",
+                       preceding=1, out="w2")
+           .to_pandas().sort_values(["k", "o"]))
+    assert got["w2"].tolist() == [1, 3, 6, 12, 24, 100, 300]
+    wide = (rolling_agg(ray.data.from_arrow(t), "k", "o", "v",
+                        preceding=99, out="w")
+            .to_pandas().sort_values(["k", "o"]))
+    assert wide["w"].tolist() == [1, 3, 7, 15, 31, 100, 300]
