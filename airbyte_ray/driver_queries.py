@@ -1464,7 +1464,8 @@ def q_set_ops(sf_dir: str) -> ray.data.Dataset:
                 l_only["user_id"].combine_chunks(),
             ]),
             "op": pa.array(
-                ["intersect"] * both.num_rows + ["except"] * l_only.num_rows
+                ["intersect"] * both.num_rows + ["except"] * l_only.num_rows,
+                pa.string(),  # typed: an all-empty batch must not emit null type
             ),
         })
 

@@ -21,6 +21,27 @@ import ray.data
 from ray.data.aggregate import Sum
 
 
+def _route_by(key: str, num_partitions: int):
+    """Batch fn appending ``__part = hash(key) % P`` — the shared routing
+    step of the windowed aggregates (one hash exchange each)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        from ..pipelines.replay import stable_hash
+
+        h = stable_hash(t[key].cast(pa.string())) % np.uint64(num_partitions)
+        return t.append_column("__part", pa.array(h.astype(np.int64)))
+
+    return fn
+
+
+def _segments(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Run-length segmentation of a sorted key array → (new, starts, runs)."""
+    new = np.concatenate([[True], keys[1:] != keys[:-1]])
+    starts = np.flatnonzero(new)
+    runs = np.diff(np.concatenate([starts, [len(keys)]]))
+    return new, starts, runs
+
+
 def _topn_prune(t: pa.Table, key: str, order_col: str, tie_col: str,
                 n: int, descending: bool) -> pa.Table:
     """Keep each key's best ≤n rows of this table (vectorized run-length
@@ -87,13 +108,10 @@ def running_agg(
     dispatch) finish the window.  Same partitioning contract as the lake
     merge: a partition holds corpus/P rows, so P scales with the corpus.
     Sum is exact for integer ``val_col``; float sums are left-associated in
-    order (bit-identical to a sequential window scan).
+    order (bit-identical to a sequential window scan).  NULL values
+    contribute 0 (SQL's SUM skips them but returns NULL for an all-null
+    prefix — this returns 0).
     """
-    from ..pipelines.replay import stable_hash
-
-    def route(t: pa.Table) -> pa.Table:
-        h = stable_hash(t[key].cast(pa.string())) % np.uint64(num_partitions)
-        return t.append_column("__part", pa.array(h.astype(np.int64)))
 
     def window(g: pa.Table) -> pa.Table:
         g = g.drop_columns(["__part"])
@@ -102,10 +120,8 @@ def running_agg(
         idx = pc.sort_indices(g, sort_keys=[(key, "ascending"), (order_col, "ascending")])
         g = g.take(idx).combine_chunks()
         keys = g[key].to_numpy(zero_copy_only=False)
-        new = np.concatenate([[True], keys[1:] != keys[:-1]])
-        starts = np.flatnonzero(new)
-        runs = np.diff(np.concatenate([starts, [len(keys)]]))
-        v = g[val_col].to_numpy(zero_copy_only=False)
+        new, starts, runs = _segments(keys)
+        v = pc.fill_null(g[val_col], 0).to_numpy(zero_copy_only=False)
         cs = np.cumsum(v)
         seg_base = cs[starts] - v[starts]  # sum strictly before each segment
         run = cs - np.repeat(seg_base, runs)
@@ -121,7 +137,7 @@ def running_agg(
         return g
 
     return (
-        ds.map_batches(route, batch_format="pyarrow")
+        ds.map_batches(_route_by(key, num_partitions), batch_format="pyarrow")
         .groupby("__part")
         .map_groups(window, batch_format="pyarrow")
     )
@@ -142,29 +158,24 @@ def rolling_agg(
     AND CURRENT ROW)``).  Same one-exchange plan as :func:`running_agg`;
     the window is two reads of a zero-prepended segmented cumsum —
     ``Z[i+1] - Z[max(i-preceding, seg_start)]`` — so cost is O(rows)
-    regardless of window width."""
-    from ..pipelines.replay import stable_hash
-
-    def route(t: pa.Table) -> pa.Table:
-        h = stable_hash(t[key].cast(pa.string())) % np.uint64(num_partitions)
-        return t.append_column("__part", pa.array(h.astype(np.int64)))
+    regardless of window width.  NULL values contribute 0 to the sum
+    (SQL's SUM skips them too, but returns NULL for an all-null window —
+    this returns 0; same contract as :func:`running_agg`)."""
 
     def window(g: pa.Table) -> pa.Table:
         g = g.drop_columns(["__part"])
         idx = pc.sort_indices(g, sort_keys=[(key, "ascending"), (order_col, "ascending")])
         g = g.take(idx).combine_chunks()
         keys = g[key].to_numpy(zero_copy_only=False)
-        new = np.concatenate([[True], keys[1:] != keys[:-1]])
-        starts = np.flatnonzero(new)
-        runs = np.diff(np.concatenate([starts, [len(keys)]]))
-        v = g[val_col].to_numpy(zero_copy_only=False)
+        new, starts, runs = _segments(keys)
+        v = pc.fill_null(g[val_col], 0).to_numpy(zero_copy_only=False)
         z = np.concatenate([[v.dtype.type(0)], np.cumsum(v)])  # Z[i] = sum v[:i]
         i = np.arange(len(keys))
         lo = np.maximum(i - preceding, np.repeat(starts, runs))
         return g.append_column(out, pa.array(z[i + 1] - z[lo]))
 
     return (
-        ds.map_batches(route, batch_format="pyarrow")
+        ds.map_batches(_route_by(key, num_partitions), batch_format="pyarrow")
         .groupby("__part")
         .map_groups(window, batch_format="pyarrow")
     )
@@ -197,13 +208,18 @@ def rollup_agg(
         for lv_keys, gid in levels:
             sel = t.select(lv_keys + [sum_col])
             if lv_keys:
-                g = pa.TableGroupBy(sel, lv_keys).aggregate(
-                    [(sum_col, "sum"), (sum_col, "count")]
-                )
+                # count is COUNT(*) (mode="all") — Arrow's default "count"
+                # skips nulls and would diverge from SQL COUNT(*) whenever
+                # sum_col has nulls (review finding)
+                g = pa.TableGroupBy(sel, lv_keys).aggregate([
+                    (sum_col, "sum"),
+                    (sum_col, "count", pc.CountOptions(mode="all")),
+                ])
                 s, c = g[f"{sum_col}_sum"], g[f"{sum_col}_count"].cast(pa.int64())
                 m = g.num_rows
             else:
-                s = pa.array([pc.sum(sel[sum_col]).as_py() or 0], sel[sum_col].type)
+                # keep SQL NULL for an all-null (or empty) sum — no `or 0`
+                s = pa.array([pc.sum(sel[sum_col]).as_py()], sel[sum_col].type)
                 c = pa.array([sel.num_rows], pa.int64())
                 g, m = None, 1
             cols = {}
@@ -216,24 +232,30 @@ def rollup_agg(
         return pa.concat_tables(outs)
 
     def with_gk(t: pa.Table) -> pa.Table:
-        parts = [t["gid"].cast(pa.string())]
-        for k in keys:
-            parts.append(pc.coalesce(t[k].cast(pa.string()), pa.scalar("\x00∅")))
-        return t.append_column(
-            "__gk", pc.binary_join_element_wise(*parts, "\x01")
-        )
+        # injective composite key shared with setops (review finding: the
+        # old sentinel-join collided on values containing the separator)
+        from .setops import row_key
+
+        return t.append_column("__gk", row_key(t, ["gid"] + keys))
 
     def fold(g: pa.Table) -> pa.Table:
-        cols = {k: g[k].slice(0, 1) for k in keys}
-        cols["gid"] = g["gid"].slice(0, 1)
-        cols[sum_out] = pa.array([pc.sum(g[sum_out]).as_py()], g[sum_out].type)
-        cols[count_out] = pa.array([pc.sum(g[count_out]).as_py()], pa.int64())
+        # Arrow-native group-fold per hash partition — one vectorized
+        # aggregate, not one Python call per output group (review finding)
+        gb = pa.TableGroupBy(g.drop_columns(["__part"]), "__gk").aggregate(
+            [(k, "first") for k in keys]
+            + [("gid", "first"), (sum_out, "sum"), (count_out, "sum")]
+        )
+        cols = {k: gb[f"{k}_first"] for k in keys}
+        cols["gid"] = gb["gid_first"]
+        cols[sum_out] = gb[f"{sum_out}_sum"]
+        cols[count_out] = gb[f"{count_out}_sum"].cast(pa.int64())
         return pa.table(cols)
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")
         .map_batches(with_gk, batch_format="pyarrow")
-        .groupby("__gk")
+        .map_batches(_route_by("__gk", 16), batch_format="pyarrow")
+        .groupby("__part")
         .map_groups(fold, batch_format="pyarrow")
     )
 

@@ -153,3 +153,22 @@ def test_rolling_agg_window_semantics():
                         preceding=99, out="w")
             .to_pandas().sort_values(["k", "o"]))
     assert wide["w"].tolist() == [1, 3, 7, 15, 31, 100, 300]
+
+
+def test_rollup_agg_null_sum_col_count_star():
+    """COUNT is COUNT(*) even when sum_col has nulls, and an all-null sum
+    stays SQL NULL (review findings)."""
+    from airbyte_ray.functions.agg import rollup_agg
+
+    t = pa.table({"a": ["x", "x", "y"], "b": ["p", "p", "q"],
+                  "v": pa.array([1, None, None], pa.int64())})
+    got = (rollup_agg(ray.data.from_arrow(t), ["a", "b"], "v")
+           .to_pandas())
+    grand = got[got.gid == 3].iloc[0]
+    assert grand.n == 3 and grand.sum_val == 1
+    xp = got[(got.gid == 0) & (got.a == "x")].iloc[0]
+    assert xp.n == 2 and xp.sum_val == 1          # COUNT(*) counts the null row
+    import pandas as pd
+
+    yq = got[(got.gid == 0) & (got.a == "y")].iloc[0]
+    assert yq.n == 1 and pd.isna(yq.sum_val)  # all-null sum stays SQL NULL

@@ -45,3 +45,12 @@ def test_setops_multicol_and_nulls():
     exc = except_distinct(l, r, ["a", "b"]).to_pandas()
     assert len(inter) == 3        # (1,y), (2,null), (null,z) all match
     assert len(exc) == 1 and exc["a"].iloc[0] == 1 and exc["b"].iloc[0] == "x"
+
+
+def test_row_key_injective_on_separator_values():
+    """Length-prefixed encoding: values containing the old separator or
+    null sentinel must NOT collide (review finding)."""
+    l = ray.data.from_arrow(pa.table({"a": ["a\x01b", "N"], "b": ["c", "z"]}))
+    r = ray.data.from_arrow(pa.table({"a": ["a", None], "b": ["b\x01c", "z"]}))
+    inter = intersect_distinct(l, r, ["a", "b"]).to_pandas()
+    assert len(inter) == 0  # ('a\x01b','c') != ('a','b\x01c'); 'N' != NULL
