@@ -1472,6 +1472,22 @@ def q_set_ops(sf_dir: str) -> ray.data.Dataset:
     return cmp.map_batches(emit, batch_format="pyarrow")
 
 
+def q_grouped_quantiles(sf_dir: str) -> ray.data.Dataset:
+    """Per-user exact p50/p90 on the int64 cents grid — one exchange, all
+    quantiles gathered per segment in one pass."""
+    from .functions.agg import grouped_quantiles
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = np.floor(t["value"].to_numpy() * 100).astype(np.int64)
+        return pa.table({"user_id": t["user_id"], "cents": pa.array(c)})
+
+    return grouped_quantiles(
+        _events(sf_dir, columns=["user_id", "value"])
+        .map_batches(cents, batch_format="pyarrow"),
+        key="user_id", col="cents", qs=[0.5, 0.9],
+    )
+
+
 QUERIES = {
     "cdc_replay_upsert": q_cdc_replay_upsert,
     "cdc_lww_latest": q_cdc_lww_latest,
@@ -1540,6 +1556,7 @@ QUERIES = {
     "join_outer": q_join_outer,
     "window_rolling": q_window_rolling,
     "set_ops": q_set_ops,
+    "grouped_quantiles": q_grouped_quantiles,
 }
 
 _CANON = "md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
@@ -1668,6 +1685,15 @@ ORACLE_SQL = {
           SELECT user_id FROM events WHERE event_type = 'click'
           EXCEPT
           SELECT user_id FROM events WHERE event_type = 'error')
+    """,
+    "grouped_quantiles": """
+        SELECT user_id, CAST(0.5 AS DOUBLE) AS q,
+               quantile_disc(CAST(floor(value*100) AS BIGINT), 0.5) AS value
+        FROM events GROUP BY user_id
+        UNION ALL
+        SELECT user_id, CAST(0.9 AS DOUBLE),
+               quantile_disc(CAST(floor(value*100) AS BIGINT), 0.9)
+        FROM events GROUP BY user_id
     """,
     "join_asof": """
         SELECT e.user_id, e.event_id, v.event_id AS view_event_id

@@ -260,6 +260,58 @@ def rollup_agg(
     )
 
 
+def grouped_quantiles(
+    ds: ray.data.Dataset,
+    key: str,
+    col: str,
+    qs: list[float],
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """EXACT per-key discrete quantiles (DuckDB ``quantile_disc``: the
+    element at sorted index ``max(ceil(n·q)-1, 0)`` — the rank rule
+    verified in :func:`airbyte_ray.functions.sketch.exact_quantiles`).
+    One hash exchange; inside each partition a single (key, col) sort and
+    a vectorized per-segment rank gather for ALL qs at once.  NULL values
+    are skipped (SQL semantics); a key whose values are all NULL is
+    omitted (SQL would emit it with a NULL quantile — documented
+    divergence, avoid by pre-filtering)."""
+    bad = [q for q in qs if not 0.0 <= q <= 1.0]
+    if bad:
+        raise ValueError(f"quantiles must be in [0, 1], got {bad}")
+
+    def kernel(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__part"]).filter(pc.is_valid(g[col]))
+        out_schema = pa.schema([
+            (key, g.schema.field(key).type),
+            ("q", pa.float64()),
+            ("value", g.schema.field(col).type),
+        ])
+        if g.num_rows == 0:
+            return out_schema.empty_table()
+        idx = pc.sort_indices(g, sort_keys=[(key, "ascending"), (col, "ascending")])
+        g = g.take(idx).combine_chunks()
+        keys = g[key].to_numpy(zero_copy_only=False)
+        _, starts, runs = _segments(keys)
+        picks, q_col = [], []
+        for q in qs:
+            r = np.maximum(np.ceil(runs * q).astype(np.int64) - 1, 0)
+            picks.append(starts + r)
+            q_col.append(np.full(len(starts), q, np.float64))
+        pick = pa.array(np.concatenate(picks))
+        key_pick = pa.array(np.concatenate([starts] * len(qs)))
+        return pa.table({
+            key: g[key].take(key_pick),
+            "q": pa.array(np.concatenate(q_col)),
+            "value": g[col].take(pick),
+        })
+
+    return (
+        ds.map_batches(_route_by(key, num_partitions), batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(kernel, batch_format="pyarrow")
+    )
+
+
 def pivot_counts(
     ds: ray.data.Dataset, key: str, pivot_col: str, values: list[str],
 ) -> ray.data.Dataset:

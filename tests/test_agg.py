@@ -172,3 +172,21 @@ def test_rollup_agg_null_sum_col_count_star():
 
     yq = got[(got.gid == 0) & (got.a == "y")].iloc[0]
     assert yq.n == 1 and pd.isna(yq.sum_val)  # all-null sum stays SQL NULL
+
+
+def test_grouped_quantiles_matches_duckdb():
+    """Per-key quantile_disc rank rule vs DuckDB, uneven group sizes."""
+    from airbyte_ray.functions.agg import grouped_quantiles
+
+    ds = ray.data.read_parquet(EV, columns=["user_id", "event_id"]).repartition(4)
+    got = (grouped_quantiles(ds, "user_id", "event_id", [0.0, 0.25, 0.5, 1.0])
+           .to_pandas().sort_values(["user_id", "q"]).reset_index(drop=True))
+    union = " UNION ALL ".join(
+        f"""SELECT user_id, CAST({q} AS DOUBLE) q,
+                   quantile_disc(event_id, {q}) AS value
+            FROM '{EV}' GROUP BY user_id"""
+        for q in (0.0, 0.25, 0.5, 1.0)
+    )
+    exp = duckdb.sql(f"SELECT * FROM ({union}) ORDER BY user_id, q").df()
+    assert got["user_id"].tolist() == exp["user_id"].tolist()
+    assert got["value"].tolist() == exp["value"].tolist()
