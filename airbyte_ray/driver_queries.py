@@ -1288,11 +1288,13 @@ def q_window_running(sf_dir: str) -> ray.data.Dataset:
     from .functions.agg import running_agg
 
     def cents(t: pa.Table) -> pa.Table:
-        c = np.floor(t["value"].to_numpy() * 100).astype(np.int64)
+        # Arrow kernels keep NULL as NULL — np.floor(NaN).astype(int64)
+        # would mint INT64_MIN as a valid value (review finding)
+        c = pc.floor(pc.multiply(t["value"], 100.0)).cast(pa.int64())
         return pa.table({
             "user_id": t["user_id"],
             "event_id": t["event_id"],
-            "cents": pa.array(c),
+            "cents": c,
         })
 
     out = running_agg(
@@ -1420,11 +1422,13 @@ def q_window_rolling(sf_dir: str) -> ray.data.Dataset:
     from .functions.agg import rolling_agg
 
     def cents(t: pa.Table) -> pa.Table:
-        c = np.floor(t["value"].to_numpy() * 100).astype(np.int64)
+        # Arrow kernels keep NULL as NULL — np.floor(NaN).astype(int64)
+        # would mint INT64_MIN as a valid value (review finding)
+        c = pc.floor(pc.multiply(t["value"], 100.0)).cast(pa.int64())
         return pa.table({
             "user_id": t["user_id"],
             "event_id": t["event_id"],
-            "cents": pa.array(c),
+            "cents": c,
         })
 
     out = rolling_agg(
@@ -1478,8 +1482,8 @@ def q_grouped_quantiles(sf_dir: str) -> ray.data.Dataset:
     from .functions.agg import grouped_quantiles
 
     def cents(t: pa.Table) -> pa.Table:
-        c = np.floor(t["value"].to_numpy() * 100).astype(np.int64)
-        return pa.table({"user_id": t["user_id"], "cents": pa.array(c)})
+        c = pc.floor(pc.multiply(t["value"], 100.0)).cast(pa.int64())
+        return pa.table({"user_id": t["user_id"], "cents": c})
 
     return grouped_quantiles(
         _events(sf_dir, columns=["user_id", "value"])

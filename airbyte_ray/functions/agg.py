@@ -42,6 +42,17 @@ def _segments(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     return new, starts, runs
 
 
+def _seg_keys(t: pa.Table, col: str) -> np.ndarray:
+    """Null-safe segmentation keys: the injective string encoding from
+    setops.row_key.  A raw ``to_numpy`` turns a null-bearing int64 key
+    into float64 NaN — and NaN != NaN makes EVERY null row its own
+    segment (review finding); the float64 round-trip also merges distinct
+    int64 keys above 2^53."""
+    from .setops import row_key
+
+    return row_key(t, [col]).to_numpy(zero_copy_only=False)
+
+
 def _topn_prune(t: pa.Table, key: str, order_col: str, tie_col: str,
                 n: int, descending: bool) -> pa.Table:
     """Keep each key's best ≤n rows of this table (vectorized run-length
@@ -54,7 +65,7 @@ def _topn_prune(t: pa.Table, key: str, order_col: str, tie_col: str,
         (tie_col, "ascending"),
     ])
     t = t.take(idx)
-    keys = t[key].to_numpy(zero_copy_only=False)
+    keys = _seg_keys(t, key)
     new = np.concatenate([[True], keys[1:] != keys[:-1]])
     starts = np.flatnonzero(new)
     runs = np.diff(np.concatenate([starts, [len(keys)]]))
@@ -119,7 +130,7 @@ def running_agg(
             return g.append_column(out, pa.array([], pa.int64()))
         idx = pc.sort_indices(g, sort_keys=[(key, "ascending"), (order_col, "ascending")])
         g = g.take(idx).combine_chunks()
-        keys = g[key].to_numpy(zero_copy_only=False)
+        keys = _seg_keys(g, key)
         new, starts, runs = _segments(keys)
         v = pc.fill_null(g[val_col], 0).to_numpy(zero_copy_only=False)
         cs = np.cumsum(v)
@@ -166,7 +177,7 @@ def rolling_agg(
         g = g.drop_columns(["__part"])
         idx = pc.sort_indices(g, sort_keys=[(key, "ascending"), (order_col, "ascending")])
         g = g.take(idx).combine_chunks()
-        keys = g[key].to_numpy(zero_copy_only=False)
+        keys = _seg_keys(g, key)
         new, starts, runs = _segments(keys)
         v = pc.fill_null(g[val_col], 0).to_numpy(zero_copy_only=False)
         z = np.concatenate([[v.dtype.type(0)], np.cumsum(v)])  # Z[i] = sum v[:i]
@@ -187,6 +198,7 @@ def rollup_agg(
     sum_col: str,
     sum_out: str = "sum_val",
     count_out: str = "n",
+    num_partitions: int = 32,
 ) -> ray.data.Dataset:
     """ROLLUP grouping sets: one row per group at EVERY prefix level of
     ``keys`` — (k1..kn), (k1..kn-1), …, () — like SQL ``GROUP BY ROLLUP``.
@@ -254,7 +266,7 @@ def rollup_agg(
     return (
         ds.map_batches(partial, batch_format="pyarrow")
         .map_batches(with_gk, batch_format="pyarrow")
-        .map_batches(_route_by("__gk", 16), batch_format="pyarrow")
+        .map_batches(_route_by("__gk", num_partitions), batch_format="pyarrow")
         .groupby("__part")
         .map_groups(fold, batch_format="pyarrow")
     )
@@ -275,6 +287,10 @@ def grouped_quantiles(
     are skipped (SQL semantics); a key whose values are all NULL is
     omitted (SQL would emit it with a NULL quantile — documented
     divergence, avoid by pre-filtering)."""
+    if not qs:
+        # fail fast — an empty list otherwise surfaces as an opaque
+        # np.concatenate error inside a Ray worker
+        raise ValueError("qs must be non-empty")
     bad = [q for q in qs if not 0.0 <= q <= 1.0]
     if bad:
         raise ValueError(f"quantiles must be in [0, 1], got {bad}")
@@ -290,7 +306,7 @@ def grouped_quantiles(
             return out_schema.empty_table()
         idx = pc.sort_indices(g, sort_keys=[(key, "ascending"), (col, "ascending")])
         g = g.take(idx).combine_chunks()
-        keys = g[key].to_numpy(zero_copy_only=False)
+        keys = _seg_keys(g, key)
         _, starts, runs = _segments(keys)
         picks, q_col = [], []
         for q in qs:

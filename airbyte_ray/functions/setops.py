@@ -69,11 +69,12 @@ def set_compare(
     r = right.map_batches(prep(1), batch_format="pyarrow")
 
     def judge(g: pa.Table) -> pa.Table:
+        from .agg import _segments
+
         idx = pc.sort_indices(g, sort_keys=[("__k", "ascending")])
         g = g.take(idx).combine_chunks()
         k = g["__k"].to_numpy(zero_copy_only=False)
-        new = np.concatenate([[True], k[1:] != k[:-1]])
-        starts = np.flatnonzero(new)
+        _, starts, _ = _segments(k)
         side = g["__side"].to_numpy(zero_copy_only=False)
         in_l = np.minimum.reduceat(side, starts) == 0
         in_r = np.maximum.reduceat(side, starts) == 1

@@ -190,3 +190,24 @@ def test_grouped_quantiles_matches_duckdb():
     exp = duckdb.sql(f"SELECT * FROM ({union}) ORDER BY user_id, q").df()
     assert got["user_id"].tolist() == exp["user_id"].tolist()
     assert got["value"].tolist() == exp["value"].tolist()
+
+
+def test_null_and_large_int_keys_segment_correctly():
+    """NULL keys form ONE group (not one per row) and int64 keys above
+    2^53 stay distinct — the float64-NaN segmentation bug (review
+    finding)."""
+    from airbyte_ray.functions.agg import grouped_quantiles, running_agg
+
+    big = 2**53
+    t = pa.table({
+        "k": pa.array([None, None, None, big, big + 1], pa.int64()),
+        "o": [1, 2, 3, 1, 1],
+        "v": pa.array([5, 7, 9, 10, 20], pa.int64()),
+    })
+    gq = grouped_quantiles(ray.data.from_arrow(t), "k", "v", [0.5]).to_pandas()
+    assert len(gq) == 3                                  # NULL, big, big+1
+    assert gq[gq.k.isna()]["value"].iloc[0] == 7          # one NULL group, p50
+    assert sorted(gq[~gq.k.isna()]["value"]) == [10, 20]  # 2^53 keys distinct
+    ra = (running_agg(ray.data.from_arrow(t), "k", "o", "v", out="rs")
+          .to_pandas().sort_values(["o"]))
+    assert ra[ra.k.isna()]["rs"].tolist() == [5, 12, 21]  # one NULL segment
