@@ -1492,6 +1492,29 @@ def q_grouped_quantiles(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_window_ranks(sf_dir: str) -> ray.data.Dataset:
+    """row_number / dense_rank / ntile(4) per user over the cents order —
+    the full SQL ranking family from one segmented pass."""
+    from .functions.agg import window_ranks
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = pc.floor(pc.multiply(t["value"], 100.0)).cast(pa.int64())
+        return pa.table({
+            "user_id": t["user_id"],
+            "event_id": t["event_id"],
+            "cents": c,
+        })
+
+    out = window_ranks(
+        _events(sf_dir, columns=["user_id", "event_id", "value"])
+        .map_batches(cents, batch_format="pyarrow"),
+        key="user_id", val_col="cents", tie_col="event_id", ntile=4,
+    )
+    return out.map_batches(
+        lambda t: t.drop_columns(["cents"]), batch_format="pyarrow"
+    )
+
+
 QUERIES = {
     "cdc_replay_upsert": q_cdc_replay_upsert,
     "cdc_lww_latest": q_cdc_lww_latest,
@@ -1561,6 +1584,7 @@ QUERIES = {
     "window_rolling": q_window_rolling,
     "set_ops": q_set_ops,
     "grouped_quantiles": q_grouped_quantiles,
+    "window_ranks": q_window_ranks,
 }
 
 _CANON = "md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
@@ -1698,6 +1722,16 @@ ORACLE_SQL = {
         SELECT user_id, CAST(0.9 AS DOUBLE),
                quantile_disc(CAST(floor(value*100) AS BIGINT), 0.9)
         FROM events GROUP BY user_id
+    """,
+    "window_ranks": """
+        SELECT user_id, event_id,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY CAST(floor(value*100) AS BIGINT), event_id) AS rn,
+               dense_rank() OVER (PARTITION BY user_id
+                 ORDER BY CAST(floor(value*100) AS BIGINT)) AS dr,
+               ntile(4) OVER (PARTITION BY user_id
+                 ORDER BY CAST(floor(value*100) AS BIGINT), event_id) AS nt
+        FROM events
     """,
     "join_asof": """
         SELECT e.user_id, e.event_id, v.event_id AS view_event_id

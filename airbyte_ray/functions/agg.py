@@ -272,6 +272,53 @@ def rollup_agg(
     )
 
 
+def window_ranks(
+    ds: ray.data.Dataset,
+    key: str,
+    val_col: str,
+    tie_col: str,
+    ntile: int = 4,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """The SQL ranking-window family in ONE segmented pass per partition:
+    ``rn`` = row_number() ordered by (val, tie), ``dr`` = dense_rank()
+    ordered by val alone, ``nt`` = ntile(n) over the (val, tie) order with
+    SQL's remainder rule (the first ``count % n`` buckets get one extra
+    row).  Same one-exchange plan as the other windowed aggregates."""
+
+    def kernel(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__part"])
+        idx = pc.sort_indices(g, sort_keys=[
+            (key, "ascending"), (val_col, "ascending"), (tie_col, "ascending")
+        ])
+        g = g.take(idx).combine_chunks()
+        new, starts, runs = _segments(_seg_keys(g, key))
+        pos = np.arange(g.num_rows) - np.repeat(starts, runs)
+        rn = pos + 1
+        # dense_rank: segment-reset cumsum of value-change flags (null-safe
+        # value equality via the same injective encoding as the keys)
+        vals = _seg_keys(g, val_col)
+        vchange = np.concatenate([[True], vals[1:] != vals[:-1]]) | new
+        cum = np.cumsum(vchange)
+        dr = cum - np.repeat(cum[starts] - 1, runs)
+        # ntile: first (c % n) buckets hold ceil(c/n) rows, the rest floor
+        c = np.repeat(runs, runs)
+        small = c // ntile
+        big = c % ntile
+        cut = big * (small + 1)
+        small_safe = np.maximum(small, 1)  # else-branch guard when c < n
+        nt = np.where(pos < cut, pos // (small + 1), big + (pos - cut) // small_safe) + 1
+        g = g.append_column("rn", pa.array(rn.astype(np.int64)))
+        g = g.append_column("dr", pa.array(dr.astype(np.int64)))
+        return g.append_column("nt", pa.array(nt.astype(np.int64)))
+
+    return (
+        ds.map_batches(_route_by(key, num_partitions), batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(kernel, batch_format="pyarrow")
+    )
+
+
 def grouped_quantiles(
     ds: ray.data.Dataset,
     key: str,

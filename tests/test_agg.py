@@ -211,3 +211,25 @@ def test_null_and_large_int_keys_segment_correctly():
     ra = (running_agg(ray.data.from_arrow(t), "k", "o", "v", out="rs")
           .to_pandas().sort_values(["o"]))
     assert ra[ra.k.isna()]["rs"].tolist() == [5, 12, 21]  # one NULL segment
+
+
+def test_window_ranks_matches_duckdb():
+    """row_number / dense_rank / ntile vs DuckDB, ties present (duplicate
+    values per key exercise dense_rank) and groups smaller than n."""
+    from airbyte_ray.functions.agg import window_ranks
+
+    t = pa.table({"k": ["a"] * 7 + ["b"] * 2,
+                  "v": [5, 5, 3, 3, 3, 9, 1, 2, 2],
+                  "id": list(range(9))})
+    got = (window_ranks(ray.data.from_arrow(t).repartition(3), "k", "v", "id",
+                        ntile=3)
+           .to_pandas().sort_values(["k", "v", "id"]).reset_index(drop=True))
+    exp = duckdb.sql(
+        """SELECT k, v, id,
+                  row_number() OVER (PARTITION BY k ORDER BY v, id) rn,
+                  dense_rank() OVER (PARTITION BY k ORDER BY v) dr,
+                  ntile(3) OVER (PARTITION BY k ORDER BY v, id) nt
+           FROM t ORDER BY k, v, id"""
+    ).df()
+    for c in ("rn", "dr", "nt"):
+        assert got[c].tolist() == exp[c].tolist(), c
