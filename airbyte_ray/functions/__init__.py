@@ -20,3 +20,13 @@ from .sample import rate_sample, stratified_sample, upsample  # noqa: F401
 from .text import repetition_stats, scrub_regex  # noqa: F401
 from .sketch import CountMinSketch, HyperLogLog, approx_distinct, build_cms, heavy_hitters  # noqa: F401
 from .bloom import BloomFilter, bloom_anti_join, build_bloom  # noqa: F401
+from .agg import (  # noqa: F401
+    grouped_quantiles,
+    grouped_topn,
+    pivot_counts,
+    rolling_agg,
+    rollup_agg,
+    running_agg,
+    window_ranks,
+)
+from .setops import except_distinct, intersect_distinct, set_compare  # noqa: F401
