@@ -1103,8 +1103,14 @@ def q_pricing_summary(sf_dir: str) -> ray.data.Dataset:
             [("qty", "sum"), ("base_c", "sum"), ("disc_c4", "sum"),
              ("charge_c6", "sum"), ("qty", "count")]
         )
-        return g.rename_columns(["l_returnflag", "l_linestatus", "p_qty", "p_base",
-                                 "p_disc", "p_charge", "p_n"])
+        # pick by NAME ('<col>_<agg>'), not position — pyarrow has moved
+        # group keys between first and last across versions (see agg.py)
+        return pa.table({
+            "l_returnflag": g["l_returnflag"], "l_linestatus": g["l_linestatus"],
+            "p_qty": g["qty_sum"], "p_base": g["base_c_sum"],
+            "p_disc": g["disc_c4_sum"], "p_charge": g["charge_c6_sum"],
+            "p_n": g["qty_count"],
+        })
 
     partials = li.map_batches(combine, batch_format="pyarrow")
     out = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
@@ -1151,7 +1157,8 @@ def q_revenue_by_nation(sf_dir: str) -> ray.data.Dataset:
         rev = pc.multiply(price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_c))
         g = pa.TableGroupBy(pa.table({"n_name": t["n_name"], "rev": rev}),
                             ["n_name"]).aggregate([("rev", "sum")])
-        return g.rename_columns(["n_name", "p_rev"])
+        # name-based pick — positional rename breaks if pyarrow reorders keys
+        return pa.table({"n_name": g["n_name"], "p_rev": g["rev_sum"]})
 
     return (joined.map_batches(combine, batch_format="pyarrow")
             .groupby("n_name").aggregate(Sum("p_rev", alias_name="revenue_c4")))
@@ -2105,15 +2112,21 @@ ORACLE_SQL = {
     # pricing_summary / revenue_by_nation: money on EXACT int64 grids
     # (cents / basis points) so the aggregate is order-independent and the
     # driver's value hash can never flake on float summation order.
+    # NOTE: every outer sum() is CAST back to BIGINT — DuckDB SUM(BIGINT)
+    # returns HUGEINT, which fetchdf() renders as float64 and breaks the
+    # driver's canonical-CSV value hash against the engine's int64.
     "pricing_summary": """
         SELECT l_returnflag, l_linestatus,
-               sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty,
-               sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_price_c,
-               sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-                   * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS sum_disc_price_c4,
-               sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+               CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_base_price_c,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+                   AS sum_disc_price_c4,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
                    * (100 - CAST(round(l_discount * 100) AS BIGINT))
-                   * (100 + CAST(round(l_tax * 100) AS BIGINT))) AS sum_charge_c6,
+                   * (100 + CAST(round(l_tax * 100) AS BIGINT))) AS BIGINT)
+                   AS sum_charge_c6,
                count(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -2121,8 +2134,9 @@ ORACLE_SQL = {
     """,
     "revenue_by_nation": """
         SELECT n.n_name,
-               sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
-                   * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS revenue_c4
+               CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT)
+                   AS revenue_c4
         FROM lineitem l
         JOIN orders o ON l.l_orderkey = o.o_orderkey
         JOIN customer c ON o.o_custkey = c.c_custkey

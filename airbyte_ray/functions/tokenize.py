@@ -39,7 +39,9 @@ def _word_counts(t: pa.Table, col: str) -> pa.Table:
         return pa.table({"word": pa.array([], pa.string()),
                          "c": pa.array([], pa.int64())})
     g = pa.TableGroupBy(pa.table({"word": flat}), "word").aggregate([([], "count_all")])
-    return g.rename_columns(["word", "c"])
+    # pick by NAME, not positional rename — pyarrow has moved group keys
+    # between first and last across versions (see agg.py pivot idiom)
+    return pa.table({"word": g["word"], "c": g["count_all"]})
 
 
 def build_vocab(

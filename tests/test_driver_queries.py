@@ -1,8 +1,19 @@
 """Mimics the evaluation driver: run every ``queries()`` entry at sf0.01 and
-compare against its ``oracle_sql()`` DuckDB result (row count + schema +
-order-insensitive values)."""
+compare against its ``oracle_sql()`` DuckDB result two ways:
 
+* a diagnostic per-column comparison (``test_query_matches_oracle``) that
+  localizes a failure to a column, and
+* the driver's EXACT canonical comparison (``test_driver_hash_parity``):
+  columns sorted by name, rows sorted, ``to_csv(float_format="%.6g")``,
+  md5 — so a dtype drift (e.g. DuckDB HUGEINT rendering as float64 while
+  the engine emits int64) can never pass pytest while failing the driver.
+
+Each query runs ONCE per session; both tests read the memoized result.
+"""
+
+import hashlib
 import math
+from functools import lru_cache
 
 import duckdb
 import numpy as np
@@ -46,10 +57,26 @@ QUERIES = entrymod.queries()
 ORACLES = entrymod.oracle_sql()
 
 
+@lru_cache(maxsize=None)
+def _run_pair(name: str) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """One engine run + one oracle run per query per session."""
+    got = _to_df(QUERIES[name](SF_DIR))
+    exp = _duck(ORACLES[name])
+    return got, exp
+
+
+def _driver_hash(df: pd.DataFrame) -> str:
+    """The driver's canonical value hash, byte-for-byte."""
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    payload = df.to_csv(index=False, float_format="%.6g")
+    return hashlib.md5(payload.encode()).hexdigest()
+
+
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_query_matches_oracle(name):
-    got = _norm(_to_df(QUERIES[name](SF_DIR)))
-    exp = _norm(_duck(ORACLES[name]))
+    got_raw, exp_raw = _run_pair(name)
+    got, exp = _norm(got_raw), _norm(exp_raw)
     assert list(got.columns) == list(exp.columns), f"{name}: {got.columns} vs {exp.columns}"
     assert len(got) == len(exp), f"{name}: {len(got)} vs {len(exp)} rows"
     for c in got.columns:
@@ -60,6 +87,15 @@ def test_query_matches_oracle(name):
             assert g.astype(object).fillna("∅").tolist() == e.astype(object).fillna("∅").tolist(), (
                 f"{name}.{c}"
             )
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_driver_hash_parity(name):
+    got, exp = _run_pair(name)
+    assert _driver_hash(got) == _driver_hash(exp), (
+        f"{name}: driver canonical hash mismatch (dtypes {dict(got.dtypes)} "
+        f"vs {dict(exp.dtypes)})"
+    )
 
 
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
