@@ -10,7 +10,6 @@ task and is sorted in-task; the shuffle is the one groupby.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
@@ -82,27 +81,41 @@ def session(
     sessions (pytest-equivalence-verified).  Stitch groups hold one row per
     partial session, never raw events, so the per-key group is bounded by
     the session count regardless of event volume."""
-    if bucket_s is None:
-        def sessions(g: pd.DataFrame) -> pd.DataFrame:
-            g = g.sort_values(ts, kind="stable")
-            gaps = g[ts].diff()
-            if pd.api.types.is_timedelta64_dtype(gaps):
-                over = gaps > pd.Timedelta(seconds=gap_s)
-            else:  # integer epoch-us cursor (matches the bucketed plan)
-                over = gaps > gap_s * 1_000_000
-            brk = (gaps.isna()) | over
-            sid = brk.cumsum()
-            out = g.groupby(sid).agg(
-                s_start=(ts, "min"), s_end=(ts, "max"), n=(ts, "size")
-            ).reset_index(drop=True)
-            out.insert(0, key, g[key].iloc[0])
-            out.insert(1, "session_id", np.arange(1, len(out) + 1, dtype=np.int64))
-            return out
-
-        return ds.groupby(key).map_groups(sessions, batch_format="pandas")
-
     gap_us = gap_s * 1_000_000
-    ts_type = None
+    sch = ds.schema()
+    ts_type = sch.types[sch.names.index(ts)]
+
+    def from_us(vals: np.ndarray) -> pa.Array:
+        # The int64 values are epoch-MICROseconds.  Casting them straight
+        # to timestamp[ns]/[ms]/[s] would reinterpret in the wrong unit
+        # (advice finding) — so go via timestamp[us] first, then cast to
+        # the original column type (unit conversion, not reinterpret).
+        a = pa.array(vals)
+        if pa.types.is_timestamp(ts_type):
+            a = a.cast(pa.timestamp("us", tz=ts_type.tz))
+        return a.cast(ts_type)
+
+    if bucket_s is None:
+        # single-pass plan, same segmented-numpy idiom as the bucketed
+        # partials (sort → gap-break → cumsum segments) — no pandas
+        def sessions(g: pa.Table) -> pa.Table:
+            g = g.take(pc.sort_indices(g, sort_keys=[(ts, "ascending")]))
+            us = _epoch_us(g[ts])
+            brk = np.r_[True, np.diff(us) > gap_us]
+            starts = np.flatnonzero(brk)
+            ends = np.r_[starts[1:], len(us)] - 1
+            k = len(starts)
+            return pa.table({
+                key: g[key].slice(0, 1).combine_chunks().take(
+                    pa.array(np.zeros(k, np.int64))
+                ),
+                "session_id": pa.array(np.arange(1, k + 1, dtype=np.int64)),
+                "s_start": from_us(us[starts]),
+                "s_end": from_us(us[ends]),
+                "n": pa.array((ends - starts + 1).astype(np.int64)),
+            })
+
+        return ds.groupby(key).map_groups(sessions, batch_format="pyarrow")
 
     def bucketize(t: pa.Table) -> pa.Table:
         b = (_epoch_us(t[ts]) // (bucket_s * 1_000_000)).astype(np.int64)
@@ -112,7 +125,6 @@ def session(
         g = g.take(pc.sort_indices(g, sort_keys=[(ts, "ascending")]))
         us = _epoch_us(g[ts])
         brk = np.r_[True, np.diff(us) > gap_us]
-        sid = np.cumsum(brk) - 1
         starts = np.flatnonzero(brk)
         ends = np.r_[starts[1:], len(us)] - 1
         n = (ends - starts + 1).astype(np.int64)
@@ -133,23 +145,10 @@ def session(
         e0 = g["s_end_us"].to_numpy()
         n0 = g["n"].to_numpy()
         brk = np.r_[True, (s0[1:] - e0[:-1]) > gap_us]
-        sid = np.cumsum(brk) - 1
         starts = np.flatnonzero(brk)
         stops = np.r_[starts[1:], len(s0)]
         cs = np.r_[0, np.cumsum(n0)]
         k = len(starts)
-        tt = pa.timestamp("us", tz="UTC") if ts_type is None else ts_type
-
-        def from_us(vals: np.ndarray) -> pa.Array:
-            # The int64 values are epoch-MICROseconds.  Casting them straight
-            # to timestamp[ns]/[ms]/[s] would reinterpret in the wrong unit
-            # (advice finding) — so go via timestamp[us] first, then cast to
-            # the original column type (unit conversion, not reinterpret).
-            a = pa.array(vals)
-            if pa.types.is_timestamp(tt):
-                a = a.cast(pa.timestamp("us", tz=tt.tz))
-            return a.cast(tt)
-
         return pa.table(
             {
                 key: g[key].slice(0, 1).combine_chunks().take(
@@ -162,8 +161,6 @@ def session(
             }
         )
 
-    sch = ds.schema()
-    ts_type = sch.types[sch.names.index(ts)]
     return (
         ds.map_batches(bucketize, batch_format="pyarrow")
         .groupby([key, "__bucket"])
