@@ -1246,6 +1246,62 @@ def q_tokenize_vocab(sf_dir: str) -> ray.data.Dataset:
     return enc.map_batches(explode, batch_format="pyarrow")
 
 
+def _plant_bpe(t: pa.Table) -> pa.Table:
+    """Planted BPE corpus: every doc's text is the pool ``aaaa aab bab bb``
+    repeated ``1 + doc_id % 3`` times — all four pool words get IDENTICAL
+    total counts, so the merge order depends only on within-pool pair
+    structure and is derivable by hand (see q_tokenize_bpe)."""
+    d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    opts = pa.array([" ".join(["aaaa aab bab bb"] * r) for r in (1, 2, 3)])
+    return pa.table({"doc_id": pa.array(d), "text": opts.take(pa.array(d % 3))})
+
+
+def q_tokenize_bpe(sf_dir: str) -> ray.data.Dataset:
+    """Real subword (BPE) tokenization over a planted corpus whose merge
+    table is derived BY HAND from the published algorithm — the oracle's
+    literal encodings are that derivation, not engine output.
+
+    Derivation (equal count N per pool word; pairs counted at every
+    adjacent position; ties → lexicographically smallest pair):
+
+    * start: aaaa=[a,a,a,a] aab=[a,a,b] bab=[b,a,b] bb=[b,b]
+      pair counts/N: (a,a)=4 (a,b)=2 (b,a)=1 (b,b)=1 → merge1 (a,a)→aa
+    * now aaaa=[aa,aa] aab=[aa,b]; counts/N: all five pairs tie at 1 →
+      lexicographic min (a,b) → merge2 (a,b)→ab  (bab=[b,ab])
+    * remaining ties at 1 → min (aa,aa) → merge3 → aaaa=[aaaa]
+    * stop at num_merges=3.  Final symbols {a,b,aa,ab,aaaa} sorted
+      lexicographically, 1-based: a=1 aa=2 aaaa=3 ab=4 b=5.
+    * greedy encode (lowest rank first): aaaa→[3], aab→[2,5],
+      bab→[5,4], bb→[5,5] → one pool repetition = [3,2,5,5,4,5,5].
+
+    The query asserts training reproduced exactly that merge table, then
+    explodes the encode to (doc_id, pos, token) scalar rows."""
+    from .functions.bpe import encode_bpe, train_bpe_corpus
+
+    corpus = _docs(sf_dir, columns=["doc_id"]).map_batches(
+        _plant_bpe, batch_format="pyarrow"
+    )
+    vocab = train_bpe_corpus(corpus, col="text", num_merges=3)
+    assert vocab.merges == [("a", "a"), ("a", "b"), ("aa", "aa")], vocab.merges
+    assert vocab.sym2id == {"a": 1, "aa": 2, "aaaa": 3, "ab": 4, "b": 5}
+    enc = encode_bpe(corpus, vocab, col="text", id_col="doc_id")
+
+    def explode(t: pa.Table) -> pa.Table:
+        from .stages.nested import ragged_positions
+
+        toks = t["tokens"].combine_chunks()
+        n = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        doc = np.repeat(t["doc_id"].to_numpy(zero_copy_only=False), n)
+        pos = ragged_positions(n)
+        return pa.table({
+            "doc_id": pa.array(doc, pa.int64()),
+            "pos": pa.array(pos + 1),  # 1-based, matching generate_series
+            "token": toks.flatten(),
+        })
+
+    return enc.map_batches(explode, batch_format="pyarrow")
+
+
 def q_sample_per_group(sf_dir: str) -> ray.data.Dataset:
     """Grouped reservoir: exactly 7 docs per source, deterministic in
     md5(seed:doc_id) priorities; the reified rank checks the permutation."""
@@ -1579,6 +1635,7 @@ QUERIES = {
     "revenue_by_nation": q_revenue_by_nation,
     "approx_distinct": q_approx_distinct,
     "tokenize_vocab": q_tokenize_vocab,
+    "tokenize_bpe": q_tokenize_bpe,
     "sample_per_group": q_sample_per_group,
     "dedup_semantic": q_dedup_semantic,
     "quality_model_score": q_quality_model_score,
@@ -2158,6 +2215,20 @@ ORACLE_SQL = {
               FROM u GROUP BY word ORDER BY count(*) DESC, word LIMIT 50)
         SELECT u.doc_id, u.pos, COALESCE(v.id, 0) AS token
         FROM u LEFT JOIN v USING (word)
+    """,
+    # tokenize_bpe: the literal per-repetition token row [3,2,5,5,4,5,5]
+    # is the HAND derivation in q_tokenize_bpe's docstring (merge table
+    # (a,a),(a,b),(aa,aa); ids = lexicographic rank of final symbols) —
+    # independent of the engine, which must reproduce it.
+    "tokenize_bpe": """
+        WITH t AS (SELECT * FROM (VALUES (0, 3), (1, 2), (2, 5), (3, 5),
+                                         (4, 4), (5, 5), (6, 5)) v(p, tok)),
+        d AS (SELECT doc_id, 1 + doc_id % 3 AS r FROM documents),
+        reps AS (SELECT doc_id, i AS rep FROM d,
+                 LATERAL (SELECT unnest(generate_series(0, r - 1)) AS i) s)
+        SELECT reps.doc_id, CAST(reps.rep * 7 + t.p + 1 AS BIGINT) AS pos,
+               CAST(t.tok AS INTEGER) AS token
+        FROM reps, t
     """,
     "sample_per_group": """
         SELECT doc_id, source, rnk FROM (

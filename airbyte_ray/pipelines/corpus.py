@@ -89,7 +89,11 @@ class CorpusConfig:
     scrub: bool = True
     dedup: bool = True
     seed: int = 0
-    tokenizer: "callable | None" = None         # batch fn adding `tokens`
+    #: batch fn adding `tokens`, or the string "bpe" to train a real
+    #: subword vocab (functions/bpe.py) on the post-mix corpus and encode
+    #: with it (one extra distributed counting pass before the encode)
+    tokenizer: "callable | str | None" = None
+    bpe_merges: int = 1000                      # merges when tokenizer="bpe"
     #: False = fully streaming: stage boundaries are NOT materialized and
     #: the returned metrics contain only `sequences_out` — the shape for a
     #: 100 TB run, where per-stage exact counts would force materialization
@@ -173,7 +177,16 @@ def build_corpus(
         )
 
     # 5. tokenize
-    tok = cfg.tokenizer or hash_tokenize("clean_text", vocab=cfg.vocab)
+    if cfg.tokenizer == "bpe":
+        from ..functions.bpe import bpe_tokenize_stage, train_bpe_corpus
+
+        bpe_vocab = train_bpe_corpus(
+            mat, col="clean_text", num_merges=cfg.bpe_merges
+        )
+        metrics["bpe_merges_learned"] = len(bpe_vocab.merges)
+        tok = bpe_tokenize_stage(bpe_vocab, col="clean_text")
+    else:
+        tok = cfg.tokenizer or hash_tokenize("clean_text", vocab=cfg.vocab)
     toked = mat.map_batches(tok, batch_format="pyarrow")
     if want:
         toked = toked.materialize()
