@@ -6,15 +6,17 @@ actor-pool ``map_batches`` stages.
 
 Decode status by format:
 
-* **REAL, no external libs** — PPM "P6" and uncompressed 24-bit BMP
-  images (:func:`decode_ppm` / :func:`decode_bmp` — pure byte parsing +
-  numpy) and PCM WAV audio (:class:`WavDecode` — stdlib ``wave``), with
-  seeded encoders (:func:`encode_ppm` / :func:`encode_bmp` /
+* **REAL, no external libs** — PPM "P6", uncompressed 24-bit BMP, and
+  8-bit truecolor PNG images (:func:`decode_ppm` / :func:`decode_bmp` —
+  pure byte parsing + numpy; :func:`decode_png` — stdlib ``zlib`` inflate
+  + full scanline-filter reconstruction with CRC checks) and PCM WAV
+  audio (:class:`WavDecode` — stdlib ``wave``), with seeded encoders
+  (:func:`encode_ppm` / :func:`encode_bmp` / :func:`encode_png` /
   :func:`encode_wav`) for round-trip tests.  :class:`MediaDecode`
   dispatches on the mime column and emits ragged ``pixels`` +
   ``img_w``/``img_h``; :class:`RaggedResize` is a fully vectorized
   nearest-neighbour resize over ragged inputs.
-* **STUBBED** — JPEG/PNG/video (libraries absent in this container):
+* **STUBBED** — JPEG/video (libraries absent in this container):
   :class:`ImageDecode` raises ``NotImplementedError`` (strict mode) or
   produces a deterministic fake from the payload digest (test mode); the
   Ray-side plumbing (schema, batch sizing, actor signature, output
@@ -65,20 +67,26 @@ def gen_media(n: int, seed: int = 42, payload_bytes: int = 4096) -> pa.Table:
 
 
 def gen_real_media(n: int, seed: int = 42) -> pa.Table:
-    """Deterministic REAL media table: rows cycle PPM / BMP images (random
-    sizes, seeded noise pixels) and PCM WAV clips (seeded sine + noise) —
-    every payload decodes with the stdlib kernels above."""
+    """Deterministic REAL media table: rows cycle PPM / BMP / PNG images
+    (random sizes, seeded noise pixels) and PCM WAV clips (seeded sine +
+    noise) — every payload decodes with the stdlib kernels above."""
     rng = np.random.default_rng(seed)
     ids, payloads, mimes, ws, hs, durs = [], [], [], [], [], []
+    img_enc = [
+        (encode_ppm, "image/x-portable-pixmap"),
+        (encode_bmp, "image/bmp"),
+        (encode_png, "image/png"),
+    ]
     for i in range(n):
         ids.append(f"m-{i:06d}")
-        kind = i % 3
-        if kind < 2:
+        kind = i % 4
+        if kind < 3:
             w = int(rng.integers(4, 40))
             h = int(rng.integers(4, 40))
             px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
-            payloads.append(encode_ppm(px) if kind == 0 else encode_bmp(px))
-            mimes.append("image/x-portable-pixmap" if kind == 0 else "image/bmp")
+            enc, mime = img_enc[kind]
+            payloads.append(enc(px))
+            mimes.append(mime)
             ws.append(w)
             hs.append(h)
             durs.append(None)
@@ -259,6 +267,119 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return px[::-1] if flip else px
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+
+def encode_png(px: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 → 8-bit truecolor PNG (stdlib ``zlib``/``struct``).
+    Rows cycle filter types None/Sub/Up so a decoder must genuinely
+    unfilter, not just inflate — round-trip tests exercise those paths."""
+    import struct
+    import zlib
+
+    h, w, _ = px.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = bytearray()
+    prev = np.zeros(w * 3, np.uint8)
+    for r in range(h):
+        row = np.ascontiguousarray(px[r].reshape(-1), dtype=np.uint8)
+        f = r % 3
+        if f == 0:  # None
+            filt = row
+        elif f == 1:  # Sub: delta vs the pixel 3 bytes left
+            d = row.reshape(w, 3).astype(np.int16)
+            d = d - np.vstack([np.zeros((1, 3), np.int16), d[:-1]])
+            filt = (d % 256).astype(np.uint8).reshape(-1)
+        else:  # Up: delta vs the row above
+            filt = ((row.astype(np.int16) - prev.astype(np.int16)) % 256).astype(np.uint8)
+        raw.append(f)
+        raw.extend(filt.tobytes())
+        prev = row
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+            + _png_chunk(b"IEND", b""))
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """8-bit truecolor (color type 2, non-interlaced) PNG → (h, w, 3)
+    uint8 — stdlib ``zlib`` inflate + full filter reconstruction.  All five
+    scanline filters decode: None/Sub/Up are vectorized numpy (Sub is a
+    modular ``cumsum`` with pixel stride), Average/Paeth fall back to a
+    per-byte loop (spec-complete; rare in practice — our encoder never
+    emits them).  CRCs are verified; other color types / bit depths /
+    interlacing raise loudly rather than mis-decode."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    i, n = 8, len(payload)
+    idat = bytearray()
+    w = h = None
+    while i + 12 <= n:
+        ln, typ = struct.unpack_from(">I4s", payload, i)
+        data = payload[i + 8: i + 8 + ln]
+        crc = struct.unpack_from(">I", payload, i + 8 + ln)[0]
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {typ!r} chunk")
+        if typ == b"IHDR":
+            w, h, depth, ctype, comp, filt, inter = struct.unpack(">IIBBBBB", data)
+            if (depth, ctype, comp, filt, inter) != (8, 2, 0, 0, 0):
+                raise ValueError(
+                    f"unsupported PNG (depth={depth}, color_type={ctype}, "
+                    f"interlace={inter}) — stdlib baseline decodes 8-bit "
+                    "truecolor non-interlaced only")
+        elif typ == b"IDAT":
+            idat.extend(data)
+        elif typ == b"IEND":
+            break
+        i += 12 + ln
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    stride = w * 3
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), np.uint8)
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG data length mismatch")
+    raw = raw.reshape(h, stride + 1)
+    filters, rows = raw[:, 0], raw[:, 1:]
+    out = np.zeros((h, stride), np.uint8)
+    prev = np.zeros(stride, np.uint8)
+    for r in range(h):
+        f, line = int(filters[r]), rows[r]
+        if f == 0:
+            rec = line.copy()
+        elif f == 1:  # Sub: recon[x] = filt[x] + recon[x-3] ⇒ mod-256 cumsum
+            rec = np.cumsum(line.reshape(w, 3), axis=0, dtype=np.uint8).reshape(-1)
+        elif f == 2:  # Up: uint8 add wraps mod 256 by itself
+            rec = line + prev
+        elif f in (3, 4):
+            rec = np.empty(stride, np.uint8)
+            for x in range(stride):
+                a = int(rec[x - 3]) if x >= 3 else 0
+                b = int(prev[x])
+                if f == 3:  # Average
+                    pred = (a + b) >> 1
+                else:  # Paeth
+                    c = int(prev[x - 3]) if x >= 3 else 0
+                    p = a + b - c
+                    da, db, dc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (da <= db and da <= dc) else (b if db <= dc else c)
+                rec[x] = (int(line[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"invalid PNG filter type {f}")
+        out[r] = rec
+        prev = rec
+    return out.reshape(h, w, 3)
+
+
 def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
     """int16 mono samples → PCM WAV bytes (stdlib ``wave``)."""
     import io
@@ -283,6 +404,7 @@ class MediaDecode:
     DECODERS = {
         "image/x-portable-pixmap": decode_ppm,
         "image/bmp": decode_bmp,
+        "image/png": decode_png,
     }
 
     def __init__(self, payload_col: str = "payload", mime_col: str = "mime",

@@ -98,6 +98,70 @@ def test_bmp_roundtrip_incl_padding():
         assert np.array_equal(decode_bmp(encode_bmp(px)), px)
 
 
+def test_png_roundtrip_filters_and_crc():
+    import numpy as np
+    import pytest as _pytest
+
+    from airbyte_ray.functions.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(5)
+    # ≥3 rows exercises all three encoder filter types (None/Sub/Up)
+    for w, h in [(1, 1), (5, 3), (23, 17), (48, 64)]:
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_png(encode_png(px)), px)
+    # gradient: Sub/Up filters produce non-trivial deltas
+    g = (np.arange(40 * 60 * 3, dtype=np.uint32).reshape(40, 60, 3) % 256).astype(np.uint8)
+    assert np.array_equal(decode_png(encode_png(g)), g)
+    # Average + Paeth filters (the per-byte fallback path): hand-build a
+    # 2-row image whose second scanline uses filter 3 then 4
+    import struct
+    import zlib
+
+    from airbyte_ray.functions.multimodal import _png_chunk, _PNG_SIG
+
+    base = rng.integers(0, 256, (3, 4, 3), dtype=np.uint8)
+
+    def filt_avg_paeth(px):
+        h, w, _ = px.shape
+        raw = bytearray()
+        prev = np.zeros(w * 3, int)
+        for r in range(h):
+            row = px[r].reshape(-1).astype(int)
+            f = [0, 3, 4][r % 3]
+            raw.append(f)
+            rec_prev = prev
+            for x in range(w * 3):
+                a = int(row[x - 3]) if x >= 3 else 0
+                b = int(rec_prev[x])
+                if f == 0:
+                    pred = 0
+                elif f == 3:
+                    pred = (a + b) >> 1
+                else:
+                    c = int(rec_prev[x - 3]) if x >= 3 else 0
+                    p = a + b - c
+                    da, db, dc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (da <= db and da <= dc) else (b if db <= dc else c)
+                raw.append((row[x] - pred) & 0xFF)
+            prev = row
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+                + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+                + _png_chunk(b"IEND", b""))
+
+    assert np.array_equal(decode_png(filt_avg_paeth(base)), base)
+    # corrupted CRC must raise, not mis-decode
+    bad = bytearray(encode_png(base))
+    bad[30] ^= 0xFF
+    with _pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(bad))
+    # unsupported color type raises loudly
+    ihdr_rgba = struct.pack(">IIBBBBB", 2, 2, 8, 6, 0, 0, 0)
+    rgba = _PNG_SIG + _png_chunk(b"IHDR", ihdr_rgba) + _png_chunk(b"IEND", b"")
+    with _pytest.raises(ValueError, match="unsupported"):
+        decode_png(rgba)
+
+
 def test_wav_roundtrip_and_features():
     import numpy as np
     import pyarrow as pa
@@ -171,7 +235,7 @@ def test_media_decode_strict_raises_on_unknown_mime():
 
     from airbyte_ray.functions.multimodal import MediaDecode
 
-    t = pa.table({"payload": pa.array([b"xx"], pa.binary()), "mime": pa.array(["image/png"])})
+    t = pa.table({"payload": pa.array([b"xx"], pa.binary()), "mime": pa.array(["image/jpeg"])})
     with _pytest.raises(NotImplementedError):
         MediaDecode()(t)
     out = MediaDecode(strict=False)(t)
