@@ -1374,26 +1374,27 @@ def q_window_running(sf_dir: str) -> ray.data.Dataset:
 def q_media_decode(sf_dir: str) -> ray.data.Dataset:
     """Multimodal decode, oracle-checked end-to-end: each doc gets a REAL
     planted image whose dims and fill byte are pure functions of doc_id —
-    even docs a binary PPM, odd docs a 24-bit BMP (both REAL stdlib
-    codecs, ``multimodal.py``).  The actor-pool ``MediaDecode`` stage
-    decodes payload bytes → ragged pixels; the checksum ``px_sum`` (sum of
-    every decoded RGB byte) is recomputed by the oracle as
-    ``w*h*3*fill`` — so the oracle verifies decoded CONTENT, not just
-    header parsing.  The plant/encode loop is fixture generation, not the
-    operator; decode is inherently per-payload (documented)."""
-    from .functions.multimodal import MediaDecode, encode_bmp, encode_ppm
+    doc_id%3 cycles binary PPM / 24-bit BMP / zlib-compressed PNG (all
+    REAL stdlib codecs, ``multimodal.py``; the PNG path exercises inflate
+    + scanline unfiltering, not just header parsing).  The actor-pool
+    ``MediaDecode`` stage decodes payload bytes → ragged pixels; the
+    checksum ``px_sum`` (sum of every decoded RGB byte) is recomputed by
+    the oracle as ``w*h*3*fill`` — so the oracle verifies decoded CONTENT
+    for every format.  The plant/encode loop is fixture generation, not
+    the operator; decode is inherently per-payload (documented)."""
+    from .functions.multimodal import MediaDecode, encode_bmp, encode_png, encode_ppm
 
     def plant(t: pa.Table) -> pa.Table:
+        encs = [(encode_ppm, "image/x-portable-pixmap"),
+                (encode_bmp, "image/bmp"),
+                (encode_png, "image/png")]
         payloads, mimes = [], []
         for d in t["doc_id"].to_pylist():
             w, h, fill = 4 + d % 5, 3 + d % 4, d % 251
             px = np.full((h, w, 3), fill, np.uint8)
-            if d % 2 == 0:
-                payloads.append(encode_ppm(px))
-                mimes.append("image/x-portable-pixmap")
-            else:
-                payloads.append(encode_bmp(px))
-                mimes.append("image/bmp")
+            enc, mime = encs[d % 3]
+            payloads.append(enc(px))
+            mimes.append(mime)
         return pa.table({
             "doc_id": t["doc_id"],
             "mime": pa.array(mimes),
@@ -1727,9 +1728,12 @@ ORACLE_SQL = {
         ) b ON e.value >= b.lo AND e.value < b.hi
     """,
     "window_running": """
+        -- COALESCE pins the engine's documented NULL contract (running_agg:
+        -- NULL values contribute 0; an all-null prefix sums to 0, where SQL
+        -- would return NULL) so a fixture regenerated WITH nulls stays green.
         SELECT user_id, event_id,
-               CAST(SUM(CAST(floor(value*100) AS BIGINT))
-                 OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT) AS run_cents,
+               COALESCE(CAST(SUM(CAST(floor(value*100) AS BIGINT))
+                 OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT), 0) AS run_cents,
                lag(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_event_id
         FROM events
     """,
@@ -1761,10 +1765,12 @@ ORACLE_SQL = {
         ON e.user_id = d.doc_id
     """,
     "window_rolling": """
+        -- COALESCE pins rolling_agg's documented NULL contract (all-null
+        -- window sums to 0, not NULL) — see window_running's note.
         SELECT user_id, event_id,
-               CAST(SUM(CAST(floor(value*100) AS BIGINT))
+               COALESCE(CAST(SUM(CAST(floor(value*100) AS BIGINT))
                  OVER (PARTITION BY user_id ORDER BY event_id
-                       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll_cents
+                       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT), 0) AS roll_cents
         FROM events
     """,
     "set_ops": """
@@ -1779,13 +1785,16 @@ ORACLE_SQL = {
           SELECT user_id FROM events WHERE event_type = 'error')
     """,
     "grouped_quantiles": """
+        -- WHERE value IS NOT NULL pins the engine's documented contract
+        -- (grouped_quantiles omits keys whose values are ALL null; SQL would
+        -- emit a NULL-quantile row) so a null-bearing fixture stays green.
         SELECT user_id, CAST(0.5 AS DOUBLE) AS q,
                quantile_disc(CAST(floor(value*100) AS BIGINT), 0.5) AS value
-        FROM events GROUP BY user_id
+        FROM events WHERE value IS NOT NULL GROUP BY user_id
         UNION ALL
         SELECT user_id, CAST(0.9 AS DOUBLE),
                quantile_disc(CAST(floor(value*100) AS BIGINT), 0.9)
-        FROM events GROUP BY user_id
+        FROM events WHERE value IS NOT NULL GROUP BY user_id
     """,
     "window_ranks": """
         SELECT user_id, event_id,

@@ -35,7 +35,13 @@ def _route_by(key: str, num_partitions: int):
 
 
 def _segments(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Run-length segmentation of a sorted key array → (new, starts, runs)."""
+    """Run-length segmentation of a sorted key array → (new, starts, runs).
+    Length-0 input yields three empty arrays (the naive ``[[True]] +
+    keys[1:] != keys[:-1]`` prepend would emit one phantom segment), so
+    callers' vectorized paths stay type-stable on empty groups instead of
+    needing hardcoded-dtype special cases (review finding)."""
+    if len(keys) == 0:
+        return np.zeros(0, bool), np.zeros(0, np.int64), np.zeros(0, np.int64)
     new = np.concatenate([[True], keys[1:] != keys[:-1]])
     starts = np.flatnonzero(new)
     runs = np.diff(np.concatenate([starts, [len(keys)]]))
@@ -126,8 +132,6 @@ def running_agg(
 
     def window(g: pa.Table) -> pa.Table:
         g = g.drop_columns(["__part"])
-        if g.num_rows == 0:
-            return g.append_column(out, pa.array([], pa.int64()))
         idx = pc.sort_indices(g, sort_keys=[(key, "ascending"), (order_col, "ascending")])
         g = g.take(idx).combine_chunks()
         keys = _seg_keys(g, key)
@@ -141,7 +145,8 @@ def running_agg(
             o = g[order_col].to_numpy(zero_copy_only=False)
             prev = np.empty_like(o)
             prev[1:] = o[:-1]
-            prev[0] = o[0]
+            if len(o):
+                prev[0] = o[0]  # masked below; any value works
             g = g.append_column(
                 lag_out, pa.array(prev, mask=new)  # null at each segment head
             )

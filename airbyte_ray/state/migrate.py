@@ -156,9 +156,12 @@ def import_state(
 def export_legacy(state_dir: str) -> dict:
     """Bare legacy mapping {stream: blob} from the per-stream store —
     the ``_get_legacy_state`` analog (create_state_message's legacy
-    ``data`` field).  Namespaced streams (namespace recorded INSIDE the
-    blob — the filename is always ``{name}.json`` so the engine loads it)
-    export as ``namespace.stream``."""
+    ``data`` field).  Keys are BARE stream names, matching the reference:
+    its legacy mapping is keyed by stream name only (namespace rides on
+    the stream instance, not the key), and ``import_state`` reads legacy
+    keys the same way — so export→import round-trips.  The legacy format
+    is namespace-lossy by spec; one state_dir holds one namespace's
+    streams (enforced at import), so no key can collide."""
     out: dict[str, dict] = {}
     if not os.path.isdir(state_dir):
         return out
@@ -170,7 +173,5 @@ def export_legacy(state_dir: str) -> dict:
         blob = dict(st.get("migrated_blob") or {})
         if st.get("cursor") is not None:
             blob.setdefault("cursor", st["cursor"])
-        name = fn[: -len(".json")]
-        ns = st.get("namespace")
-        out[f"{ns}.{name}" if ns else name] = blob
+        out[fn[: -len(".json")]] = blob
     return out

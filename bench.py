@@ -28,9 +28,14 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # parse the scale factor from the BASENAME only ('sf0.1' → '0.1'): an 'sf'
 # anywhere earlier in the path made float(SF) blow up AFTER the whole
-# benchmark had run (review finding)
+# benchmark had run (review finding).  An unparseable basename fails HERE,
+# loudly — a silent default would report throughput against the wrong row
+# count (review finding).
 _base = os.path.basename(SF_DIR.rstrip("/"))
-SF = _base[2:] if _base.startswith("sf") else "0.1"
+if not _base.startswith("sf"):
+    raise SystemExit(f"GRAFT_SF_DIR basename must look like 'sf0.1', got {_base!r}")
+SF = _base[2:]
+float(SF)  # validate up front, not after the whole benchmark has run
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 

@@ -114,11 +114,15 @@ def test_export_legacy_roundtrip(tmp_path):
     state_dir = str(tmp_path / "st")
     import_state(state_dir, STREAM)
     out = export_legacy(state_dir)
+    # BARE stream names, matching the reference's legacy mapping (namespace
+    # rides on the stream instance, not the key — review finding: a
+    # 'ns.stream' key would re-import as a literal stream name)
     assert out["users"]["cursor"] == 100
-    assert out["pub.orders"]["cursor"] == "2024-01-01"
-    # a re-import of the export is a fixpoint
+    assert out["orders"]["cursor"] == "2024-01-01"
+    # a re-import of the export is a fixpoint for every stream
     shared, per = normalize_state(out)
     assert per[("users", None)]["cursor"] == 100
+    assert per[("orders", None)]["cursor"] == "2024-01-01"
 
 
 def test_cli_import_state_verb(tmp_path, capsys):
