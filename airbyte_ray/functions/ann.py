@@ -296,6 +296,31 @@ def build_ivf_index(
     return c
 
 
+def ivf_probed_files(
+    index_dir: str, queries: np.ndarray, nprobe: int = 4
+) -> tuple[list[str], np.ndarray, dict]:
+    """The exact parquet files a query batch will scan: each query's
+    ``nprobe`` nearest cells from the stored centroids, mapped to their
+    ``cell=N`` partition files.  Shared by :func:`ivf_topk_indexed` (the
+    read plan) and the benchmark's scan-volume counter, so the reported
+    scanned-bytes figure is the same file list the query actually reads."""
+    import glob
+    import json
+    import os
+
+    c = np.load(os.path.join(index_dir, "centroids.npy"))
+    with open(os.path.join(index_dir, "ivf_meta.json")) as f:
+        meta = json.load(f)
+    q = _normalize(np.asarray(queries, np.float32))
+    order = np.argsort(-(q @ c.T), axis=1, kind="stable")[:, : min(nprobe, len(c))]
+    probe = sorted(set(order.ravel().tolist()))
+    files = [
+        f for p in probe
+        for f in sorted(glob.glob(os.path.join(index_dir, f"cell={p}", "*.parquet")))
+    ]
+    return files, q, meta
+
+
 def ivf_topk_indexed(
     index_dir: str,
     queries: np.ndarray,
@@ -307,21 +332,7 @@ def ivf_topk_indexed(
     ``read_parquet`` ONLY those ``cell=N`` partitions — unprobed cells are
     never scanned (the docstring contract at :func:`ivf_topk`, now a real
     flow).  Exact scoring on the read rows via the brute-force combiner."""
-    import json
-    import os
-
-    c = np.load(os.path.join(index_dir, "centroids.npy"))
-    with open(os.path.join(index_dir, "ivf_meta.json")) as f:
-        meta = json.load(f)
-    q = _normalize(np.asarray(queries, np.float32))
-    order = np.argsort(-(q @ c.T), axis=1, kind="stable")[:, : min(nprobe, len(c))]
-    probe = sorted(set(order.ravel().tolist()))
-    import glob
-
-    files = [
-        f for p in probe
-        for f in sorted(glob.glob(os.path.join(index_dir, f"cell={p}", "*.parquet")))
-    ]
+    files, q, meta = ivf_probed_files(index_dir, queries, nprobe)
     ds = ray.data.read_parquet(files, partitioning=None)
     return brute_force_topk(ds, q, k=k, col=meta["col"], id_col=meta["id_col"])
 

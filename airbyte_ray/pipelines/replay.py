@@ -40,6 +40,7 @@ partitioning key for the table's lifetime).
 from __future__ import annotations
 
 import os
+import shutil
 import time
 from dataclasses import dataclass
 from functools import partial
@@ -452,9 +453,10 @@ def _apply_partition_shard(batch: pa.Table, ctx: dict) -> pa.Table:
     return pa.concat_tables(outs)
 
 
-@ray.remote
-class MergeApplier:
-    """Stateful merge-applier actor — owns a fixed set of hash partitions.
+class MergeApplierState:
+    """Stateful merge-applier (actor body; ``MergeApplier`` is the
+    ``ray.remote`` wrapper, this plain class is unit-testable directly) —
+    owns a fixed set of hash partitions.
 
     The north-star exchange for CDC ingest: router tasks scatter pre-reduced
     sub-batches DIRECTLY to the owning actor (object-store transfer, no sort
@@ -473,34 +475,94 @@ class MergeApplier:
     reduce — committed DATA stays exactly-once — but ``n_src`` sums, so the
     ``applied_events``/``n_events`` lineage counters are at-least-once on a
     retry-afflicted run (the shuffle and partition-aligned paths do not
-    share this: their retries recompute whole deterministic tasks)."""
+    share this: their retries recompute whole deterministic tasks).
 
-    def __init__(self, parts: list[int], ctx: dict, compact_rows: int = 200_000):
+    **Spill-pointer state (the 100-TB memory contract beyond partition
+    count):** when a partition's COMPACTED buffer still exceeds
+    ``spill_bytes`` — i.e. unique-key cardinality × row width outgrows the
+    actor budget — the buffer is written to a log-structured spill chunk
+    under ``<lake_dir>/_spill/`` and the dict keeps only a ``(lsn_hi,
+    path, rows)`` pointer.  Resident actor heap during ingest is then
+    ≤ ``spill_bytes`` per owned partition regardless of key cardinality.
+    ``flush()`` folds a partition's spill chain INCREMENTALLY (reduce one
+    chunk at a time into the accumulator, peak = that partition's unique
+    keys + one chunk — the same transient bound the stateless shuffle
+    task has) and rewrites the segment; spill chunks are scratch, deleted
+    after the merge lands and swept by ``vacuum()`` if a crash orphans
+    them (the run's manifest never committed, so a rerun regenerates)."""
+
+    def __init__(self, parts: list[int], ctx: dict, compact_rows: int = 200_000,
+                 spill_bytes: int | None = None):
         self.buf: dict[int, list[pa.Table]] = {p: [] for p in parts}
         self.rows: dict[int, int] = {p: 0 for p in parts}
+        self.spilled: dict[int, list[dict]] = {p: [] for p in parts}
         self.ctx = ctx
         self.compact_rows = compact_rows
+        self.spill_bytes = spill_bytes
+        self.spill_dir = os.path.join(
+            ctx["lake_dir"], "_spill", f"applier-{os.getpid()}"
+        )
+
+    def _policy(self):
+        return tuple(map(tuple, self.ctx["policy"])) if self.ctx.get("policy") else None
 
     def ingest(self, sub: pa.Table, part: int) -> int:
         self.buf[part].append(sub)
         self.rows[part] += sub.num_rows
         if self.rows[part] > self.compact_rows:
-            pol = tuple(map(tuple, self.ctx["policy"])) if self.ctx.get("policy") else None
-            merged = lww_reduce(pa.concat_tables(self.buf[part]), pol)
+            merged = lww_reduce(pa.concat_tables(self.buf[part]), self._policy())
             self.buf[part] = [merged]
             self.rows[part] = merged.num_rows
+            if self.spill_bytes is not None and merged.nbytes > self.spill_bytes:
+                # compacted state still over budget: keep a pointer, not rows
+                rel = os.path.join(f"part={part:05d}",
+                                   f"spill-{len(self.spilled[part]):06d}.parquet")
+                path = os.path.join(self.spill_dir, rel)
+                os.makedirs(os.path.dirname(path), exist_ok=True)
+                tmp = path + ".tmp"
+                pq.write_table(merged, tmp)
+                os.replace(tmp, path)
+                self.spilled[part].append({
+                    "path": path,
+                    "rows": merged.num_rows,
+                    "lsn_hi": int(pc.max(merged["lsn"]).as_py()),
+                })
+                self.buf[part] = []
+                self.rows[part] = 0
         return sub.num_rows
 
     def flush(self) -> list[dict]:
         out = []
+        pol = self._policy()
         for p, tables in self.buf.items():
-            if not tables or sum(t.num_rows for t in tables) == 0:
+            live_rows = sum(t.num_rows for t in tables)
+            if not self.spilled[p] and live_rows == 0:
                 continue
-            lineage = _merge_partition(pa.concat_tables(tables), self.ctx)
+            acc = lww_reduce(pa.concat_tables(tables), pol) if live_rows else None
+            for ptr in self.spilled[p]:
+                # incremental fold: one spill chunk in memory at a time on
+                # top of the deduped accumulator (≤ unique keys of part p)
+                chunk = pq.read_table(ptr["path"])
+                acc = chunk if acc is None else lww_reduce(
+                    pa.concat_tables([acc, chunk]), pol
+                )
+            if acc is None or acc.num_rows == 0:
+                continue
+            lineage = _merge_partition(acc, {**self.ctx, "pre_reduced": True})
             out.extend(lineage.to_pylist())
+            for ptr in self.spilled[p]:
+                try:
+                    os.unlink(ptr["path"])
+                except OSError:
+                    pass
         self.buf = {p: [] for p in self.buf}
         self.rows = {p: 0 for p in self.rows}
+        self.spilled = {p: [] for p in self.spilled}
+        shutil.rmtree(self.spill_dir, ignore_errors=True)
         return out
+
+
+MergeApplier = ray.remote(MergeApplierState)
 
 
 class _Router:
@@ -568,6 +630,13 @@ class ReplayConfig:
     merge_policy: tuple | None = None
     #: per-partition buffered rows before in-actor LWW compaction
     compact_rows: int = 200_000
+    #: applier-actor per-partition memory budget (bytes): when a partition's
+    #: COMPACTED buffer still exceeds this (key cardinality × row width over
+    #: the actor budget), it spills to a log-structured chunk under
+    #: ``<lake_dir>/_spill/`` and the actor keeps only a (lsn, path, rows)
+    #: pointer — resident heap stays ≤ spill_bytes/partition at ANY key
+    #: cardinality.  None (default) disables spilling.
+    spill_bytes: int | None = None
     #: auto-compaction: after a delta-mode apply, fold any partition whose
     #: delta chain exceeds this many files back to one base segment —
     #: bounds merge-on-read cost (task count and resolve work per read)
@@ -772,6 +841,7 @@ class LakeTable:
                         [p for p in range(m.num_partitions) if p % A == i],
                         ctx,
                         self.config.compact_rows,
+                        self.config.spill_bytes,
                     )
                     for i in range(A)
                 ]
@@ -993,6 +1063,15 @@ class LakeTable:
         # writer that is mid-write right now
         cutoff = time.time() - 3600
         for f in _g.glob(os.path.join(self.lake_dir, "part=*", "*.parquet.tmp-*")):
+            try:
+                if os.path.getmtime(f) < cutoff:
+                    os.remove(f)
+                    removed += 1
+            except FileNotFoundError:
+                pass
+        # applier spill chunks are run-scoped scratch (MergeApplier removes
+        # its own dir on flush); a crashed run orphans them — same age guard
+        for f in _g.glob(os.path.join(self.lake_dir, "_spill", "*", "part=*", "*")):
             try:
                 if os.path.getmtime(f) < cutoff:
                     os.remove(f)

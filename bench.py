@@ -239,8 +239,103 @@ def run_bench() -> dict:
 
         timed("corpus_build", corpus_bench)
 
+        # ---- persisted IVF index: probe-pruning proof.  The claim at
+        # ann.py (ivf_topk_indexed): scan volume ∝ nprobe/n_cells because
+        # only probed cell partitions are read.  Counted from the ACTUAL
+        # file list the query reads (ivf_probed_files is shared by the
+        # read plan and this counter), reported next to wall-time.
+        import glob as _glob
+
+        import numpy as _np
+        import pyarrow.parquet as _pq
+
+        from airbyte_ray.functions.ann import (
+            build_ivf_index,
+            ivf_probed_files,
+            ivf_topk_indexed,
+        )
+
+        emb_path = os.path.join(SF_DIR, "embeddings.parquet")
+        idx_dir = os.path.join(BENCH_ROOT, "ivf_index")
+        if not os.path.exists(os.path.join(idx_dir, "ivf_meta.json")):
+            shutil.rmtree(idx_dir, ignore_errors=True)
+            tb = time.perf_counter()
+            build_ivf_index(
+                ray.data.read_parquet(emb_path), idx_dir, n_cells=64
+            )
+            timings["ivf_build"] = round(time.perf_counter() - tb, 3)
+        qtab = _pq.ParquetFile(emb_path).read_row_group(0, columns=["embedding"])
+        qmat = _np.stack([
+            _np.asarray(v, _np.float32) for v in qtab["embedding"].to_pylist()[:8]
+        ])
+        timed("ann_ivf_indexed", lambda _:
+              ivf_topk_indexed(idx_dir, qmat, k=10, nprobe=4))
+        probed, _, _ = ivf_probed_files(idx_dir, qmat, nprobe=4)
+        all_parts = _glob.glob(os.path.join(idx_dir, "cell=*", "*.parquet"))
+        scanned = sum(os.path.getsize(f) for f in probed)
+        total = sum(os.path.getsize(f) for f in all_parts)
+        ivf_probe = {
+            "scanned_mb": round(scanned / 1e6, 2),
+            "index_mb": round(total / 1e6, 2),
+            "scan_frac": round(scanned / total, 4),
+            "nprobe_over_cells_bound": round(
+                len({c for f in probed for c in [os.path.basename(os.path.dirname(f))]}) / 64, 4
+            ),
+        }
+
+        # ---- shared-WAL catalog sync (GLOBAL state): the WAL is scanned
+        # ONCE no matter how many streams tail it (catalog_sync.split_route)
+        # — S=2 vs S=8 over the same 1M-row WAL should cost the same;
+        # the old per-stream re-read plan would be ~4x apart.
+        import pyarrow as _pa
+
+        from airbyte_ray import gen as _gen
+        from airbyte_ray.pipelines.catalog_sync import (
+            CdcCatalogEngine,
+            CdcStreamConfig,
+        )
+        from airbyte_ray.pipelines.replay import ReplayConfig as _RC
+        from airbyte_ray.pipelines.replay import stable_hash as _sh
+
+        def _shared_wal(n_streams: int) -> str:
+            path = os.path.join(BENCH_ROOT, f"shared_wal_s{n_streams}.parquet")
+            if not os.path.exists(path):
+                ev = _gen.gen_events(1_000_000, 40_000, seed=777)
+                h = (_sh(ev["doc_id"].cast(_pa.string()))
+                     % _np.uint64(n_streams)).astype(_np.int32)
+                tag = _pa.DictionaryArray.from_arrays(
+                    _pa.array(h),
+                    _pa.array([f"s{i}" for i in range(n_streams)]),
+                ).cast(_pa.string())
+                _pq.write_table(ev.append_column("stream", tag), path)
+            return path
+
+        def _shared_sync(n_streams: int):
+            wal = _shared_wal(n_streams)
+
+            def run(_sf):
+                root = os.path.join(BENCH_ROOT, f"catalog_s{n_streams}")
+                shutil.rmtree(root, ignore_errors=True)
+                eng = CdcCatalogEngine(root, [
+                    CdcStreamConfig(f"s{i}", wal, replay=_RC(num_partitions=8))
+                    for i in range(n_streams)
+                ])
+                out = eng.sync_shared(wal)
+                assert out["applied_events"] > 0
+
+                class _NoOp:  # satisfy timed()'s materialize() hook
+                    def materialize(self):
+                        return self
+
+                return _NoOp()
+
+            return run
+
+        timed("sync_shared_s2", _shared_sync(2))
+        timed("sync_shared_s8", _shared_sync(8))
+
     ray.shutdown()
-    return {
+    out = {
         "metric": "cdc_replay_sec",
         "value": timings["cdc_replay"],
         "unit": "sec",
@@ -251,6 +346,14 @@ def run_bench() -> dict:
         "events_per_sec": round(applied / headline, 1),
         "host_disk_write_mbps": _disk_write_mbps(),
     }
+    if "sync_shared_s2" in timings:
+        # ≈1.0 ⇒ stream-count-independent (single WAL scan); the per-stream
+        # re-read plan this replaced measured ~n_streams/2 here
+        out["sync_shared_s8_over_s2"] = round(
+            timings["sync_shared_s8"] / timings["sync_shared_s2"], 3
+        )
+        out["ivf_probe"] = ivf_probe
+    return out
 
 
 def _disk_write_mbps(mb: int = 64) -> float:

@@ -248,6 +248,93 @@ def test_actor_exchange_matches_shuffle(fixtures, tmp_path):
     assert a.to_table().equals(replay_oracle(base, [events]))
 
 
+def test_actor_exchange_spill_pointer_state(fixtures, tmp_path):
+    """spill_bytes forces the applier's COMPACTED per-partition buffers to
+    disk (pointer-only dict state — the 100-TB memory contract): with an
+    artificially tiny budget (1 KiB, so every compaction spills) plus a
+    tiny compact_rows (so compaction fires per sub-batch), the committed
+    table must still be byte-identical to the shuffle path, and no spill
+    scratch may survive the flush."""
+    import glob
+    import os
+
+    base, events, ev_path, lake_dir = fixtures
+    a = LakeTable(str(tmp_path / "lake_spill"),
+                  ReplayConfig(num_partitions=8, exchange="actors",
+                               num_appliers=2, compact_rows=16,
+                               spill_bytes=1024))
+    a.init_snapshot(ray.data.from_arrow(base))
+    stats = a.apply_log(ev_path)
+    assert stats["applied_events"] == events.num_rows
+    assert a.to_table().equals(replay_oracle(base, [events]))
+    # spill chunks are scratch: flush must have removed them
+    leftovers = glob.glob(os.path.join(str(tmp_path / "lake_spill"),
+                                       "_spill", "*", "part=*", "*"))
+    assert leftovers == []
+    # second epoch through the same spill-constrained lake stays exact
+    ev2 = gen.gen_events(800, 120, seed=77, start_lsn=gen.next_lsn(events))
+    p2 = str(tmp_path / "ev2_spill.parquet")
+    pq.write_table(ev2, p2)
+    a.apply_log(p2)
+    assert a.to_table().equals(replay_oracle(base, [events, ev2]))
+
+
+def test_spill_pointer_unit_mechanics(tmp_path):
+    """Drive the plain applier class (MergeApplierState) directly: a tiny
+    spill budget must convert compacted buffers into on-disk pointer state
+    during ingest (dict holds (lsn, path, rows), not rows), and flush must
+    fold the spill chain back into a correct segment then delete it."""
+    import glob
+    import os
+
+    from airbyte_ray.pipelines.replay import (
+        _META_COLS,
+        MergeApplierState,
+        _pre_reduce,
+    )
+
+    events = gen.gen_events(600, 50, seed=5)
+    pre = _pre_reduce(events, num_partitions=4, salt_factor=1, policy=None)
+    payload = pa.schema([
+        f for f in pre.schema if f.name not in _META_COLS
+    ])
+    lake_dir = str(tmp_path / "lake_unit")
+    os.makedirs(lake_dir)
+    ctx = {
+        "lake_dir": lake_dir,
+        "policy": None,
+        "schema": payload.serialize().to_pybytes(),
+        "old_segments": {},
+        "delta_mode": False,
+        "run_lsn_hi": 1,
+    }
+    ap = MergeApplierState(list(range(4)), ctx, compact_rows=8, spill_bytes=256)
+    for p in range(4):
+        sub = pre.filter(pc.equal(pre["part"], p))
+        for i in range(0, sub.num_rows, 10):  # many small sub-batches
+            ap.ingest(sub.slice(i, 10), p)
+    n_spilled = sum(len(v) for v in ap.spilled.values())
+    assert n_spilled > 0, "tiny budget must force spills"
+    for ptrs in ap.spilled.values():
+        for ptr in ptrs:
+            assert os.path.exists(ptr["path"]) and ptr["rows"] > 0
+            assert ptr["lsn_hi"] > 0
+    # pointer state: resident rows stay under the compaction threshold
+    assert all(r <= 8 * 2 for r in ap.rows.values())
+
+    lineage = ap.flush()
+    assert sum(e["n_events"] for e in lineage) == events.num_rows
+    assert glob.glob(os.path.join(lake_dir, "_spill", "*", "part=*", "*")) == []
+    # committed segments carry exactly the live winners
+    segs = [pq.read_table(f) for f in
+            glob.glob(os.path.join(lake_dir, "part=*", "seg-*.parquet"))]
+    got = {d: l for t in segs
+           for d, l in zip(t["doc_id"].to_pylist(), t["_ab_lsn"].to_pylist())}
+    df = events.to_pandas().sort_values("lsn").groupby("doc_id").last()
+    live = df[df.op != "delete"]
+    assert got == dict(zip(live.index, live.lsn))
+
+
 def test_partition_aligned_apply(tmp_path):
     """Key-partitioned (sharded-WAL) log → apply_partitioned matches the
     shuffled path and the oracle; misaligned input fails loudly."""
