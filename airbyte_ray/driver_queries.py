@@ -1374,25 +1374,29 @@ def q_window_running(sf_dir: str) -> ray.data.Dataset:
 def q_media_decode(sf_dir: str) -> ray.data.Dataset:
     """Multimodal decode, oracle-checked end-to-end: each doc gets a REAL
     planted image whose dims and fill byte are pure functions of doc_id —
-    doc_id%3 cycles binary PPM / 24-bit BMP / zlib-compressed PNG (all
-    REAL stdlib codecs, ``multimodal.py``; the PNG path exercises inflate
-    + scanline unfiltering, not just header parsing).  The actor-pool
-    ``MediaDecode`` stage decodes payload bytes → ragged pixels; the
-    checksum ``px_sum`` (sum of every decoded RGB byte) is recomputed by
-    the oracle as ``w*h*3*fill`` — so the oracle verifies decoded CONTENT
-    for every format.  The plant/encode loop is fixture generation, not
-    the operator; decode is inherently per-payload (documented)."""
+    doc_id%4 cycles binary PPM / 24-bit BMP / zlib PNG / baseline JPEG
+    (all REAL in-repo codecs; PNG exercises inflate + scanline
+    unfiltering, JPEG exercises huffman entropy decode + IDCT — a flat
+    fill is DC-only so lossy JPEG still decodes it bit-exact, verified
+    for every fill value 0..250 at q95).  The actor-pool ``MediaDecode``
+    stage decodes payload bytes → ragged pixels; the checksum ``px_sum``
+    (sum of every decoded RGB byte) is recomputed by the oracle as
+    ``w*h*3*fill`` — so the oracle verifies decoded CONTENT for every
+    format.  The plant/encode loop is fixture generation, not the
+    operator; decode is inherently per-payload (documented)."""
+    from .functions.jpeg import encode_jpeg
     from .functions.multimodal import MediaDecode, encode_bmp, encode_png, encode_ppm
 
     def plant(t: pa.Table) -> pa.Table:
         encs = [(encode_ppm, "image/x-portable-pixmap"),
                 (encode_bmp, "image/bmp"),
-                (encode_png, "image/png")]
+                (encode_png, "image/png"),
+                (lambda px: encode_jpeg(px, quality=95), "image/jpeg")]
         payloads, mimes = [], []
         for d in t["doc_id"].to_pylist():
             w, h, fill = 4 + d % 5, 3 + d % 4, d % 251
             px = np.full((h, w, 3), fill, np.uint8)
-            enc, mime = encs[d % 3]
+            enc, mime = encs[d % 4]
             payloads.append(enc(px))
             mimes.append(mime)
         return pa.table({

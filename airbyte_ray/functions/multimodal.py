@@ -15,8 +15,10 @@ Decode status by format:
   :func:`encode_wav`) for round-trip tests.  :class:`MediaDecode`
   dispatches on the mime column and emits ragged ``pixels`` +
   ``img_w``/``img_h``; :class:`RaggedResize` is a fully vectorized
-  nearest-neighbour resize over ragged inputs.
-* **STUBBED** — JPEG/video (libraries absent in this container):
+  nearest-neighbour resize over ragged inputs.  Baseline JPEG decode
+  (huffman + vectorized IDCT, 4:4:4 and 4:2:0, restart markers) lives in
+  the sibling :mod:`airbyte_ray.functions.jpeg` module.
+* **STUBBED** — video (libraries absent in this container):
   :class:`ImageDecode` raises ``NotImplementedError`` (strict mode) or
   produces a deterministic fake from the payload digest (test mode); the
   Ray-side plumbing (schema, batch sizing, actor signature, output
@@ -35,6 +37,8 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+
+from . import jpeg as _jpeg
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -67,20 +71,21 @@ def gen_media(n: int, seed: int = 42, payload_bytes: int = 4096) -> pa.Table:
 
 
 def gen_real_media(n: int, seed: int = 42) -> pa.Table:
-    """Deterministic REAL media table: rows cycle PPM / BMP / PNG images
-    (random sizes, seeded noise pixels) and PCM WAV clips (seeded sine +
-    noise) — every payload decodes with the stdlib kernels above."""
+    """Deterministic REAL media table: rows cycle PPM / BMP / PNG / JPEG
+    images (random sizes, seeded noise pixels) and PCM WAV clips (seeded
+    sine + noise) — every payload decodes with the in-repo kernels."""
     rng = np.random.default_rng(seed)
     ids, payloads, mimes, ws, hs, durs = [], [], [], [], [], []
     img_enc = [
         (encode_ppm, "image/x-portable-pixmap"),
         (encode_bmp, "image/bmp"),
         (encode_png, "image/png"),
+        (_jpeg.encode_jpeg, "image/jpeg"),
     ]
     for i in range(n):
         ids.append(f"m-{i:06d}")
-        kind = i % 4
-        if kind < 3:
+        kind = i % 5
+        if kind < 4:
             w = int(rng.integers(4, 40))
             h = int(rng.integers(4, 40))
             px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
@@ -405,6 +410,7 @@ class MediaDecode:
         "image/x-portable-pixmap": decode_ppm,
         "image/bmp": decode_bmp,
         "image/png": decode_png,
+        "image/jpeg": _jpeg.decode_jpeg,
     }
 
     def __init__(self, payload_col: str = "payload", mime_col: str = "mime",

@@ -248,11 +248,19 @@ class CdcCatalogEngine:
             routed = routed.groupby(["stream_idx", "part_salt"]).map_groups(
                 lww_multi, batch_format="pyarrow"
             )
-        lineage = (
-            routed.groupby(["stream_idx", "part"])
-            .map_groups(merge_multi, batch_format="pyarrow")
-            .take_all()
-        )
+        # same push-based sort shuffle the single-stream apply uses for its
+        # keyed exchange (replay.py: 9.5s vs 63s pull-based on the 4.5M-event
+        # bench) — sync_shared ran pull-based, costing ~3x on the composite
+        # (stream, part) groupby (round-4 bench finding)
+        from .replay import _PUSH_SCOPE, _NullScope
+
+        push = all(lakes[n].config.push_shuffle for n in names)
+        with (_PUSH_SCOPE if push else _NullScope()):
+            lineage = (
+                routed.groupby(["stream_idx", "part"])
+                .map_groups(merge_multi, batch_format="pyarrow")
+                .take_all()
+            )
         elapsed = _time.perf_counter() - t0
 
         by_stream: dict[str, list[dict]] = {n: [] for n in names}

@@ -235,7 +235,7 @@ def test_media_decode_strict_raises_on_unknown_mime():
 
     from airbyte_ray.functions.multimodal import MediaDecode
 
-    t = pa.table({"payload": pa.array([b"xx"], pa.binary()), "mime": pa.array(["image/jpeg"])})
+    t = pa.table({"payload": pa.array([b"xx"], pa.binary()), "mime": pa.array(["video/mp4"])})
     with _pytest.raises(NotImplementedError):
         MediaDecode()(t)
     out = MediaDecode(strict=False)(t)
