@@ -596,6 +596,43 @@ def q_dedup_ngram(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_dedup_index(sf_dir: str) -> ray.data.Dataset:
+    """Cross-run dedup against a PERSISTED LSH index: docs with
+    ``doc_id % 3 != 0`` play the historical corpus (indexed once:
+    sharded band table + sig table on disk), docs with ``doc_id % 3 ==
+    0`` arrive as the new batch and are matched by reading ONLY the
+    band/sig shards their signatures touch.  Output: (a=indexed id,
+    b=new id) near-dup matches.  The fixture's similarity gap
+    (background ≤ 0.31, planted near-dups ≥ 0.93 — verified at sf0.01)
+    puts every true pair > 3σ above the 0.7 signature-estimate threshold
+    and every non-pair > 6σ below it at 64 permutations, so the match
+    set equals the exact cross-split Jaccard-≥0.5 pair set the oracle
+    computes.  ``sim`` is excluded from the output: it is the MinHash
+    ESTIMATE (estimator-specific), not the exact metric."""
+    import tempfile
+
+    from .functions.dedup_index import build_minhash_index, dedup_against_index
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def _side(keep_new: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            new = t["doc_id"].to_numpy() % 3 == 0
+            return t.filter(pa.array(new if keep_new else ~new))
+        return fn
+
+    index_dir = tempfile.mkdtemp(prefix="airbyte_ray_dedup_idx_")
+    build_minhash_index(
+        docs.map_batches(_side(False), batch_format="pyarrow"), index_dir,
+        num_perm=64, bands=16, n_shards=16,
+    )
+    out = dedup_against_index(
+        docs.map_batches(_side(True), batch_format="pyarrow"), index_dir,
+        sim_threshold=0.7,
+    )
+    return out.map_batches(lambda t: t.select(["a", "b"]), batch_format="pyarrow")
+
+
 def q_dedup_simhash(sf_dir: str) -> ray.data.Dataset:
     """SimHash near-dup pairs with a planted oracle (VERDICT r2 next-step
     1b).  Every doc's text is salted with a doc_id-derived token repeated
@@ -1613,6 +1650,7 @@ QUERIES = {
     "lang_id": q_lang_id,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
+    "dedup_index": q_dedup_index,
     "dedup_ngram": q_dedup_ngram,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding": q_dedup_embedding,
@@ -1952,6 +1990,31 @@ ORACLE_SQL = {
         )
         SELECT doc_id FROM d
         WHERE doc_id NOT IN (SELECT u FROM reach GROUP BY u HAVING min(v) < u)
+    """,
+    # dedup_index oracle: cross-split near-dup pairs by the exact-shingle
+    # Jaccard CTE — the engine's index-probe match set equals it over the
+    # fixture's bimodal gap (see q_dedup_index).  Orientation: a = indexed
+    # side (doc_id % 3 != 0), b = new side (doc_id % 3 == 0).
+    "dedup_index": """
+        WITH d AS (SELECT doc_id, text FROM documents),
+        sh AS (
+          SELECT DISTINCT d.doc_id, substring(d.text, i, 5) AS s
+          FROM d, LATERAL (SELECT unnest(generate_series(1, greatest(length(d.text)-4, 1))) AS i)
+        ),
+        cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+          FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+          GROUP BY x.doc_id, y.doc_id
+        ),
+        dup AS (
+          SELECT a, b FROM inter
+          JOIN cnt ca ON ca.doc_id = a JOIN cnt cb ON cb.doc_id = b
+          WHERE c * 1.0 / (ca.n + cb.n - c) >= 0.5
+        )
+        SELECT CASE WHEN a % 3 = 0 THEN b ELSE a END AS a,
+               CASE WHEN a % 3 = 0 THEN a ELSE b END AS b
+        FROM dup WHERE (a % 3 = 0) != (b % 3 = 0)
     """,
     # dedup_ngram oracle: the same exact-shingle CTE, emitting the PAIRS
     # with their exact jaccard — the engine computes the identical metric

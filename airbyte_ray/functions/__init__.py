@@ -14,6 +14,11 @@ from .dedup import (  # noqa: F401
     minhash_dedup,
     simhash_near_dups,
 )
+from .dedup_index import (  # noqa: F401
+    append_to_index,
+    build_minhash_index,
+    dedup_against_index,
+)
 from .ann import assign_cells, brute_force_topk, ivf_topk, lsh_topk, train_ivf_centroids  # noqa: F401
 from .pack import deterministic_shuffle, global_index, pack_sequences  # noqa: F401
 from .sample import rate_sample, stratified_sample, upsample  # noqa: F401

