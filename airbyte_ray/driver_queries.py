@@ -1464,6 +1464,53 @@ def q_media_decode(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_media_frames(sf_dir: str) -> ray.data.Dataset:
+    """Video decode + frame sampling, oracle-checked end-to-end: each doc
+    gets a REAL MJPEG AVI (RIFF container, in-repo baseline JPEG frames)
+    with ``2 + d%3`` flat-filled frames whose fill is ``(d + 37*f) % 251``
+    — flat frames are DC-only so lossy JPEG decodes them bit-exact.
+    ``VideoFrameSample(every=2)`` keeps frames 0 and 2, inflating ONLY
+    those (skipped frames are a chunk scan, never decoded); the per-frame
+    checksum ``px_sum = w*h*3*fill`` is recomputed by the oracle from
+    doc_id and frame_idx alone, so it verifies decoded frame CONTENT and
+    the sampling pattern together."""
+    from .functions.video import VideoFrameSample, encode_avi_mjpeg
+
+    def plant(t: pa.Table) -> pa.Table:
+        payloads = []
+        for d in t["doc_id"].to_pylist():
+            w, h, nf = 8 + d % 5, 8 + d % 4, 2 + d % 3
+            frames = np.stack([
+                np.full((h, w, 3), (d + 37 * f) % 251, np.uint8)
+                for f in range(nf)
+            ])
+            payloads.append(encode_avi_mjpeg(frames, quality=95))
+        return pa.table({
+            "media_id": t["doc_id"],
+            "mime": pa.array(["video/x-msvideo"] * t.num_rows),
+            "payload": pa.array(payloads, pa.binary()),
+        })
+
+    def checksum(t: pa.Table) -> pa.Table:
+        col = t["pixels"].combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = col.offsets.to_numpy(zero_copy_only=False)
+        sums = np.add.reduceat(flat, offs[:-1]) if len(flat) else np.array([], np.int64)
+        return pa.table({
+            "doc_id": t["media_id"],
+            "frame_idx": t["frame_idx"].cast(pa.int64()),
+            "px_sum": pa.array(sums.astype(np.int64)),
+        })
+
+    return (
+        _docs(sf_dir, columns=["doc_id"])
+        .map_batches(plant, batch_format="pyarrow")
+        .map_batches(VideoFrameSample, fn_constructor_kwargs={"every": 2},
+                     batch_format="pyarrow", batch_size=64, concurrency=(1, 8))
+        .map_batches(checksum, batch_format="pyarrow")
+    )
+
+
 def q_rollup_sets(sf_dir: str) -> ray.data.Dataset:
     """GROUP BY ROLLUP(l_returnflag, l_linestatus): every prefix grouping
     level in ONE pass — the per-batch combiner partial-aggregates all
@@ -1685,6 +1732,7 @@ QUERIES = {
     "join_range": q_join_range,
     "window_running": q_window_running,
     "media_decode": q_media_decode,
+    "media_frames": q_media_frames,
     "rollup_sets": q_rollup_sets,
     "unpivot": q_unpivot,
     "join_outer": q_join_outer,
@@ -1785,6 +1833,18 @@ ORACLE_SQL = {
                CAST(3 + doc_id % 4 AS INTEGER) AS img_h,
                (4 + doc_id % 5) * (3 + doc_id % 4) * 3 * (doc_id % 251) AS px_sum
         FROM documents
+    """,
+    # media_frames oracle: regenerate the planted frame grid from doc_id —
+    # sampled frame ids (every 2nd of 2 + d%3 frames) and the exact
+    # checksum of each flat JPEG frame the engine decoded.
+    "media_frames": """
+        SELECT d.doc_id,
+               f.i AS frame_idx,
+               (8 + d.doc_id % 5) * (8 + d.doc_id % 4) * 3
+                 * ((d.doc_id + 37 * f.i) % 251) AS px_sum
+        FROM documents d,
+             LATERAL (SELECT unnest(generate_series(0, 1 + d.doc_id % 3)) AS i) f
+        WHERE f.i % 2 = 0
     """,
     "rollup_sets": """
         SELECT l_returnflag, l_linestatus,

@@ -14,6 +14,12 @@ from .dedup import (  # noqa: F401
     minhash_dedup,
     simhash_near_dups,
 )
+from .jpeg import decode_jpeg, encode_jpeg  # noqa: F401
+from .video import (  # noqa: F401
+    VideoFrameSample,
+    decode_avi_frames,
+    encode_avi_mjpeg,
+)
 from .dedup_index import (  # noqa: F401
     append_to_index,
     build_minhash_index,

@@ -17,12 +17,14 @@ Decode status by format:
   ``img_w``/``img_h``; :class:`RaggedResize` is a fully vectorized
   nearest-neighbour resize over ragged inputs.  Baseline JPEG decode
   (huffman + vectorized IDCT, 4:4:4 and 4:2:0, restart markers) lives in
-  the sibling :mod:`airbyte_ray.functions.jpeg` module.
-* **STUBBED** — video (libraries absent in this container):
-  :class:`ImageDecode` raises ``NotImplementedError`` (strict mode) or
-  produces a deterministic fake from the payload digest (test mode); the
-  Ray-side plumbing (schema, batch sizing, actor signature, output
-  layout) is real and tested either way.
+  the sibling :mod:`airbyte_ray.functions.jpeg` module, and REAL video
+  (MJPEG-in-AVI: RIFF parsing + per-frame JPEG, lazy frame sampling) in
+  :mod:`airbyte_ray.functions.video` — no declared decode stubs remain.
+* :class:`ImageDecode` and :class:`FrameSample` below are retained as
+  the EXTERNAL-LIBRARY actor shapes (how a Pillow/ffmpeg-backed stage
+  would slot in): ``ImageDecode(fake=False)`` raises
+  ``NotImplementedError`` when the library is absent, ``fake=True``
+  produces a deterministic digest-derived tensor for plumbing tests.
 
 Batch-size guidance for binary payloads: blocks are sized by bytes, so set
 ``batch_size`` low (e.g. 64 for ~1 MiB images) and keep
