@@ -28,13 +28,13 @@ Flow shapes:
   explode band rows.  No driver-side materialization of anything.
 * :func:`append_to_index` — log-structured: the new batch's band/sig
   files land NEXT TO the existing shard files (parquet dirs append).
-* :func:`dedup_against_index` — signature the new batch, read only the
-  touched band shards, one ``groupby(band_key)`` emits cross-side
-  candidate pairs (hot buckets fail LOUDLY over ``bucket_cap``, never
-  silently drop), then two partitioned hash joins attach both
-  signatures and the estimated Jaccard (fraction of equal components)
-  filters at ``sim_threshold``.  The NEW batch ≪ corpus by contract —
-  its signatures are pinned (materialized) because they are read twice.
+* :func:`dedup_against_index` — three distributed passes (signature the
+  new batch; collision-scan the touched band shards with an in-task
+  band-key semi-filter; fetch candidate signatures from the touched sig
+  shards), with the candidate-sized middle (bucket pairing, pair dedup,
+  similarity) handled driver-side in numpy.  Hot buckets fail LOUDLY
+  over ``bucket_cap``, never silently drop.  The NEW batch ≪ corpus by
+  contract — its signatures and the collision set come to the driver.
 
 Verification is by signature estimate (index-only; the historical text
 is never re-read).  At 64 permutations the estimator's σ is ≈0.06 at
@@ -142,151 +142,165 @@ def append_to_index(ds: ray.data.Dataset, index_dir: str,
     ).write_parquet(os.path.join(index_dir, "bands"), partition_cols=["shard"])
 
 
-def _cross_pairs(g: pa.Table, id_col: str, cap: int) -> pa.Table:
-    """All (indexed, new) pairs sharing one band bucket.  Over-cap buckets
-    raise LOUDLY (a silent drop would cost recall invisibly)."""
-    side = g["side"].to_numpy()
-    old_idx = np.flatnonzero(side == 0)
-    new_idx = np.flatnonzero(side == 1)
-    id_type = g[id_col].type
-    if len(old_idx) == 0 or len(new_idx) == 0:
-        return pa.table({"a": pa.array([], id_type), "b": pa.array([], id_type)})
-    if len(old_idx) * len(new_idx) > cap:
-        raise ValueError(
-            f"band bucket with {len(old_idx)}×{len(new_idx)} cross pairs "
-            f"exceeds bucket_cap={cap}: near-identical content is flooding "
-            "one bucket — dedup the new batch internally first, or raise "
-            "bucket_cap explicitly")
-    oi, ni = np.meshgrid(old_idx, new_idx, indexing="ij")
-    ids = g[id_col]
-    return pa.table({"a": ids.take(pa.array(oi.ravel())),
-                     "b": ids.take(pa.array(ni.ravel()))})
-
-
 def dedup_against_index(
     new_ds: ray.data.Dataset,
     index_dir: str,
     text_col: str = "text",
     sim_threshold: float = 0.8,
     bucket_cap: int = 100_000,
-    num_buckets: int = 32,
 ) -> ray.data.Dataset:
     """Near-dup matches of a NEW batch against the persisted index:
     returns (a=indexed id, b=new id, sim=estimated Jaccard ≥ threshold).
-    Reads only the band/sig shards the new batch touches."""
-    from ..joins import hash_join
 
+    Execution shape — exactly THREE distributed passes, everything else
+    driver-side numpy over candidate-sized tables:
+
+    1. signature the new batch (distributed; the only pass over its text);
+    2. scan the TOUCHED band shards, semi-filtered by the batch's
+       band-key set inside the read tasks (collisions only come back);
+    3. fetch the candidate ids' signatures from the touched sig shards.
+
+    The first version chained groupbys and hash-joins for the candidate
+    stages; at sf0.1 that spent ~25 s of fixed per-execution overhead on
+    KILOBYTES of candidates.  Driver-side candidate handling is the
+    correct scale call too: the new batch ≪ corpus is the module's
+    documented contract, collisions/candidates are band-bucket-bounded,
+    and the big sides (index scans) stay distributed and pruned."""
     with open(os.path.join(index_dir, "meta.json")) as f:
         meta = json.load(f)
     id_col, num_perm, n_shards = meta["id_col"], meta["num_perm"], meta["n_shards"]
     if meta["seed"] != _DEFAULT_SEED:
         raise ValueError("index built with a non-default hasher seed")
 
+    # pass 1 — signatures of the new batch
     sigged = (
         new_ds.select_columns([id_col, text_col])
         .map_batches(partial(_minhash_batch, col=text_col,
                              num_perm=num_perm, shingle_k=meta["shingle_k"]),
                      batch_format="pyarrow")
         .map_batches(lambda t: t.drop_columns([text_col]), batch_format="pyarrow")
-        .materialize()  # the new batch ≪ corpus by contract; used 3×
     )
-    new_bands = sigged.map_batches(
-        lambda t: _band_shard_col(
-            _band_rows(t, id_col, num_perm, meta["bands"]).drop_columns(["sig"]),
-            n_shards), batch_format="pyarrow"
-    ).materialize()
+    sig_tbl = pa.concat_tables(
+        [t for t in ray.get(sigged.to_arrow_refs()) if t.num_rows]
+        or [pa.table({id_col: pa.array([], pa.int64()),
+                      "sig": pa.array([], pa.list_(pa.int64(), num_perm))})]
+    ).combine_chunks()
+    id_type = sig_tbl.schema.field(id_col).type
 
-    touched = sorted(r[0] if isinstance(r, tuple) else r
-                     for r in new_bands.unique("shard"))
+    def _empty() -> ray.data.Dataset:
+        return ray.data.from_arrow(pa.table({
+            "a": pa.array([], id_type), "b": pa.array([], id_type),
+            "sim": pa.array([], pa.float64())}))
+
+    if sig_tbl.num_rows == 0:
+        return _empty()
+
+    # driver-side band keys of the new batch (n_new × bands int64s)
+    nb = _band_rows(sig_tbl, id_col, num_perm, meta["bands"]).drop_columns(["sig"])
+    nb_keys = nb["band_key"].to_numpy()
+    key_set = np.unique(nb_keys)
+    touched = sorted(np.unique(key_set.view(np.uint64) % np.uint64(n_shards)).tolist())
     band_files = [
         f for s in touched
         for f in sorted(glob.glob(os.path.join(index_dir, "bands", f"shard={s}", "*.parquet")))
     ]
     if not band_files:
-        # empty index side → no matches; type from the new batch
-        id_type = sigged.schema().base_schema.field(id_col).type
-        return ray.data.from_arrow(pa.table({
-            "a": pa.array([], id_type), "b": pa.array([], id_type),
-            "sim": pa.array([], pa.float64())}))
+        return _empty()
 
-    def _tag(side):
-        def fn(t: pa.Table) -> pa.Table:
-            keep = t.select(["band_key", id_col])
-            return keep.append_column(
-                "side", pa.array(np.full(t.num_rows, side, np.int64)))
-        return fn
+    # pass 2 — collision scan: touched shards, filtered in-task to the
+    # batch's band keys, so only colliding rows return to the driver
+    kref = ray.put(pa.array(key_set))
 
-    idx_bands = ray.data.read_parquet(band_files, partitioning=None).map_batches(
-        _tag(0), batch_format="pyarrow")
-    nb = new_bands.map_batches(_tag(1), batch_format="pyarrow")
-    pairs = (
-        idx_bands.union(nb)
-        .groupby("band_key")
-        .map_groups(partial(_cross_pairs, id_col=id_col, cap=bucket_cap),
-                    batch_format="pyarrow")
-        .groupby(["a", "b"])  # the same pair surfaces from several bands
-        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
-        .materialize()
-    )
-    if pairs.count() == 0:
-        id_type = sigged.schema().base_schema.field(id_col).type
-        return ray.data.from_arrow(pa.table({
-            "a": pa.array([], id_type), "b": pa.array([], id_type),
-            "sim": pa.array([], pa.float64())}))
+    def _semi(t: pa.Table) -> pa.Table:
+        keys = ray.get(kref)
+        return t.select(["band_key", id_col]).filter(
+            pc.is_in(t["band_key"], value_set=keys))
 
-    # candidate ids → their sig shards only
-    cand_shards = sorted({
-        int(s)
-        for t in ray.get(pairs.to_arrow_refs()) if t.num_rows
-        for s in np.unique(
-            _id_shard_col(t.select(["a"]).rename_columns([id_col]), id_col, n_shards)
-            ["shard"].to_numpy())
-    })
+    coll = pa.concat_tables(
+        [t for t in ray.get(
+            ray.data.read_parquet(band_files, partitioning=None)
+            .map_batches(_semi, batch_format="pyarrow").to_arrow_refs())
+         if t.num_rows]
+        or [pa.table({"band_key": pa.array([], pa.int64()),
+                      id_col: pa.array([], id_type)})]
+    ).combine_chunks()
+    if coll.num_rows == 0:
+        return _empty()
+
+    # driver-side bucket join (collisions × new band rows, both small):
+    # sort both sides by band_key, pair via run-length windows
+    ck = coll["band_key"].to_numpy()
+    c_ord = np.argsort(ck, kind="stable")
+    n_ord = np.argsort(nb_keys, kind="stable")
+    ck_s, nk_s = ck[c_ord], nb_keys[n_ord]
+    common = np.intersect1d(np.unique(ck_s), np.unique(nk_s))
+    a_parts, b_parts = [], []
+    c_lo = np.searchsorted(ck_s, common, side="left")
+    c_hi = np.searchsorted(ck_s, common, side="right")
+    n_lo = np.searchsorted(nk_s, common, side="left")
+    n_hi = np.searchsorted(nk_s, common, side="right")
+    prods = (c_hi - c_lo) * (n_hi - n_lo)
+    if prods.size and int(prods.max()) > bucket_cap:
+        k = int(common[int(prods.argmax())])
+        raise ValueError(
+            f"band bucket {k} with {int(prods.max())} cross pairs exceeds "
+            f"bucket_cap={bucket_cap}: near-identical content is flooding "
+            "one bucket — dedup the new batch internally first, or raise "
+            "bucket_cap explicitly")
+    for i in range(len(common)):
+        ci = c_ord[c_lo[i]: c_hi[i]]
+        ni = n_ord[n_lo[i]: n_hi[i]]
+        gi, gj = np.meshgrid(ci, ni, indexing="ij")
+        a_parts.append(gi.ravel())
+        b_parts.append(gj.ravel())
+    if not a_parts:
+        return _empty()
+    a_idx = np.concatenate(a_parts)
+    b_idx = np.concatenate(b_parts)
+    a_ids = coll[id_col].take(pa.array(a_idx)).to_numpy(zero_copy_only=False)
+    b_ids = nb[id_col].take(pa.array(b_idx)).to_numpy(zero_copy_only=False)
+    # the same pair surfaces from several bands — dedup on (a, b)
+    pair_key = np.stack([a_ids, b_ids], axis=1)
+    _, first = np.unique(pair_key, axis=0, return_index=True)
+    a_ids, b_ids = a_ids[first], b_ids[first]
+
+    # pass 3 — candidate a-ids' signatures from their sig shards only
+    cand_tbl = pa.table({id_col: pa.array(a_ids, id_type)})
+    cand_shards = sorted(np.unique(
+        _id_shard_col(cand_tbl, id_col, n_shards)["shard"].to_numpy()).tolist())
     sig_files = [
         f for s in cand_shards
         for f in sorted(glob.glob(os.path.join(index_dir, "sigs", f"shard={s}", "*.parquet")))
     ]
-    # acero joins reject fixed_size_list payload columns — carry the
-    # signature as fixed_size_binary (one memcpy each way, still fixed
-    # width / zero-copy through the exchange)
-    def _sig_bin(t: pa.Table, key_out: str, sig_out: str) -> pa.Table:
-        n = t.num_rows
-        flat = np.asarray(t["sig"].combine_chunks().flatten())
-        bin_arr = pa.Array.from_buffers(
-            pa.binary(num_perm * 8), n, [None, pa.py_buffer(flat.tobytes())])
-        return pa.table({key_out: t[id_col], sig_out: bin_arr})
+    aref = ray.put(pa.array(np.unique(a_ids), id_type))
 
-    old_sigs = ray.data.read_parquet(sig_files, partitioning=None).map_batches(
-        partial(_sig_bin, key_out="a", sig_out="sig_a"), batch_format="pyarrow")
-    new_sigs = sigged.map_batches(
-        partial(_sig_bin, key_out="b", sig_out="sig_b"), batch_format="pyarrow")
-    j = hash_join(pairs, old_sigs, on="a", num_buckets=num_buckets)
-    j = hash_join(j, new_sigs, on="b", num_buckets=num_buckets)
+    def _fetch(t: pa.Table) -> pa.Table:
+        want = ray.get(aref)
+        return t.select([id_col, "sig"]).filter(
+            pc.is_in(t[id_col], value_set=want))
 
-    def _unpack(col: pa.ChunkedArray, n: int) -> np.ndarray:
-        arr = col.combine_chunks()
-        buf = arr.buffers()[1]
-        off = arr.offset * num_perm
-        return np.frombuffer(buf, np.uint64)[off: off + n * num_perm].reshape(n, num_perm)
+    old_sig_tbl = pa.concat_tables(
+        [t for t in ray.get(
+            ray.data.read_parquet(sig_files, partitioning=None)
+            .map_batches(_fetch, batch_format="pyarrow").to_arrow_refs())
+         if t.num_rows]
+    ).combine_chunks()
 
-    def _sim(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.table({"a": pa.array([], t["a"].type),
-                             "b": pa.array([], t["b"].type),
-                             "sim": pa.array([], pa.float64())})
-        sa = _unpack(t["sig_a"], t.num_rows)
-        sb = _unpack(t["sig_b"], t.num_rows)
-        sim = (sa == sb).mean(axis=1)
-        out = pa.table({"a": t["a"], "b": t["b"], "sim": pa.array(sim)})
-        return out.filter(pa.array(sim >= sim_threshold))
+    # driver-side similarity: gather both sig matrices by candidate row
+    def _sig_matrix(tbl: pa.Table) -> np.ndarray:
+        return np.asarray(tbl["sig"].combine_chunks().flatten()).reshape(
+            tbl.num_rows, num_perm).astype(np.uint64)
 
-    res = j.map_batches(_sim, batch_format="pyarrow").materialize()
-    if res.count() == 0:
-        # every candidate failed the sim filter: pin the output schema
-        # (a lazy all-empty tail loses it).  Cheap — candidates ≪ corpus
-        # and the upstream pair table is already materialized.
-        id_type = sigged.schema().base_schema.field(id_col).type
-        return ray.data.from_arrow(pa.table({
-            "a": pa.array([], id_type), "b": pa.array([], id_type),
-            "sim": pa.array([], pa.float64())}))
-    return res
+    old_ids_arr = old_sig_tbl[id_col].to_numpy(zero_copy_only=False)
+    old_order = np.argsort(old_ids_arr, kind="stable")
+    pos_a = old_order[np.searchsorted(old_ids_arr[old_order], a_ids)]
+    new_ids_arr = sig_tbl[id_col].to_numpy(zero_copy_only=False)
+    new_order = np.argsort(new_ids_arr, kind="stable")
+    pos_b = new_order[np.searchsorted(new_ids_arr[new_order], b_ids)]
+    sim = (_sig_matrix(old_sig_tbl)[pos_a] == _sig_matrix(sig_tbl)[pos_b]).mean(axis=1)
+    keep = sim >= sim_threshold
+    return ray.data.from_arrow(pa.table({
+        "a": pa.array(a_ids[keep], id_type),
+        "b": pa.array(b_ids[keep], id_type),
+        "sim": pa.array(sim[keep]),
+    }))
