@@ -219,7 +219,11 @@ def train_bpe_corpus(
         .groupby("word")
         .aggregate(Sum("c", alias_name="n"))
     )
-    tbl = pa.Table.from_pandas(counts.to_pandas())
+    # collect the distinct-word table as Arrow directly (a pandas
+    # round-trip re-typed columns and copied twice)
+    blocks = [t for t in ray.get(counts.to_arrow_refs()) if t.num_rows]
+    tbl = pa.concat_tables(blocks) if blocks else pa.table(
+        {"word": pa.array([], pa.string()), "n": pa.array([], pa.int64())})
     return train_bpe(tbl, num_merges, word_col="word", count_col="n")
 
 
