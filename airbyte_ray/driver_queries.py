@@ -1408,6 +1408,32 @@ def q_window_running(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_window_nav(sf_dir: str) -> ray.data.Dataset:
+    """Navigation-window family in one segmented pass: lag/lead/
+    first_value/last_value of the money column (exact int64 cents grid —
+    pure gathers, hash-exact) plus percent_rank (both sides divide the
+    same small ints in IEEE double; event_id is unique per user so row
+    position == SQL rank)."""
+    from .functions.agg import window_nav
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = pc.floor(pc.multiply(t["value"], 100.0)).cast(pa.int64())
+        return pa.table({
+            "user_id": t["user_id"],
+            "event_id": t["event_id"],
+            "cents": c,
+        })
+
+    out = window_nav(
+        _events(sf_dir, columns=["user_id", "event_id", "value"])
+        .map_batches(cents, batch_format="pyarrow"),
+        key="user_id", order_col="event_id", val_col="cents",
+    )
+    return out.map_batches(
+        lambda t: t.drop_columns(["cents"]), batch_format="pyarrow"
+    )
+
+
 def q_media_decode(sf_dir: str) -> ray.data.Dataset:
     """Multimodal decode, oracle-checked end-to-end: each doc gets a REAL
     planted image whose dims and fill byte are pure functions of doc_id —
@@ -1532,6 +1558,27 @@ def q_rollup_sets(sf_dir: str) -> ray.data.Dataset:
     ).map_batches(prep, batch_format="pyarrow")
     return rollup_agg(ds, ["l_returnflag", "l_linestatus"], "qty",
                       sum_out="sum_qty", count_out="n")
+
+
+def q_cube_sets(sf_dir: str) -> ray.data.Dataset:
+    """GROUP BY CUBE(l_returnflag, l_linestatus): every SUBSET grouping
+    level (4 sets at n=2 — ROLLUP's prefixes plus the (linestatus)-only
+    marginal) in the same one-exchange partial-aggregate plan."""
+    from .functions.agg import cube_agg
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "qty": t["l_quantity"].cast(pa.int64()),
+        })
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity"],
+    ).map_batches(prep, batch_format="pyarrow")
+    return cube_agg(ds, ["l_returnflag", "l_linestatus"], "qty",
+                    sum_out="sum_qty", count_out="n")
 
 
 def q_unpivot(sf_dir: str) -> ray.data.Dataset:
@@ -1734,12 +1781,14 @@ QUERIES = {
     "media_decode": q_media_decode,
     "media_frames": q_media_frames,
     "rollup_sets": q_rollup_sets,
+    "cube_sets": q_cube_sets,
     "unpivot": q_unpivot,
     "join_outer": q_join_outer,
     "window_rolling": q_window_rolling,
     "set_ops": q_set_ops,
     "grouped_quantiles": q_grouped_quantiles,
     "window_ranks": q_window_ranks,
+    "window_nav": q_window_nav,
 }
 
 _CANON = "md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
@@ -1834,6 +1883,25 @@ ORACLE_SQL = {
                (4 + doc_id % 5) * (3 + doc_id % 4) * 3 * (doc_id % 251) AS px_sum
         FROM documents
     """,
+    # window_nav oracle: DuckDB's own navigation windows over the same
+    # int64 cents grid; last_value needs the explicit full-partition frame
+    # (its default frame stops at CURRENT ROW).
+    "window_nav": """
+        WITH c AS (
+          SELECT user_id, event_id,
+                 CAST(floor(value*100) AS BIGINT) AS cents
+          FROM events
+        )
+        SELECT user_id, event_id,
+               lag(cents) OVER w AS lag_val,
+               lead(cents) OVER w AS lead_val,
+               first_value(cents) OVER w AS first_val,
+               last_value(cents) OVER (PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_val,
+               percent_rank() OVER w AS pr
+        FROM c
+        WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    """,
     # media_frames oracle: regenerate the planted frame grid from doc_id —
     # sampled frame ids (every 2nd of 2 + d%3 frames) and the exact
     # checksum of each flat JPEG frame the engine decoded.
@@ -1852,6 +1920,13 @@ ORACLE_SQL = {
                CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
                COUNT(*) AS n
         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+    "cube_sets": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+               COUNT(*) AS n
+        FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
     """,
     "unpivot": """
         SELECT l_orderkey, l_linenumber, 'l_extendedprice' AS measure, l_extendedprice AS amount FROM lineitem

@@ -32,12 +32,14 @@ from .text import repetition_stats, scrub_regex  # noqa: F401
 from .sketch import CountMinSketch, HyperLogLog, approx_distinct, build_cms, heavy_hitters  # noqa: F401
 from .bloom import BloomFilter, bloom_anti_join, build_bloom  # noqa: F401
 from .agg import (  # noqa: F401
+    cube_agg,
     grouped_quantiles,
     grouped_topn,
     pivot_counts,
     rolling_agg,
     rollup_agg,
     running_agg,
+    window_nav,
     window_ranks,
 )
 from .setops import except_distinct, intersect_distinct, set_compare  # noqa: F401

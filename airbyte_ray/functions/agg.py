@@ -204,20 +204,26 @@ def rollup_agg(
     sum_out: str = "sum_val",
     count_out: str = "n",
     num_partitions: int = 32,
+    sets: list[list[str]] | None = None,
 ) -> ray.data.Dataset:
     """ROLLUP grouping sets: one row per group at EVERY prefix level of
     ``keys`` — (k1..kn), (k1..kn-1), …, () — like SQL ``GROUP BY ROLLUP``.
     ``gid`` is the SQL ``GROUPING()`` bitmask (bit set ⇔ that key is
-    aggregated out, first key = most-significant bit).
+    aggregated out, first key = most-significant bit).  Pass ``sets``
+    (a list of key subsets) for explicit ``GROUPING SETS``;
+    :func:`cube_agg` generates the full-powerset CUBE.
 
     Plan: the per-batch combiner partial-aggregates ALL levels at once, so
     the single exchange carries ≤ Σ|level groups| rows per batch — the
     corpus never shuffles.  The global fold groups on a composite string
     key (gid + level key values; aggregated-out columns are NULL)."""
     n = len(keys)
+    if sets is None:
+        sets = [keys[:L] for L in range(n + 1)]
     levels = [
-        (keys[:L], sum((1 << (n - 1 - i)) for i in range(L, n)))
-        for L in range(n + 1)
+        (list(s), sum((1 << (n - 1 - i))
+                      for i, k in enumerate(keys) if k not in s))
+        for s in sets
     ]
 
     def partial(t: pa.Table) -> pa.Table:
@@ -277,6 +283,25 @@ def rollup_agg(
     )
 
 
+def cube_agg(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    sum_col: str,
+    **kwargs,
+) -> ray.data.Dataset:
+    """CUBE grouping sets: one row per group at EVERY subset of ``keys``
+    — SQL ``GROUP BY CUBE``.  Same partial-per-batch single-exchange
+    plan as :func:`rollup_agg`; 2^n levels (n is small by construction —
+    each extra key doubles combiner output width, never the shuffle of
+    the corpus)."""
+    n = len(keys)
+    sets = [
+        [k for i, k in enumerate(keys) if not (b >> (n - 1 - i)) & 1]
+        for b in range(1 << n)
+    ]
+    return rollup_agg(ds, keys, sum_col, sets=sets, **kwargs)
+
+
 def window_ranks(
     ds: ray.data.Dataset,
     key: str,
@@ -316,6 +341,54 @@ def window_ranks(
         g = g.append_column("rn", pa.array(rn.astype(np.int64)))
         g = g.append_column("dr", pa.array(dr.astype(np.int64)))
         return g.append_column("nt", pa.array(nt.astype(np.int64)))
+
+    return (
+        ds.map_batches(_route_by(key, num_partitions), batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(kernel, batch_format="pyarrow")
+    )
+
+
+def window_nav(
+    ds: ray.data.Dataset,
+    key: str,
+    order_col: str,
+    val_col: str,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """The SQL navigation-window family in ONE segmented pass per
+    partition, all over ``(PARTITION BY key ORDER BY order_col)``:
+    ``lag_val`` / ``lead_val`` (NULL at segment edges), ``first_val`` /
+    ``last_val`` over the FULL partition frame (SQL's last_value needs an
+    explicit ``ROWS BETWEEN … UNBOUNDED FOLLOWING`` for this), and ``pr``
+    = percent_rank().  Value columns keep their Arrow type (shifts are a
+    null-masked ``take``, not a numpy cast).  percent_rank is computed
+    from row position, which equals SQL rank() when ``order_col`` is
+    unique per key (the usual event-id case); with ties SQL's rank()
+    would repeat — documented contract.  Same one-exchange plan as the
+    other windowed aggregates."""
+
+    def kernel(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__part"])
+        idx = pc.sort_indices(g, sort_keys=[(key, "ascending"), (order_col, "ascending")])
+        g = g.take(idx).combine_chunks()
+        n = g.num_rows
+        new, starts, runs = _segments(_seg_keys(g, key))
+        v = g[val_col]
+        pos_all = np.arange(n, dtype=np.int64)
+        tail = np.concatenate([new[1:], [True]]) if n else new
+        lag_v = pc.take(v, pa.array(pos_all - 1, mask=new))
+        lead_v = pc.take(v, pa.array(np.where(tail, 0, pos_all + 1), mask=tail))
+        first_v = pc.take(v, pa.array(np.repeat(starts, runs)))
+        last_v = pc.take(v, pa.array(np.repeat(starts + runs - 1, runs)))
+        pos = pos_all - np.repeat(starts, runs)
+        denom = np.repeat(np.maximum(runs - 1, 1), runs)
+        pr = pos / denom  # runs==1 ⇒ pos 0 ⇒ 0.0, SQL's single-row value
+        g = g.append_column("lag_val", lag_v)
+        g = g.append_column("lead_val", lead_v)
+        g = g.append_column("first_val", first_v)
+        g = g.append_column("last_val", last_v)
+        return g.append_column("pr", pa.array(pr.astype(np.float64)))
 
     return (
         ds.map_batches(_route_by(key, num_partitions), batch_format="pyarrow")

@@ -233,3 +233,51 @@ def test_window_ranks_matches_duckdb():
     ).df()
     for c in ("rn", "dr", "nt"):
         assert got[c].tolist() == exp[c].tolist(), c
+
+
+def test_window_nav_matches_duckdb():
+    """lag/lead/first/last/percent_rank vs DuckDB, including a singleton
+    group (pr=0, lag/lead NULL) and nulls in the value column (gathers
+    must preserve them)."""
+    from airbyte_ray.functions.agg import window_nav
+
+    t = pa.table({"k": ["a"] * 4 + ["b"] * 1 + ["c"] * 3,
+                  "o": [1, 2, 3, 4, 1, 1, 2, 3],
+                  "v": [10, None, 30, 40, 7, 1, 2, 3]})
+    got = (window_nav(ray.data.from_arrow(t).repartition(3), "k", "o", "v")
+           .to_pandas().sort_values(["k", "o"]).reset_index(drop=True))
+    exp = duckdb.sql(
+        """SELECT k, o, v,
+                  lag(v) OVER w AS lag_val,
+                  lead(v) OVER w AS lead_val,
+                  first_value(v) OVER w AS first_val,
+                  last_value(v) OVER (PARTITION BY k ORDER BY o
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_val,
+                  percent_rank() OVER w AS pr
+           FROM t WINDOW w AS (PARTITION BY k ORDER BY o) ORDER BY k, o"""
+    ).df()
+    import numpy as np
+    for c in ("lag_val", "lead_val", "first_val", "last_val", "pr"):
+        g, e = got[c].to_numpy(dtype=float), exp[c].to_numpy(dtype=float)
+        assert ((g == e) | (np.isnan(g) & np.isnan(e))).all(), c
+
+
+def test_cube_agg_matches_duckdb():
+    """All 2^n grouping sets (incl. the non-prefix marginal ROLLUP lacks)
+    with SQL GROUPING() bit semantics."""
+    from airbyte_ray.functions.agg import cube_agg
+
+    t = pa.table({"x": ["p", "p", "q", "q", "q"],
+                  "y": ["u", "v", "u", "u", "v"],
+                  "v": [1, 2, 3, 4, 5]})
+    got = (cube_agg(ray.data.from_arrow(t).repartition(2), ["x", "y"], "v")
+           .to_pandas().sort_values(["gid", "x", "y"]).reset_index(drop=True))
+    exp = duckdb.sql(
+        """SELECT x, y, CAST(GROUPING(x, y) AS BIGINT) gid,
+                  SUM(v) sum_val, COUNT(*) n
+           FROM t GROUP BY CUBE(x, y) ORDER BY gid, x, y"""
+    ).df()
+    assert len(got) == len(exp) == 9  # 4 pairs + 2 x-marginals + 2 y-marginals + grand
+    assert got.gid.tolist() == exp.gid.tolist()
+    assert got.sum_val.astype(float).tolist() == exp.sum_val.astype(float).tolist()
+    assert got.n.tolist() == exp.n.tolist()
