@@ -140,6 +140,33 @@ def main(argv: list[str] | None = None) -> int:
     co.add_argument("--streaming", action="store_true",
                     help="no per-stage metrics; one fused streaming plan")
 
+    di = sub.add_parser(
+        "dedup-index",
+        help="persisted cross-run LSH near-dup index (build/append/probe)",
+    )
+    di.add_argument("action", choices=["build", "append", "probe"])
+    di.add_argument("--index", required=True)
+    di.add_argument("--docs", required=True, nargs="+",
+                    help="documents parquet (doc_id,text); probe = the NEW batch")
+    di.add_argument("--threshold", type=float, default=0.8)
+    di.add_argument("--shards", type=int, default=64)
+    di.add_argument("--out", default=None,
+                    help="probe: also write the match table here as parquet")
+
+    ai = sub.add_parser(
+        "ann-index",
+        help="persisted cell-partitioned IVF ANN index (build/append/query)",
+    )
+    ai.add_argument("action", choices=["build", "append", "query"])
+    ai.add_argument("--index", required=True)
+    ai.add_argument("--vecs", required=True, nargs="+",
+                    help="embeddings parquet (vec_id,embedding); query = the query set")
+    ai.add_argument("--cells", type=int, default=64)
+    ai.add_argument("--k", type=int, default=10)
+    ai.add_argument("--nprobe", type=int, default=4)
+    ai.add_argument("--out", default=None,
+                    help="query: also write the top-k table here as parquet")
+
     args = p.parse_args(argv)
 
     if args.cmd == "corpus":  # validate BEFORE paying for a Ray session
@@ -274,6 +301,70 @@ def main(argv: list[str] | None = None) -> int:
                 cursor_field=args.cursor, primary_key=args.pk,
             )
             out = SyncEngine(args.dest).sync(cfg, args.src if len(args.src) > 1 else args.src[0])
+        elif args.cmd == "dedup-index":
+            from .functions.dedup_index import (
+                append_to_index,
+                build_minhash_index,
+                dedup_against_index,
+            )
+
+            docs = ray.data.read_parquet(
+                args.docs if len(args.docs) > 1 else args.docs[0]
+            )
+            if args.action == "build":
+                out = build_minhash_index(docs, args.index, n_shards=args.shards)
+            elif args.action == "append":
+                append_to_index(docs, args.index)
+                out = {"appended": docs.count()}
+            else:
+                res = dedup_against_index(
+                    docs, args.index, sim_threshold=args.threshold
+                ).materialize()
+                out = {"matches": res.count()}
+                if args.out:
+                    res.write_parquet(args.out)
+                    out["out"] = args.out
+        elif args.cmd == "ann-index":
+            import numpy as np
+
+            from .functions.ann import (
+                append_to_ivf_index,
+                build_ivf_index,
+                ivf_topk_indexed,
+            )
+
+            src = args.vecs if len(args.vecs) > 1 else args.vecs[0]
+            if args.action == "build":
+                c = build_ivf_index(
+                    ray.data.read_parquet(src), args.index, n_cells=args.cells
+                )
+                out = {"built": args.index, "cells": int(len(c))}
+            elif args.action == "append":
+                vecs = ray.data.read_parquet(src)
+                append_to_ivf_index(vecs, args.index)
+                out = {"appended": vecs.count()}
+            else:
+                import json as _json
+                import os as _os
+
+                import pyarrow.parquet as _pq
+
+                with open(_os.path.join(args.index, "ivf_meta.json")) as f:
+                    meta = _json.load(f)
+                qt = _pq.read_table(
+                    args.vecs[0], columns=[meta["col"]]
+                )
+                q = np.stack([
+                    np.asarray(v, np.float32)
+                    for v in qt[meta["col"]].to_pylist()
+                ])
+                res = ivf_topk_indexed(
+                    args.index, q, k=args.k, nprobe=args.nprobe
+                ).materialize()
+                out = {"queries": int(len(q)), "rows": res.count()}
+                if args.out:
+                    res.write_parquet(args.out)
+                    out["out"] = args.out
         elif args.cmd == "corpus":
             from .pipelines.corpus import CorpusConfig, build_corpus
 

@@ -296,6 +296,28 @@ def build_ivf_index(
     return c
 
 
+def append_to_ivf_index(
+    ds: ray.data.Dataset,
+    index_dir: str,
+) -> None:
+    """Log-structured append to a persisted IVF index
+    (:func:`build_ivf_index`): assign the new vectors to the EXISTING
+    trained cells and write their rows beside the current ``cell=N``
+    partition files (parquet dirs append; no rewrite).  The quantizer is
+    deliberately left unchanged — recall for appended vectors matches the
+    trained distribution's, and re-training/repartitioning is a periodic
+    compaction decision (the same trade every IVF system makes)."""
+    import json
+    import os
+
+    c = np.load(os.path.join(index_dir, "centroids.npy"))
+    with open(os.path.join(index_dir, "ivf_meta.json")) as f:
+        meta = json.load(f)
+    assign_cells(
+        ds.select_columns([meta["id_col"], meta["col"]]), c, col=meta["col"]
+    ).write_parquet(index_dir, partition_cols=["cell"])
+
+
 def ivf_probed_files(
     index_dir: str, queries: np.ndarray, nprobe: int = 4
 ) -> tuple[list[str], np.ndarray, dict]:

@@ -538,3 +538,70 @@ def test_ngram_jaccard_exact_pairs(dup_docs):
                                 num_perm=64, bands=16).take_all()}
     assert not any(10_000 + j in kept for j in range(10))
     assert all(j in kept for j in range(10))
+
+
+def test_append_to_ivf_index_matches_full_build(tmp_path):
+    """Log-structured IVF append: build on half the corpus, append the
+    other half; full-probe (nprobe=all) queries must equal brute force
+    over the WHOLE corpus — appended vectors are first-class citizens."""
+    from airbyte_ray.functions.ann import (
+        append_to_ivf_index,
+        brute_force_topk,
+        build_ivf_index,
+        ivf_topk_indexed,
+    )
+
+    t = pq.read_table(EMB)
+    half = t.num_rows // 2
+    root = str(tmp_path / "ivf_app")
+    build_ivf_index(ray.data.from_arrow(t.slice(0, half)), root, n_cells=8)
+    append_to_ivf_index(ray.data.from_arrow(t.slice(half)), root)
+
+    q = np.stack([np.asarray(v, np.float32)
+                  for v in t["embedding"].to_pylist()[:4]])
+    got = ivf_topk_indexed(root, q, k=5, nprobe=8).take_all()  # all cells
+    exact = brute_force_topk(ray.data.from_arrow(t), q, k=5).take_all()
+    assert ({(r["query_id"], r["vec_id"]) for r in got}
+            == {(r["query_id"], r["vec_id"]) for r in exact})
+
+
+def test_cli_dedup_and_ann_index_verbs(tmp_path, capsys):
+    """The index lifecycle CLI verbs: build → probe / build → query."""
+    import json
+
+    from airbyte_ray.cli import main
+
+    docs = str(tmp_path / "docs.parquet")
+    words = [f"tok{i}" for i in range(300)]
+
+    def doc(seed):
+        r = np.random.default_rng(seed)
+        return " ".join(r.choice(words, 40))
+
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(50)),
+        "text": pa.array([doc(i) for i in range(50)]),
+    }), docs)
+    probe = str(tmp_path / "probe.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array([900, 901]),
+        "text": pa.array([doc(7), doc(9999)]),  # one copy, one fresh
+    }), probe)
+
+    idx = str(tmp_path / "didx")
+    assert main(["dedup-index", "build", "--index", idx,
+                 "--docs", docs, "--shards", "8"]) == 0
+    capsys.readouterr()
+    assert main(["dedup-index", "probe", "--index", idx, "--docs", probe,
+                 "--threshold", "0.9"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["matches"] == 1  # only the planted copy
+
+    ivf = str(tmp_path / "aidx")
+    assert main(["ann-index", "build", "--index", ivf,
+                 "--vecs", EMB, "--cells", "8"]) == 0
+    capsys.readouterr()
+    assert main(["ann-index", "query", "--index", ivf, "--vecs", EMB,
+                 "--k", "3", "--nprobe", "2"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"] == out["queries"] * 3
