@@ -1537,6 +1537,46 @@ def q_media_frames(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_audio_spectrogram(sf_dir: str) -> ray.data.Dataset:
+    """Audio frontend, oracle-checked end-to-end: each doc gets a REAL
+    PCM WAV of a BIN-CENTERED pure tone — freq = k·rate/n_fft with
+    k = 5 + d%90 (rate 8000, n_fft 256) — decoded by ``WavDecode`` and
+    FFT'd by the vectorized ``Spectrogram`` stage.  A bin-centered sine's
+    magnitude peaks at exactly bin k (Hann leakage is symmetric), so the
+    oracle recomputes ``peak_bin`` and ``n_frames`` from doc_id alone —
+    verifying the whole decode→frame→window→FFT chain, not just
+    plumbing.  2000 samples, hop 128 ⇒ (2000−256)//128+1 = 14 frames."""
+    from .functions.multimodal import Spectrogram, WavDecode, encode_wav
+
+    RATE, N_FFT, N_SAMP = 8000, 256, 2000
+
+    def plant(t: pa.Table) -> pa.Table:
+        payloads = []
+        for d in t["doc_id"].to_pylist():
+            k = 5 + d % 90
+            tt = np.arange(N_SAMP) / RATE
+            sig = 12000 * np.sin(2 * np.pi * (k * RATE / N_FFT) * tt)
+            payloads.append(encode_wav(sig.astype(np.int16), RATE))
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "payload": pa.array(payloads, pa.binary()),
+        })
+
+    return (
+        _docs(sf_dir, columns=["doc_id"])
+        .map_batches(plant, batch_format="pyarrow")
+        .map_batches(WavDecode, batch_format="pyarrow",
+                     batch_size=128, concurrency=(1, 8))
+        .map_batches(Spectrogram, batch_format="pyarrow",
+                     batch_size=128, concurrency=(1, 8))
+        .map_batches(lambda t: pa.table({
+            "doc_id": t["doc_id"],
+            "n_frames": t["n_frames"].cast(pa.int64()),
+            "peak_bin": t["peak_bin"].cast(pa.int64()),
+        }), batch_format="pyarrow")
+    )
+
+
 def q_rollup_sets(sf_dir: str) -> ray.data.Dataset:
     """GROUP BY ROLLUP(l_returnflag, l_linestatus): every prefix grouping
     level in ONE pass — the per-batch combiner partial-aggregates all
@@ -1780,6 +1820,7 @@ QUERIES = {
     "window_running": q_window_running,
     "media_decode": q_media_decode,
     "media_frames": q_media_frames,
+    "audio_spectrogram": q_audio_spectrogram,
     "rollup_sets": q_rollup_sets,
     "cube_sets": q_cube_sets,
     "unpivot": q_unpivot,
@@ -1881,6 +1922,14 @@ ORACLE_SQL = {
                CAST(4 + doc_id % 5 AS INTEGER) AS img_w,
                CAST(3 + doc_id % 4 AS INTEGER) AS img_h,
                (4 + doc_id % 5) * (3 + doc_id % 4) * 3 * (doc_id % 251) AS px_sum
+        FROM documents
+    """,
+    # audio_spectrogram oracle: the planted tone's peak bin and the frame
+    # count are pure functions of doc_id (see q_audio_spectrogram).
+    "audio_spectrogram": """
+        SELECT doc_id,
+               CAST((2000 - 256) // 128 + 1 AS BIGINT) AS n_frames,
+               CAST(5 + doc_id % 90 AS BIGINT) AS peak_bin
         FROM documents
     """,
     # window_nav oracle: DuckDB's own navigation windows over the same

@@ -240,3 +240,36 @@ def test_media_decode_strict_raises_on_unknown_mime():
         MediaDecode()(t)
     out = MediaDecode(strict=False)(t)
     assert out["pixels"].to_pylist() == [None]
+
+
+def test_spectrogram_stage():
+    """Vectorized STFT: bin-centered tones peak at their bin; short clips
+    zero-pad to one frame; null clips survive; frame math matches."""
+    import numpy as np
+    import pyarrow as pa
+
+    from airbyte_ray.functions.multimodal import Spectrogram
+
+    rate, n_fft, hop = 8000, 256, 128
+    tt = np.arange(2000) / rate
+
+    def tone(k):
+        return (12000 * np.sin(2 * np.pi * (k * rate / n_fft) * tt)).astype(np.int16)
+
+    t = pa.table({
+        "clip_id": pa.array([0, 1, 2, 3]),
+        "samples": pa.array(
+            [tone(7), tone(31), np.arange(100, dtype=np.int16), None],
+            pa.list_(pa.int16())),
+    })
+    out = Spectrogram(n_fft=n_fft, hop=hop)(t)
+    assert out["peak_bin"].to_pylist()[:2] == [7, 31]
+    nf = out["n_frames"].to_pylist()
+    assert nf[0] == nf[1] == (2000 - n_fft) // hop + 1
+    assert nf[2] == 1 and nf[3] == 1  # short + null → one (padded/zero) frame
+    spec = out["spec"].to_pylist()
+    n_bins = n_fft // 2 + 1
+    assert all(len(s) == f * n_bins for s, f in zip(spec, nf))
+    # empty batch keeps the schema
+    empty = Spectrogram(n_fft=n_fft, hop=hop)(t.slice(0, 0))
+    assert empty.schema.names == list(t.schema.names) + ["spec", "n_frames", "peak_bin"]
