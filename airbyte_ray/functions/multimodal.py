@@ -285,25 +285,37 @@ def _png_chunk(typ: bytes, data: bytes) -> bytes:
             + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
 
 
+#: PNG color type → channels per pixel (8-bit depth)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
 def encode_png(px: np.ndarray) -> bytes:
-    """(h, w, 3) uint8 → 8-bit truecolor PNG (stdlib ``zlib``/``struct``).
-    Rows cycle filter types None/Sub/Up so a decoder must genuinely
-    unfilter, not just inflate — round-trip tests exercise those paths."""
+    """uint8 image → 8-bit PNG (stdlib ``zlib``/``struct``).  The color
+    type follows the input shape: (h, w) or (h, w, 1) → grayscale (0),
+    (h, w, 2) → gray+alpha (4), (h, w, 3) → truecolor (2), (h, w, 4) →
+    RGBA (6).  Rows cycle filter types None/Sub/Up so a decoder must
+    genuinely unfilter, not just inflate — round-trips exercise those
+    paths."""
     import struct
     import zlib
 
-    h, w, _ = px.shape
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, ch = px.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}.get(ch)
+    if ctype is None:
+        raise ValueError(f"unsupported channel count {ch}")
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
     raw = bytearray()
-    prev = np.zeros(w * 3, np.uint8)
+    prev = np.zeros(w * ch, np.uint8)
     for r in range(h):
         row = np.ascontiguousarray(px[r].reshape(-1), dtype=np.uint8)
         f = r % 3
         if f == 0:  # None
             filt = row
-        elif f == 1:  # Sub: delta vs the pixel 3 bytes left
-            d = row.reshape(w, 3).astype(np.int16)
-            d = d - np.vstack([np.zeros((1, 3), np.int16), d[:-1]])
+        elif f == 1:  # Sub: delta vs the pixel ch bytes left
+            d = row.reshape(w, ch).astype(np.int16)
+            d = d - np.vstack([np.zeros((1, ch), np.int16), d[:-1]])
             filt = (d % 256).astype(np.uint8).reshape(-1)
         else:  # Up: delta vs the row above
             filt = ((row.astype(np.int16) - prev.astype(np.int16)) % 256).astype(np.uint8)
@@ -316,13 +328,16 @@ def encode_png(px: np.ndarray) -> bytes:
 
 
 def decode_png(payload: bytes) -> np.ndarray:
-    """8-bit truecolor (color type 2, non-interlaced) PNG → (h, w, 3)
-    uint8 — stdlib ``zlib`` inflate + full filter reconstruction.  All five
-    scanline filters decode: None/Sub/Up are vectorized numpy (Sub is a
-    modular ``cumsum`` with pixel stride), Average/Paeth fall back to a
-    per-byte loop (spec-complete; rare in practice — our encoder never
-    emits them).  CRCs are verified; other color types / bit depths /
-    interlacing raise loudly rather than mis-decode."""
+    """8-bit non-interlaced PNG → (h, w, 3) uint8 RGB — stdlib ``zlib``
+    inflate + full filter reconstruction.  Color types 0 (grayscale,
+    replicated to RGB), 2 (truecolor), 4 (gray+alpha) and 6 (RGBA) are
+    supported; the alpha channel is DROPPED (compositing against a
+    background is a pipeline policy, not a codec concern — documented).
+    All five scanline filters decode: None/Sub/Up are vectorized numpy
+    (Sub is a modular ``cumsum`` with pixel stride), Average/Paeth fall
+    back to a per-byte loop (spec-complete; rare in practice — our
+    encoder never emits them).  CRCs are verified; palette / 16-bit /
+    interlaced files raise loudly rather than mis-decode."""
     import struct
     import zlib
 
@@ -330,7 +345,7 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise ValueError("not a PNG")
     i, n = 8, len(payload)
     idat = bytearray()
-    w = h = None
+    w = h = ch = None
     while i + 12 <= n:
         ln, typ = struct.unpack_from(">I4s", payload, i)
         data = payload[i + 8: i + 8 + ln]
@@ -339,11 +354,12 @@ def decode_png(payload: bytes) -> np.ndarray:
             raise ValueError(f"bad CRC in {typ!r} chunk")
         if typ == b"IHDR":
             w, h, depth, ctype, comp, filt, inter = struct.unpack(">IIBBBBB", data)
-            if (depth, ctype, comp, filt, inter) != (8, 2, 0, 0, 0):
+            ch = _PNG_CHANNELS.get(ctype)
+            if depth != 8 or ch is None or comp or filt or inter:
                 raise ValueError(
                     f"unsupported PNG (depth={depth}, color_type={ctype}, "
                     f"interlace={inter}) — stdlib baseline decodes 8-bit "
-                    "truecolor non-interlaced only")
+                    "gray/truecolor/alpha non-interlaced only")
         elif typ == b"IDAT":
             idat.extend(data)
         elif typ == b"IEND":
@@ -351,7 +367,7 @@ def decode_png(payload: bytes) -> np.ndarray:
         i += 12 + ln
     if w is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
-    stride = w * 3
+    stride = w * ch
     raw = np.frombuffer(zlib.decompress(bytes(idat)), np.uint8)
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG data length mismatch")
@@ -363,19 +379,19 @@ def decode_png(payload: bytes) -> np.ndarray:
         f, line = int(filters[r]), rows[r]
         if f == 0:
             rec = line.copy()
-        elif f == 1:  # Sub: recon[x] = filt[x] + recon[x-3] ⇒ mod-256 cumsum
-            rec = np.cumsum(line.reshape(w, 3), axis=0, dtype=np.uint8).reshape(-1)
+        elif f == 1:  # Sub: recon[x] = filt[x] + recon[x-ch] ⇒ mod-256 cumsum
+            rec = np.cumsum(line.reshape(w, ch), axis=0, dtype=np.uint8).reshape(-1)
         elif f == 2:  # Up: uint8 add wraps mod 256 by itself
             rec = line + prev
         elif f in (3, 4):
             rec = np.empty(stride, np.uint8)
             for x in range(stride):
-                a = int(rec[x - 3]) if x >= 3 else 0
+                a = int(rec[x - ch]) if x >= ch else 0
                 b = int(prev[x])
                 if f == 3:  # Average
                     pred = (a + b) >> 1
                 else:  # Paeth
-                    c = int(prev[x - 3]) if x >= 3 else 0
+                    c = int(prev[x - ch]) if x >= ch else 0
                     p = a + b - c
                     da, db, dc = abs(p - a), abs(p - b), abs(p - c)
                     pred = a if (da <= db and da <= dc) else (b if db <= dc else c)
@@ -384,7 +400,14 @@ def decode_png(payload: bytes) -> np.ndarray:
             raise ValueError(f"invalid PNG filter type {f}")
         out[r] = rec
         prev = rec
-    return out.reshape(h, w, 3)
+    img = out.reshape(h, w, ch)
+    if ch == 1:
+        return np.repeat(img, 3, axis=2)
+    if ch == 2:  # gray + alpha → replicate gray, drop alpha
+        return np.repeat(img[:, :, :1], 3, axis=2)
+    if ch == 4:  # RGBA → drop alpha
+        return np.ascontiguousarray(img[:, :, :3])
+    return img
 
 
 def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:

@@ -155,11 +155,21 @@ def test_png_roundtrip_filters_and_crc():
     bad[30] ^= 0xFF
     with _pytest.raises(ValueError, match="CRC"):
         decode_png(bytes(bad))
-    # unsupported color type raises loudly
-    ihdr_rgba = struct.pack(">IIBBBBB", 2, 2, 8, 6, 0, 0, 0)
-    rgba = _PNG_SIG + _png_chunk(b"IHDR", ihdr_rgba) + _png_chunk(b"IEND", b"")
+    # unsupported color type (3 = palette) raises loudly
+    ihdr_pal = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    pal = _PNG_SIG + _png_chunk(b"IHDR", ihdr_pal) + _png_chunk(b"IEND", b"")
     with _pytest.raises(ValueError, match="unsupported"):
-        decode_png(rgba)
+        decode_png(pal)
+    # grayscale (type 0): replicated to RGB
+    gray = rng.integers(0, 256, (9, 11), dtype=np.uint8)
+    dg = decode_png(encode_png(gray))
+    assert np.array_equal(dg, np.repeat(gray[:, :, None], 3, axis=2))
+    # gray+alpha (4) and RGBA (6): alpha dropped, color exact
+    ga = rng.integers(0, 256, (7, 5, 2), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(ga)),
+                          np.repeat(ga[:, :, :1], 3, axis=2))
+    rgba_px = rng.integers(0, 256, (6, 8, 4), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(rgba_px)), rgba_px[:, :, :3])
 
 
 def test_wav_roundtrip_and_features():
