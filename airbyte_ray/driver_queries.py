@@ -1434,6 +1434,38 @@ def q_window_nav(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_grouped_stats(sf_dir: str) -> ray.data.Dataset:
+    """Per-user money statistics with hash-exact floats: the parallel
+    reduction folds EXACT int64 moments (n, Σcents, Σcents²) — order-
+    independent — and mean/var/std derive in one fixed IEEE expression
+    the oracle spells out identically.  The only way a float statistic
+    survives the driver's hash comparison."""
+    from .functions.agg import grouped_stats
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = pc.floor(pc.multiply(t["value"], 100.0)).cast(pa.int64())
+        return pa.table({"user_id": t["user_id"], "cents": c})
+
+    return grouped_stats(
+        _events(sf_dir, columns=["user_id", "value"])
+        .map_batches(cents, batch_format="pyarrow"),
+        key="user_id", col="cents",
+    )
+
+
+def q_profile_table(sf_dir: str) -> ray.data.Dataset:
+    """Data-quality profile of the events table (int + string columns):
+    per-column row/null counts, EXACT distinct counts (one (column, key)
+    exchange), and min/max folded in native types before stringifying —
+    the scan a pipeline runs before trusting a new source."""
+    from .functions.profile import profile_table
+
+    return profile_table(
+        _events(sf_dir, columns=["event_id", "user_id", "event_type"]),
+        ["event_id", "user_id", "event_type"],
+    )
+
+
 def q_media_decode(sf_dir: str) -> ray.data.Dataset:
     """Multimodal decode, oracle-checked end-to-end: each doc gets a REAL
     planted image whose dims and fill byte are pure functions of doc_id —
@@ -1830,6 +1862,8 @@ QUERIES = {
     "grouped_quantiles": q_grouped_quantiles,
     "window_ranks": q_window_ranks,
     "window_nav": q_window_nav,
+    "grouped_stats": q_grouped_stats,
+    "profile_table": q_profile_table,
 }
 
 _CANON = "md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
@@ -1931,6 +1965,53 @@ ORACLE_SQL = {
                CAST((2000 - 256) // 128 + 1 AS BIGINT) AS n_frames,
                CAST(5 + doc_id % 90 AS BIGINT) AS peak_bin
         FROM documents
+    """,
+    # profile_table oracle: one profiling SELECT per column
+    "profile_table": """
+        SELECT 'event_id' AS col_name, COUNT(*) AS n,
+               CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+               COUNT(DISTINCT event_id) AS n_distinct,
+               CAST(MIN(event_id) AS VARCHAR) AS min_s,
+               CAST(MAX(event_id) AS VARCHAR) AS max_s
+        FROM events
+        UNION ALL
+        SELECT 'user_id', COUNT(*),
+               CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               COUNT(DISTINCT user_id),
+               CAST(MIN(user_id) AS VARCHAR), CAST(MAX(user_id) AS VARCHAR)
+        FROM events
+        UNION ALL
+        SELECT 'event_type', COUNT(*),
+               CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               COUNT(DISTINCT event_type),
+               MIN(event_type), MAX(event_type)
+        FROM events
+    """,
+    # grouped_stats oracle: exact integer moments, then the IDENTICAL
+    # IEEE expression tree the engine uses — (ssq − s·s/n)/(n−1), all
+    # double, GREATEST 0 — so even the float columns hash-match.
+    "grouped_stats": """
+        WITH c AS (
+          SELECT user_id, CAST(floor(value*100) AS BIGINT) AS cents
+          FROM events WHERE value IS NOT NULL
+        ),
+        m AS (
+          SELECT user_id, COUNT(*) AS n,
+                 CAST(SUM(cents) AS BIGINT) AS s,
+                 CAST(SUM(cents*cents) AS BIGINT) AS ssq
+          FROM c GROUP BY user_id
+        )
+        SELECT user_id, n, s, ssq,
+               CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+               CASE WHEN n > 1 THEN GREATEST(
+                 (CAST(ssq AS DOUBLE)
+                    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                 / (CAST(n AS DOUBLE) - 1), 0) END AS var_samp,
+               CASE WHEN n > 1 THEN sqrt(GREATEST(
+                 (CAST(ssq AS DOUBLE)
+                    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                 / (CAST(n AS DOUBLE) - 1), 0)) END AS std_samp
+        FROM m
     """,
     # window_nav oracle: DuckDB's own navigation windows over the same
     # int64 cents grid; last_value needs the explicit full-partition frame

@@ -283,6 +283,80 @@ def rollup_agg(
     )
 
 
+def grouped_stats(
+    ds: ray.data.Dataset,
+    key: str,
+    col: str,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Per-key statistical moments with EXACT integer partials: each batch
+    combines to (key, n, s=Σx, ssq=Σx²) in int64 — associative, so the
+    parallel fold is order-independent and bit-exact — then mean and
+    sample variance/stddev derive from the folded moments in ONE fixed
+    IEEE expression (``(ssq − s·s/n)/(n−1)``, all-double), the same tree a
+    SQL oracle can spell out.  This is what makes a float statistic
+    hash-comparable across engines: floats only ever appear AFTER the
+    exact integer reduction.  Requires an integer ``col`` (put money on
+    the cents grid first); raises otherwise.  n==1 keys get NULL
+    var/std (SQL var_samp semantics)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        if not pa.types.is_integer(t.schema.field(col).type):
+            raise TypeError(
+                f"grouped_stats needs an integer column (got "
+                f"{t.schema.field(col).type}) — exact moments are the "
+                "whole point; quantize first")
+        sel = pa.table({key: t[key], col: t[col].cast(pa.int64())})
+        sq = pc.multiply(sel[col], sel[col])
+        sel = sel.append_column("__sq", sq)
+        g = pa.TableGroupBy(sel, key).aggregate([
+            (col, "sum"),
+            ("__sq", "sum"),
+            (col, "count", pc.CountOptions(mode="only_valid")),
+        ])
+        return pa.table({
+            key: g[key],
+            "n": g[f"{col}_count"].cast(pa.int64()),
+            "s": g[f"{col}_sum"].cast(pa.int64()),
+            "ssq": g["__sq_sum"].cast(pa.int64()),
+        })
+
+    def fold(g: pa.Table) -> pa.Table:
+        gb = pa.TableGroupBy(g.drop_columns(["__part"]), key).aggregate([
+            ("n", "sum"), ("s", "sum"), ("ssq", "sum")
+        ])
+        # keys whose values were ALL null carry n=0 — omit them (the SQL
+        # contract of a WHERE col IS NOT NULL pre-filter)
+        gb = gb.filter(pc.greater(gb["n_sum"], 0))
+        n = gb["n_sum"].cast(pa.int64()).to_numpy()
+        s = gb["s_sum"].cast(pa.int64()).to_numpy()
+        ssq = gb["ssq_sum"].cast(pa.int64()).to_numpy()
+        nd = n.astype(np.float64)
+        sd = s.astype(np.float64)
+        mean = sd / nd
+        with np.errstate(invalid="ignore", divide="ignore"):
+            var = (ssq.astype(np.float64) - sd * sd / nd) / (nd - 1.0)
+            var = np.maximum(var, 0.0)  # guard −0.0/−ulp from cancellation
+            std = np.sqrt(var)
+        single = n <= 1
+        return pa.table({
+            key: gb[key],
+            "n": pa.array(n),
+            "s": pa.array(s),
+            "ssq": pa.array(ssq),
+            "mean": pa.array(mean),
+            "var_samp": pa.array(var, mask=single),
+            "std_samp": pa.array(std, mask=single),
+        })
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(_route_by(key, num_partitions), batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+
+
 def cube_agg(
     ds: ray.data.Dataset,
     keys: list[str],

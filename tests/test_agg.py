@@ -281,3 +281,52 @@ def test_cube_agg_matches_duckdb():
     assert got.gid.tolist() == exp.gid.tolist()
     assert got.sum_val.astype(float).tolist() == exp.sum_val.astype(float).tolist()
     assert got.n.tolist() == exp.n.tolist()
+
+
+def test_grouped_stats_exact_moments_and_null_contract():
+    """Moments match DuckDB bit-for-bit (the IEEE-pinned derivation);
+    n==1 keys get NULL var/std; all-null keys are omitted; a float
+    column raises (exactness requires integers)."""
+    from airbyte_ray.functions.agg import grouped_stats
+
+    t = pa.table({"k": ["a"] * 5 + ["b"] + ["c"] * 3 + ["d"] * 2,
+                  "v": [3, 7, 7, 1, 9, 42, None, 5, 11, None, None]})
+    got = (grouped_stats(ray.data.from_arrow(t).repartition(3), "k", "v")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    exp = duckdb.sql(
+        """WITH c AS (SELECT k, v FROM t WHERE v IS NOT NULL),
+           m AS (SELECT k, COUNT(*) n, CAST(SUM(v) AS BIGINT) s,
+                        CAST(SUM(v*v) AS BIGINT) ssq FROM c GROUP BY k)
+           SELECT k, n, s, ssq, CAST(s AS DOUBLE)/CAST(n AS DOUBLE) mean,
+             CASE WHEN n > 1 THEN GREATEST((CAST(ssq AS DOUBLE)
+               - CAST(s AS DOUBLE)*CAST(s AS DOUBLE)/CAST(n AS DOUBLE))
+               / (CAST(n AS DOUBLE)-1), 0) END var_samp
+           FROM m ORDER BY k"""
+    ).df()
+    assert got.k.tolist() == ["a", "b", "c"]  # 'd' is all-null → omitted
+    assert got.n.tolist() == exp.n.tolist()
+    assert got.s.tolist() == exp.s.tolist()
+    assert got["mean"].tolist() == exp["mean"].tolist()  # bit-exact
+    import numpy as np
+    g, e = got.var_samp.to_numpy(float), exp.var_samp.to_numpy(float)
+    assert ((g == e) | (np.isnan(g) & np.isnan(e))).all()
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        grouped_stats(ray.data.from_arrow(
+            pa.table({"k": ["a"], "v": [1.5]})), "k", "v").materialize()
+
+
+def test_profile_table_counts_and_minmax():
+    from airbyte_ray.functions.profile import profile_table
+
+    t = pa.table({"a": [1, 2, 2, None, 10, 9],
+                  "s": ["x", None, "x", "aa", "zz", "m"]})
+    got = (profile_table(ray.data.from_arrow(t).repartition(3), ["a", "s"])
+           .to_pandas().set_index("col_name"))
+    assert got.loc["a"].n == 6 and got.loc["a"].n_null == 1
+    assert got.loc["a"].n_distinct == 4  # {1,2,9,10}, null excluded
+    # min/max fold in NATIVE type: "10" would sort before "9" as a string
+    assert got.loc["a"].min_s == "1" and got.loc["a"].max_s == "10"
+    assert got.loc["s"].n_distinct == 4 and got.loc["s"].min_s == "aa"
+    assert got.loc["s"].max_s == "zz"
