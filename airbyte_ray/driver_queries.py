@@ -1466,6 +1466,38 @@ def q_profile_table(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_corr_stats(sf_dir: str) -> ray.data.Dataset:
+    """Per-returnflag Pearson correlation of quantity vs discount-cents —
+    exact int64 moment fold, r derived in the one fixed IEEE expression
+    the oracle mirrors.  Small-magnitude columns (qty ≤ 50, cents ≤ 10)
+    keep Σx²/Σxy far from int64 overflow at every scale factor."""
+    from .functions.agg import grouped_corr
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "qty": t["l_quantity"].cast(pa.int64()),
+            "disc_c": pc.floor(pc.multiply(t["l_discount"], 100.0)).cast(pa.int64()),
+        })
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_quantity", "l_discount"],
+    ).map_batches(prep, batch_format="pyarrow")
+    return grouped_corr(ds, "l_returnflag", "qty", "disc_c")
+
+
+def q_histogram(sf_dir: str) -> ray.data.Dataset:
+    """Fixed-bin histogram of events.value over [0, 500) in 20 bins —
+    per-batch bincount partials, IEEE-identical bin edges on both
+    sides."""
+    from .functions.agg import histogram
+
+    return histogram(
+        _events(sf_dir, columns=["value"]), "value", lo=0.0, hi=500.0, nbins=20
+    )
+
+
 def q_media_decode(sf_dir: str) -> ray.data.Dataset:
     """Multimodal decode, oracle-checked end-to-end: each doc gets a REAL
     planted image whose dims and fill byte are pure functions of doc_id —
@@ -1864,6 +1896,8 @@ QUERIES = {
     "window_nav": q_window_nav,
     "grouped_stats": q_grouped_stats,
     "profile_table": q_profile_table,
+    "corr_stats": q_corr_stats,
+    "histogram": q_histogram,
 }
 
 _CANON = "md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
@@ -1965,6 +1999,43 @@ ORACLE_SQL = {
                CAST((2000 - 256) // 128 + 1 AS BIGINT) AS n_frames,
                CAST(5 + doc_id % 90 AS BIGINT) AS peak_bin
         FROM documents
+    """,
+    # corr_stats oracle: exact integer moments, r from the IDENTICAL
+    # double expression tree (see grouped_corr)
+    "corr_stats": """
+        WITH c AS (
+          SELECT l_returnflag AS k, CAST(l_quantity AS BIGINT) AS x,
+                 CAST(floor(l_discount*100) AS BIGINT) AS y
+          FROM lineitem WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+        ),
+        m AS (
+          SELECT k, COUNT(*) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(x*x) AS BIGINT) AS sxx, CAST(SUM(y*y) AS BIGINT) AS syy,
+                 CAST(SUM(x*y) AS BIGINT) AS sxy
+          FROM c GROUP BY k
+        )
+        SELECT k AS l_returnflag, n,
+               -- the variance guards pin the engine's contract: a constant
+               -- series (zero denominator) is NULL, not NaN/inf
+               CASE WHEN n > 1 AND n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0 THEN
+                 (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+               END AS corr
+        FROM m
+    """,
+    # histogram oracle: the same floor((v-lo)/width) bin rule, width an
+    # exact double on both sides
+    "histogram": """
+        SELECT CAST(floor((value - 0.0) / 25.0) AS BIGINT) AS bin,
+               COUNT(*) AS n
+        FROM events
+        WHERE value IS NOT NULL AND value >= 0.0 AND value < 500.0
+        GROUP BY bin
     """,
     # profile_table oracle: one profiling SELECT per column
     "profile_table": """

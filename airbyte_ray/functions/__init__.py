@@ -33,7 +33,10 @@ from .sketch import CountMinSketch, HyperLogLog, approx_distinct, build_cms, hea
 from .bloom import BloomFilter, bloom_anti_join, build_bloom  # noqa: F401
 from .agg import (  # noqa: F401
     cube_agg,
+    grouped_corr,
     grouped_quantiles,
+    grouped_stats,
+    histogram,
     grouped_topn,
     pivot_counts,
     rolling_agg,
@@ -42,4 +45,5 @@ from .agg import (  # noqa: F401
     window_nav,
     window_ranks,
 )
+from .profile import profile_table  # noqa: F401
 from .setops import except_distinct, intersect_distinct, set_compare  # noqa: F401

@@ -357,6 +357,118 @@ def grouped_stats(
     )
 
 
+def grouped_corr(
+    ds: ray.data.Dataset,
+    key: str,
+    x: str,
+    y: str,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Per-key Pearson correlation with EXACT integer partials: each
+    batch combines to (key, n, Σx, Σy, Σx², Σy², Σxy) in int64 — the
+    parallel fold is order-independent — and r derives once from the
+    folded moments in a fixed all-double expression
+    (``(n·sxy − sx·sy) / (√(n·sxx − sx²)·√(n·syy − sy²))``), the tree a
+    SQL oracle replicates term for term.  Integer columns required (the
+    exactness contract of :func:`grouped_stats`).  Rows where either
+    side is NULL are excluded (SQL corr semantics); n ≤ 1 or a constant
+    series (zero denominator) yields NULL."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        for c in (x, y):
+            if not pa.types.is_integer(t.schema.field(c).type):
+                raise TypeError(
+                    f"grouped_corr needs integer columns (got "
+                    f"{t.schema.field(c).type} for {c!r}) — quantize first")
+        ok = pc.and_(pc.is_valid(t[x]), pc.is_valid(t[y]))
+        t = t.filter(ok)
+        xv = t[x].cast(pa.int64())
+        yv = t[y].cast(pa.int64())
+        sel = pa.table({
+            key: t[key], "x": xv, "y": yv,
+            "xx": pc.multiply(xv, xv),
+            "yy": pc.multiply(yv, yv),
+            "xy": pc.multiply(xv, yv),
+        })
+        g = pa.TableGroupBy(sel, key).aggregate([
+            ("x", "sum"), ("y", "sum"), ("xx", "sum"), ("yy", "sum"),
+            ("xy", "sum"), ("x", "count"),
+        ])
+        return pa.table({
+            key: g[key],
+            "n": g["x_count"].cast(pa.int64()),
+            "sx": g["x_sum"].cast(pa.int64()),
+            "sy": g["y_sum"].cast(pa.int64()),
+            "sxx": g["xx_sum"].cast(pa.int64()),
+            "syy": g["yy_sum"].cast(pa.int64()),
+            "sxy": g["xy_sum"].cast(pa.int64()),
+        })
+
+    def fold(g: pa.Table) -> pa.Table:
+        gb = pa.TableGroupBy(g.drop_columns(["__part"]), key).aggregate(
+            [(c, "sum") for c in ("n", "sx", "sy", "sxx", "syy", "sxy")]
+        )
+        gb = gb.filter(pc.greater(gb["n_sum"], 0))
+        n = gb["n_sum"].cast(pa.int64()).to_numpy()
+        nd = n.astype(np.float64)
+        sx = gb["sx_sum"].cast(pa.int64()).to_numpy().astype(np.float64)
+        sy = gb["sy_sum"].cast(pa.int64()).to_numpy().astype(np.float64)
+        sxx = gb["sxx_sum"].cast(pa.int64()).to_numpy().astype(np.float64)
+        syy = gb["syy_sum"].cast(pa.int64()).to_numpy().astype(np.float64)
+        sxy = gb["sxy_sum"].cast(pa.int64()).to_numpy().astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            denom = np.sqrt(nd * sxx - sx * sx) * np.sqrt(nd * syy - sy * sy)
+            r = (nd * sxy - sx * sy) / denom
+        bad = (n <= 1) | ~np.isfinite(r)
+        return pa.table({
+            key: gb[key],
+            "n": pa.array(n),
+            "corr": pa.array(np.where(bad, 0.0, r), mask=bad),
+        })
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(_route_by(key, num_partitions), batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+
+
+def histogram(
+    ds: ray.data.Dataset,
+    col: str,
+    lo: float,
+    hi: float,
+    nbins: int,
+) -> ray.data.Dataset:
+    """Fixed-bin histogram over ``[lo, hi)``: per-batch ``bincount``
+    partials (≤ nbins rows per batch through the exchange, never the
+    corpus), one tiny groupby-sum fold.  Bin = ``floor((v − lo)/width)``
+    with ``width = (hi − lo)/nbins`` — both computed in double with the
+    exact expression a SQL oracle mirrors, so bin edges are IEEE-
+    identical on both sides.  Out-of-range and NULL values are dropped;
+    empty bins are omitted (join against a bin spine if you need
+    zeros)."""
+    width = (hi - lo) / nbins
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t[col].drop_null().to_numpy(zero_copy_only=False).astype(np.float64)
+        b = np.floor((v - lo) / width)
+        b = b[(b >= 0) & (b < nbins)].astype(np.int64)
+        counts = np.bincount(b, minlength=nbins)
+        nz = np.flatnonzero(counts)
+        return pa.table({
+            "bin": pa.array(nz.astype(np.int64)),
+            "n": pa.array(counts[nz].astype(np.int64)),
+        })
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
 def cube_agg(
     ds: ray.data.Dataset,
     keys: list[str],

@@ -330,3 +330,32 @@ def test_profile_table_counts_and_minmax():
     assert got.loc["a"].min_s == "1" and got.loc["a"].max_s == "10"
     assert got.loc["s"].n_distinct == 4 and got.loc["s"].min_s == "aa"
     assert got.loc["s"].max_s == "zz"
+
+
+def test_grouped_corr_and_histogram():
+    """corr matches a hand-derived value (perfect ±1 and mixed cases,
+    NULL-pair exclusion, constant series → NULL); histogram bins match
+    DuckDB with range-edge values."""
+    import numpy as np
+
+    from airbyte_ray.functions.agg import grouped_corr, histogram
+
+    t = pa.table({
+        "k": ["up"] * 4 + ["down"] * 3 + ["flat"] * 3 + ["nul"] * 3,
+        "x": [1, 2, 3, 4,   1, 2, 3,   5, 6, 7,    1, None, 3],
+        "y": [2, 4, 6, 8,   9, 6, 3,   4, 4, 4,    7, 9, None],
+    })
+    got = (grouped_corr(ray.data.from_arrow(t).repartition(3), "k", "x", "y")
+           .to_pandas().set_index("k"))
+    assert abs(got.loc["up"]["corr"] - 1.0) < 1e-12
+    assert abs(got.loc["down"]["corr"] + 1.0) < 1e-12
+    assert np.isnan(got.loc["flat"]["corr"])  # zero variance → NULL
+    assert got.loc["nul"].n == 1 and np.isnan(got.loc["nul"]["corr"])
+
+    h = pa.table({"v": [0.0, 24.999, 25.0, 499.999, 500.0, -0.1, None, 30.0]})
+    out = (histogram(ray.data.from_arrow(h).repartition(2), "v", 0.0, 500.0, 20)
+           .to_pandas().set_index("bin").sort_index())
+    assert out.loc[0].n == 2      # 0.0, 24.999
+    assert out.loc[1].n == 2      # 25.0, 30.0
+    assert out.loc[19].n == 1     # 499.999; 500.0/-0.1/None dropped
+    assert out.n.sum() == 5
