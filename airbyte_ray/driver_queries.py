@@ -1466,6 +1466,29 @@ def q_profile_table(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_fuzzy_pairs(sf_dir: str) -> ray.data.Dataset:
+    """Edit-distance-1 pair discovery WITHOUT all-pairs: each doc gets a
+    planted short title ``prod-{doc_id//10}{letter}``; docs in the same
+    decade differ by one substitution and decade boundaries contribute
+    insert-1 pairs — the SymSpell delete-1 bucketing must find EVERY
+    Levenshtein-≤1 pair (recall-complete by construction), exact DP
+    verification makes precision exact, so the result equals the
+    exhaustive-SQL levenshtein join."""
+    from .functions.fuzzy import fuzzy_pairs
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "title": pa.array([f"prod-{d//10}{chr(97 + d % 10)}" for d in ids]),
+        })
+
+    return fuzzy_pairs(
+        _docs(sf_dir, columns=["doc_id"]).map_batches(plant, batch_format="pyarrow"),
+        col="title", id_col="doc_id", max_dist=1,
+    )
+
+
 def q_corr_stats(sf_dir: str) -> ray.data.Dataset:
     """Per-returnflag Pearson correlation of quantity vs discount-cents —
     exact int64 moment fold, r derived in the one fixed IEEE expression
@@ -1898,6 +1921,7 @@ QUERIES = {
     "profile_table": q_profile_table,
     "corr_stats": q_corr_stats,
     "histogram": q_histogram,
+    "fuzzy_pairs": q_fuzzy_pairs,
 }
 
 _CANON = "md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
@@ -1999,6 +2023,20 @@ ORACLE_SQL = {
                CAST((2000 - 256) // 128 + 1 AS BIGINT) AS n_frames,
                CAST(5 + doc_id % 90 AS BIGINT) AS peak_bin
         FROM documents
+    """,
+    # fuzzy_pairs oracle: exhaustive Levenshtein join over the planted
+    # titles — the engine's bucketed plan must equal it exactly
+    "fuzzy_pairs": """
+        WITH t AS (
+          SELECT doc_id,
+                 'prod-' || CAST(doc_id // 10 AS VARCHAR)
+                         || chr(CAST(97 + doc_id % 10 AS INTEGER)) AS title
+          FROM documents
+        )
+        SELECT x.doc_id AS a, y.doc_id AS b,
+               CAST(levenshtein(x.title, y.title) AS BIGINT) AS dist
+        FROM t x JOIN t y ON x.doc_id < y.doc_id
+        WHERE levenshtein(x.title, y.title) <= 1
     """,
     # corr_stats oracle: exact integer moments, r from the IDENTICAL
     # double expression tree (see grouped_corr)

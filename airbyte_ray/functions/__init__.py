@@ -45,5 +45,6 @@ from .agg import (  # noqa: F401
     window_nav,
     window_ranks,
 )
+from .fuzzy import fuzzy_pairs, levenshtein  # noqa: F401
 from .profile import profile_table  # noqa: F401
 from .setops import except_distinct, intersect_distinct, set_compare  # noqa: F401

@@ -1,0 +1,140 @@
+"""Fuzzy string matching: edit-distance pair discovery WITHOUT all-pairs.
+
+The entity-resolution primitive (near-identical titles / IDs / names)
+re-expressed for scale with SymSpell-style symmetric-delete bucketing
+(public algorithm: two strings within Levenshtein distance ≤ k share at
+least one element of their ≤k-deletion neighborhoods — recall-COMPLETE
+for the supported ``max_dist=1``):
+
+1. per batch, every string emits its identity key plus its |s| one-char
+   deletions — O(rows × len) small string keys, never pairs;
+2. ONE ``groupby(key)`` exchange brings colliding strings together and
+   emits candidate id pairs (a < b, deduped across buckets);
+3. exact Levenshtein verifies each candidate (a banded DP over the few
+   candidate pairs — candidates ≪ corpus by the bucketing argument, and
+   the metric is exact so precision is exact).
+
+Output: ``(a, b, dist)`` with ``dist ≤ max_dist``.  Equals the
+exhaustive-SQL pair set (DuckDB ``levenshtein``) — the driver oracle for
+``fuzzy_pairs``.
+
+Reference analog: none (Airbyte has no content ops) — brief-driven
+(training-data entity dedup).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+
+def levenshtein(a: str, b: str) -> int:
+    """Exact edit distance — two-row DP, numpy-vectorized along ``b``."""
+    if a == b:
+        return 0
+    if len(a) < len(b):
+        a, b = b, a
+    if not b:
+        return len(a)
+    bb = np.frombuffer(b.encode("utf-32-le"), np.uint32)
+    prev = np.arange(len(bb) + 1, dtype=np.int64)
+    for i, ca in enumerate(a):
+        cur = np.empty(len(bb) + 1, np.int64)
+        cur[0] = i + 1
+        sub = prev[:-1] + (bb != ord(ca))
+        # cur[j+1] = min(prev[j+1]+1, sub[j], cur[j]+1) — the cur[j]+1 term
+        # is a prefix-scan: one np.minimum.accumulate after offsetting
+        m = np.minimum(prev[1:] + 1, sub)
+        cur[1:] = m
+        cur = np.minimum.accumulate(cur + np.arange(0, -len(cur), -1)) \
+            + np.arange(len(cur))
+        prev = cur
+    return int(prev[-1])
+
+
+def _delete_keys(s: str) -> list[str]:
+    return [s] + [s[:i] + s[i + 1:] for i in range(len(s))]
+
+
+def _bucket_rows(t: pa.Table, col: str, id_col: str) -> pa.Table:
+    keys, ids, vals = [], [], []
+    for i, s in zip(t[id_col].to_pylist(), t[col].to_pylist()):
+        for k in _delete_keys(s or ""):
+            keys.append(k)
+            ids.append(i)
+            vals.append(s or "")
+    return pa.table({
+        "bkey": pa.array(keys),
+        id_col: pa.array(ids, t[id_col].type),
+        "val": pa.array(vals),
+    })
+
+
+def fuzzy_pairs(
+    ds: ray.data.Dataset,
+    col: str,
+    id_col: str,
+    max_dist: int = 1,
+    bucket_cap: int = 10_000,
+) -> ray.data.Dataset:
+    """All id pairs whose ``col`` strings are within Levenshtein
+    ``max_dist`` (currently 1 — the distance the delete-1 neighborhood is
+    recall-complete for).  See module docstring for the plan; hot buckets
+    (⇒ quadratic pair emission) fail loudly over ``bucket_cap``."""
+    if max_dist != 1:
+        raise NotImplementedError(
+            "delete-1 bucketing is recall-complete for max_dist=1 only; "
+            "higher distances need k-deletion neighborhoods (exponential "
+            "key growth) — extend deliberately, not silently")
+
+    def pairs(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        id_t = g[id_col].type
+        if n < 2:
+            return pa.table({"a": pa.array([], id_t), "b": pa.array([], id_t),
+                             "da": pa.array([], pa.string()),
+                             "db": pa.array([], pa.string())})
+        if n * (n - 1) // 2 > bucket_cap:
+            raise ValueError(
+                f"fuzzy bucket with {n} members exceeds bucket_cap="
+                f"{bucket_cap} pair budget — near-identical values are "
+                "flooding one bucket; dedup exact duplicates first or "
+                "raise bucket_cap")
+        ids = g[id_col].to_pylist()
+        vals = g["val"].to_pylist()
+        aa, bb, va, vb = [], [], [], []
+        for i in range(n):
+            for j in range(i + 1, n):
+                x, y = (i, j) if ids[i] < ids[j] else (j, i)
+                if ids[x] == ids[y]:
+                    continue
+                aa.append(ids[x])
+                bb.append(ids[y])
+                va.append(vals[x])
+                vb.append(vals[y])
+        return pa.table({"a": pa.array(aa, id_t), "b": pa.array(bb, id_t),
+                         "da": pa.array(va), "db": pa.array(vb)})
+
+    def verify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"a": t["a"], "b": t["b"],
+                             "dist": pa.array([], pa.int64())})
+        d = np.array([levenshtein(x, y)
+                      for x, y in zip(t["da"].to_pylist(), t["db"].to_pylist())],
+                     np.int64)
+        out = pa.table({"a": t["a"], "b": t["b"], "dist": pa.array(d)})
+        return out.filter(pa.array(d <= max_dist))
+
+    cand = (
+        ds.select_columns([id_col, col])
+        .map_batches(partial(_bucket_rows, col=col, id_col=id_col),
+                     batch_format="pyarrow")
+        .groupby("bkey")
+        .map_groups(pairs, batch_format="pyarrow")
+        .groupby(["a", "b"])  # the same pair collides in several buckets
+        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+    )
+    return cand.map_batches(verify, batch_format="pyarrow")

@@ -605,3 +605,28 @@ def test_cli_dedup_and_ann_index_verbs(tmp_path, capsys):
                  "--k", "3", "--nprobe", "2"]) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["rows"] == out["queries"] * 3
+
+
+def test_fuzzy_pairs_complete_and_capped():
+    """Delete-1 bucketing finds EVERY distance-≤1 pair (substitution,
+    insertion, deletion), none beyond; identical values flood a bucket
+    and must raise, not silently drop."""
+    import pytest as _pytest
+
+    from airbyte_ray.functions.fuzzy import fuzzy_pairs, levenshtein
+
+    vals = ["cat", "bat", "cats", "ca", "dog", "dig", "zebra"]
+    t = pa.table({"id": pa.array(np.arange(len(vals))), "s": pa.array(vals)})
+    got = (fuzzy_pairs(ray.data.from_arrow(t).repartition(3), "s", "id")
+           .to_pandas())
+    expect = {(i, j, levenshtein(vals[i], vals[j]))
+              for i in range(len(vals)) for j in range(i + 1, len(vals))
+              if levenshtein(vals[i], vals[j]) <= 1}
+    assert set(map(tuple, got[["a", "b", "dist"]].values)) == expect
+    assert ("cat", "bat") and len(expect) == 4  # cat~bat, cat~cats, cat~ca, dog~dig
+
+    flood = pa.table({"id": pa.array(np.arange(300)),
+                      "s": pa.array(["same"] * 300)})
+    with _pytest.raises(Exception, match="bucket_cap"):
+        fuzzy_pairs(ray.data.from_arrow(flood), "s", "id",
+                    bucket_cap=100).materialize()
