@@ -1201,6 +1201,76 @@ def q_revenue_by_nation(sf_dir: str) -> ray.data.Dataset:
             .groupby("n_name").aggregate(Sum("p_rev", alias_name="revenue_c4")))
 
 
+def q_top_orders(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q3-shaped shipping-priority query: segment-filtered customer
+    broadcast into orders (small side), orders⋈lineitem partitioned hash
+    join with BOTH sides date-pruned at the read, exact cents×basis-points
+    revenue combiner, tiny groupby, deterministic top-10 (revenue desc,
+    orderdate, orderkey).  Composes broadcast_join + hash_join + combiner
+    + sort-limit — the full relational pipeline in one query."""
+    CUT = pa.scalar(np.datetime64("1998-06-01", "us"), pa.timestamp("us"))
+
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"],
+    ).map_batches(
+        lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING"))
+        .select(["c_custkey"]).rename_columns(["o_custkey"]),
+        batch_format="pyarrow",
+    )
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(
+        lambda t: t.filter(pc.less(t["o_orderdate"], CUT)), batch_format="pyarrow"
+    )
+    # customers of the segment are the SMALL side: collect once, broadcast
+    # as a semi-join key set that prunes orders in-task
+    from .joins import semi_join
+
+    cust_tbl = pa.concat_tables(
+        [t for t in ray.get(cust.to_arrow_refs()) if t.num_rows]
+    )
+    ord_seg = semi_join(orders, cust_tbl, on="o_custkey").map_batches(
+        lambda t: t.select(["o_orderkey", "o_orderdate", "o_orderpriority"])
+        .rename_columns(["l_orderkey", "o_orderdate", "o_orderpriority"]),
+        batch_format="pyarrow",
+    )
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(
+        lambda t: t.filter(pc.greater(t["l_shipdate"], CUT))
+        .select(["l_orderkey", "l_extendedprice", "l_discount"]),
+        batch_format="pyarrow",
+    )
+    joined = hash_join(li, ord_seg, on="l_orderkey", num_buckets=16)
+
+    def combine(t: pa.Table) -> pa.Table:
+        price_c = pc.round(pc.multiply(t["l_extendedprice"], pa.scalar(100.0))).cast(pa.int64())
+        disc_c = pc.round(pc.multiply(t["l_discount"], pa.scalar(100.0))).cast(pa.int64())
+        rev = pc.multiply(price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_c))
+        g = pa.TableGroupBy(pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "o_orderdate": t["o_orderdate"],
+            "o_orderpriority": t["o_orderpriority"],
+            "rev": rev,
+        }), ["l_orderkey", "o_orderdate", "o_orderpriority"]).aggregate([("rev", "sum")])
+        return pa.table({
+            "l_orderkey": g["l_orderkey"],
+            "o_orderdate": g["o_orderdate"],
+            "o_orderpriority": g["o_orderpriority"],
+            "p_rev": g["rev_sum"],
+        })
+
+    agg = (joined.map_batches(combine, batch_format="pyarrow")
+           .groupby(["l_orderkey", "o_orderdate", "o_orderpriority"])
+           .aggregate(Sum("p_rev", alias_name="revenue_c4")))
+    top = agg.sort(["revenue_c4", "o_orderdate", "l_orderkey"],
+                   descending=[True, False, False]).limit(10)
+    return top
+
+
 def q_approx_distinct(sf_dir: str) -> ray.data.Dataset:
     """Exact per-group distinct via two-level groupby; the streaming HLL
     sketch over the same column is computed alongside and the query FAILS
@@ -1922,6 +1992,7 @@ QUERIES = {
     "corr_stats": q_corr_stats,
     "histogram": q_histogram,
     "fuzzy_pairs": q_fuzzy_pairs,
+    "top_orders": q_top_orders,
 }
 
 _CANON = "md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
@@ -2023,6 +2094,24 @@ ORACLE_SQL = {
                CAST((2000 - 256) // 128 + 1 AS BIGINT) AS n_frames,
                CAST(5 + doc_id % 90 AS BIGINT) AS peak_bin
         FROM documents
+    """,
+    # top_orders oracle: TPC-H Q3 shape on the exact cents×basis-points
+    # grid; the ORDER BY tie-break (revenue, date, orderkey) makes the
+    # LIMIT 10 row set deterministic on both sides
+    "top_orders": """
+        SELECT l_orderkey, o_orderdate, o_orderpriority,
+               CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+                        * (100 - CAST(round(l_discount*100) AS BIGINT)))
+                    AS BIGINT) AS revenue_c4
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-06-01'
+          AND l_shipdate > TIMESTAMP '1998-06-01'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue_c4 DESC, o_orderdate, l_orderkey
+        LIMIT 10
     """,
     # fuzzy_pairs oracle: exhaustive Levenshtein join over the planted
     # titles — the engine's bucketed plan must equal it exactly
