@@ -1888,6 +1888,24 @@ def q_grouped_quantiles(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_grouped_quantiles_cont(sf_dir: str) -> ray.data.Dataset:
+    """Per-user INTERPOLATED quartiles (quantile_cont semantics) on the
+    cents grid with binary-fraction q (.25/.75): every lerp term is
+    exactly representable, so the float output hash-matches DuckDB's
+    regardless of its internal expression tree."""
+    from .functions.agg import grouped_quantiles
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = pc.floor(pc.multiply(t["value"], 100.0)).cast(pa.int64())
+        return pa.table({"user_id": t["user_id"], "cents": c})
+
+    return grouped_quantiles(
+        _events(sf_dir, columns=["user_id", "value"])
+        .map_batches(cents, batch_format="pyarrow"),
+        key="user_id", col="cents", qs=[0.25, 0.75], interpolation="linear",
+    )
+
+
 def q_window_ranks(sf_dir: str) -> ray.data.Dataset:
     """row_number / dense_rank / ntile(4) per user over the cents order —
     the full SQL ranking family from one segmented pass."""
@@ -1993,6 +2011,7 @@ QUERIES = {
     "histogram": q_histogram,
     "fuzzy_pairs": q_fuzzy_pairs,
     "top_orders": q_top_orders,
+    "grouped_quantiles_cont": q_grouped_quantiles_cont,
 }
 
 _CANON = "md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
@@ -2300,6 +2319,21 @@ ORACLE_SQL = {
         SELECT user_id, CAST(0.9 AS DOUBLE),
                quantile_disc(CAST(floor(value*100) AS BIGINT), 0.9)
         FROM events WHERE value IS NOT NULL GROUP BY user_id
+    """,
+    # grouped_quantiles_cont: quantile_cont at binary-fraction q over the
+    # int cents grid — exact lerp terms ⇒ tree-independent doubles
+    "grouped_quantiles_cont": """
+        WITH c AS (
+          SELECT user_id, CAST(floor(value*100) AS BIGINT) AS cents
+          FROM events WHERE value IS NOT NULL
+        )
+        SELECT user_id, CAST(0.25 AS DOUBLE) AS q,
+               quantile_cont(cents, 0.25) AS value
+        FROM c GROUP BY user_id
+        UNION ALL
+        SELECT user_id, CAST(0.75 AS DOUBLE),
+               quantile_cont(cents, 0.75)
+        FROM c GROUP BY user_id
     """,
     "window_ranks": """
         SELECT user_id, event_id,

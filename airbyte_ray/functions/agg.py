@@ -589,15 +589,23 @@ def grouped_quantiles(
     col: str,
     qs: list[float],
     num_partitions: int = 32,
+    interpolation: str = "disc",
 ) -> ray.data.Dataset:
-    """EXACT per-key discrete quantiles (DuckDB ``quantile_disc``: the
-    element at sorted index ``max(ceil(n·q)-1, 0)`` — the rank rule
-    verified in :func:`airbyte_ray.functions.sketch.exact_quantiles`).
-    One hash exchange; inside each partition a single (key, col) sort and
-    a vectorized per-segment rank gather for ALL qs at once.  NULL values
-    are skipped (SQL semantics); a key whose values are all NULL is
-    omitted (SQL would emit it with a NULL quantile — documented
-    divergence, avoid by pre-filtering)."""
+    """EXACT per-key quantiles.  ``interpolation="disc"`` (default) is
+    DuckDB ``quantile_disc``: the element at sorted index
+    ``max(ceil(n·q)-1, 0)`` (the rank rule verified in
+    :func:`airbyte_ray.functions.sketch.exact_quantiles`);
+    ``"linear"`` is ``quantile_cont``: lerp between the two elements
+    around rank ``(n−1)·q`` — hash-exact against ANY engine's expression
+    tree when ``col`` is integer and q is a binary fraction (.25/.5/.75…):
+    every term of the interpolation is exactly representable, so
+    mathematically-equal trees produce the identical double.  ``value``
+    is ``col``'s type for disc, float64 for linear.  One hash exchange;
+    inside each partition a single (key, col) sort and a vectorized
+    per-segment rank gather for ALL qs at once.  NULL values are skipped
+    (SQL semantics); a key whose values are all NULL is omitted (SQL
+    would emit it with a NULL quantile — documented divergence, avoid by
+    pre-filtering)."""
     if not qs:
         # fail fast — an empty list otherwise surfaces as an opaque
         # np.concatenate error inside a Ray worker
@@ -605,13 +613,16 @@ def grouped_quantiles(
     bad = [q for q in qs if not 0.0 <= q <= 1.0]
     if bad:
         raise ValueError(f"quantiles must be in [0, 1], got {bad}")
+    if interpolation not in ("disc", "linear"):
+        raise ValueError(f"interpolation must be disc|linear, got {interpolation!r}")
 
     def kernel(g: pa.Table) -> pa.Table:
         g = g.drop_columns(["__part"]).filter(pc.is_valid(g[col]))
         out_schema = pa.schema([
             (key, g.schema.field(key).type),
             ("q", pa.float64()),
-            ("value", g.schema.field(col).type),
+            ("value", pa.float64() if interpolation == "linear"
+             else g.schema.field(col).type),
         ])
         if g.num_rows == 0:
             return out_schema.empty_table()
@@ -619,6 +630,24 @@ def grouped_quantiles(
         g = g.take(idx).combine_chunks()
         keys = _seg_keys(g, key)
         _, starts, runs = _segments(keys)
+        if interpolation == "linear":
+            vals = g[col].to_numpy(zero_copy_only=False).astype(np.float64)
+            out_v, q_col, key_picks = [], [], []
+            for q in qs:
+                pos = (runs - 1) * q
+                lo = np.floor(pos).astype(np.int64)
+                hi = np.minimum(lo + 1, runs - 1)
+                frac = pos - lo
+                vlo = vals[starts + lo]
+                vhi = vals[starts + hi]
+                out_v.append(vlo + (vhi - vlo) * frac)
+                q_col.append(np.full(len(starts), q, np.float64))
+                key_picks.append(starts)
+            return pa.table({
+                key: g[key].take(pa.array(np.concatenate(key_picks))),
+                "q": pa.array(np.concatenate(q_col)),
+                "value": pa.array(np.concatenate(out_v)),
+            })
         picks, q_col = [], []
         for q in qs:
             r = np.maximum(np.ceil(runs * q).astype(np.int64) - 1, 0)

@@ -359,3 +359,25 @@ def test_grouped_corr_and_histogram():
     assert out.loc[1].n == 2      # 25.0, 30.0
     assert out.loc[19].n == 1     # 499.999; 500.0/-0.1/None dropped
     assert out.n.sum() == 5
+
+
+def test_grouped_quantiles_linear_matches_duckdb():
+    """quantile_cont parity at binary-fraction q on an int grid (uneven
+    group sizes, singleton group)."""
+    from airbyte_ray.functions.agg import grouped_quantiles
+
+    t = pa.table({"k": ["a"] * 5 + ["b"] * 2 + ["c"],
+                  "v": [10, 30, 20, 50, 40, 7, 9, 100]})
+    got = (grouped_quantiles(ray.data.from_arrow(t).repartition(3), "k", "v",
+                             [0.25, 0.5, 0.75], interpolation="linear")
+           .to_pandas().sort_values(["k", "q"]).reset_index(drop=True))
+    exp = duckdb.sql(
+        """SELECT * FROM (
+             SELECT k, 0.25 AS q, quantile_cont(v, 0.25) AS value FROM t GROUP BY k
+             UNION ALL
+             SELECT k, 0.5, quantile_cont(v, 0.5) FROM t GROUP BY k
+             UNION ALL
+             SELECT k, 0.75, quantile_cont(v, 0.75) FROM t GROUP BY k
+           ) ORDER BY k, q"""
+    ).df()
+    assert got.value.tolist() == exp.value.tolist()  # bit-exact
