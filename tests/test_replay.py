@@ -606,3 +606,45 @@ def test_auto_compaction_bounds_delta_chain(fixtures, tmp_path):
         assert all(len(e2.delta_paths) <= 2 for e2 in m.partitions.values())
     assert any("auto_compacted" in st for st in applied)
     _assert_matches_oracle(lake, base, [events])
+
+
+def test_spill_with_custom_policy_and_redelivery(tmp_path):
+    """Spill-pointer state composes with a pluggable merge policy (the
+    spill compaction and the flush fold both reduce under the SAME
+    comparator), and a full-log redelivery through a spill-constrained
+    lake stays a no-op (exactly-once)."""
+    import duckdb
+
+    rng = np.random.default_rng(21)
+    n, keys = 3000, 200
+    lsn = np.arange(1, n + 1, dtype=np.int64)
+    doc = np.array([f"d{rng.integers(0, keys):04d}" for _ in range(n)], object)
+    ts = rng.integers(0, 10_000, n).astype(np.int64)
+    val = rng.integers(0, 1_000_000, n).astype(np.int64)
+    t = pa.table({"lsn": lsn, "op": pa.array(["update"] * n),
+                  "doc_id": pa.array(doc, pa.string()),
+                  "ts": pa.array(ts), "val": pa.array(val)})
+    p = tmp_path / "pol.parquet"
+    pq.write_table(t, p)
+
+    lake = LakeTable(
+        str(tmp_path / "lake_sp"),
+        ReplayConfig(num_partitions=4, exchange="actors", num_appliers=2,
+                     compact_rows=32, spill_bytes=1024,
+                     merge_policy=(("ts", "descending"), ("lsn", "descending"))),
+    )
+    lake.apply_log(str(p))
+    got = lake.to_table()
+    exp = duckdb.connect().execute(f"""
+        SELECT doc_id, ts, val FROM (
+          SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY ts DESC, lsn DESC) rn
+          FROM read_parquet('{p}')) WHERE rn = 1
+        ORDER BY doc_id
+    """).arrow()
+    assert got.select(["doc_id", "ts", "val"]).equals(
+        exp.cast(got.select(["doc_id", "ts", "val"]).schema))
+    # redelivery: identical log again → zero applied events, table unchanged
+    stats = lake.apply_log(str(p))
+    assert stats["applied_events"] == 0
+    assert lake.to_table().equals(got)
