@@ -259,9 +259,12 @@ def dedup_against_index(
     b_idx = np.concatenate(b_parts)
     a_ids = coll[id_col].take(pa.array(a_idx)).to_numpy(zero_copy_only=False)
     b_ids = nb[id_col].take(pa.array(b_idx)).to_numpy(zero_copy_only=False)
-    # the same pair surfaces from several bands — dedup on (a, b)
-    pair_key = np.stack([a_ids, b_ids], axis=1)
-    _, first = np.unique(pair_key, axis=0, return_index=True)
+    # the same pair surfaces from several bands — dedup on (a, b).
+    # pandas drop_duplicates is id-type-agnostic (np.unique(axis=0)
+    # rejects object/string arrays — review finding)
+    import pandas as pd
+
+    first = ~pd.DataFrame({"a": a_ids, "b": b_ids}).duplicated().to_numpy()
     a_ids, b_ids = a_ids[first], b_ids[first]
 
     # pass 3 — candidate a-ids' signatures from their sig shards only
@@ -294,6 +297,10 @@ def dedup_against_index(
     old_ids_arr = old_sig_tbl[id_col].to_numpy(zero_copy_only=False)
     old_order = np.argsort(old_ids_arr, kind="stable")
     pos_a = old_order[np.searchsorted(old_ids_arr[old_order], a_ids)]
+    if not (old_ids_arr[pos_a] == a_ids).all():
+        raise RuntimeError(
+            "candidate id missing from its sig shard — band and sig "
+            "tables are out of sync (partial append?)")
     new_ids_arr = sig_tbl[id_col].to_numpy(zero_copy_only=False)
     new_order = np.argsort(new_ids_arr, kind="stable")
     pos_b = new_order[np.searchsorted(new_ids_arr[new_order], b_ids)]

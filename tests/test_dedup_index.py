@@ -112,3 +112,22 @@ def test_probe_reads_only_touched_shards(index_dir, monkeypatch):
     all_shards = {os.path.basename(os.path.dirname(f)) for f in all_band_files}
     assert touched_shards < all_shards, (
         f"probe touched {len(touched_shards)}/{len(all_shards)} shards — no pruning")
+
+
+def test_string_doc_ids_roundtrip(tmp_path):
+    """String ids flow through bucketing, pair dedup, shard hashing and
+    the sig gather (np.unique(axis=0) rejects object arrays — the pair
+    dedup must be id-type-agnostic)."""
+    d = str(tmp_path / "sidx")
+    hist = pa.table({
+        "doc_id": pa.array([f"doc-{i:04d}" for i in range(120)]),
+        "text": pa.array([_doc(i) for i in range(120)]),
+    })
+    build_minhash_index(rd.from_arrow(hist), d, n_shards=8)
+    probe = pa.table({
+        "doc_id": pa.array(["new-a", "new-b"]),
+        "text": pa.array([_doc(42), _doc(5042)]),  # copy of doc-0042 + fresh
+    })
+    out = dedup_against_index(rd.from_arrow(probe), d,
+                              sim_threshold=0.9).to_pandas()
+    assert set(map(tuple, out[["a", "b"]].values)) == {("doc-0042", "new-a")}
