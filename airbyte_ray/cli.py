@@ -349,15 +349,20 @@ def main(argv: list[str] | None = None) -> int:
 
                 import pyarrow.parquet as _pq
 
+                import pyarrow as _pa
+
                 with open(_os.path.join(args.index, "ivf_meta.json")) as f:
                     meta = _json.load(f)
-                qt = _pq.read_table(
-                    args.vecs[0], columns=[meta["col"]]
-                )
-                q = np.stack([
-                    np.asarray(v, np.float32)
-                    for v in qt[meta["col"]].to_pylist()
+                # read ALL --vecs paths (build/append already do — advisory
+                # finding) and convert via one flatten/reshape, not a
+                # per-row to_pylist loop
+                qt = _pa.concat_tables([
+                    _pq.read_table(p, columns=[meta["col"]])
+                    for p in args.vecs
                 ])
+                from .functions.ann import _matrix as _vec_matrix
+
+                q = _vec_matrix(qt, meta["col"])
                 res = ivf_topk_indexed(
                     args.index, q, k=args.k, nprobe=args.nprobe
                 ).materialize()

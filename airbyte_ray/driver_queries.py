@@ -367,9 +367,14 @@ def q_agg_partial(sf_dir: str) -> ray.data.Dataset:
         g = pa.TableGroupBy(t, ["l_returnflag", "l_linestatus"]).aggregate(
             [("l_quantity", "sum"), ("l_quantity", "count")]
         )
-        return g.rename_columns(
-            ["l_returnflag", "l_linestatus", "part_qty", "part_n"]
-        )
+        # pick by NAME ('<col>_<agg>'), not positional rename — pyarrow has
+        # moved group keys between first and last across versions
+        return pa.table({
+            "l_returnflag": g["l_returnflag"],
+            "l_linestatus": g["l_linestatus"],
+            "part_qty": g["l_quantity_sum"],
+            "part_n": g["l_quantity_count"],
+        })
 
     partial_ = li.map_batches(combine, batch_format="pyarrow")
     out = partial_.groupby(["l_returnflag", "l_linestatus"]).aggregate(
@@ -609,7 +614,7 @@ def q_dedup_index(sf_dir: str) -> ray.data.Dataset:
     set equals the exact cross-split Jaccard-≥0.5 pair set the oracle
     computes.  ``sim`` is excluded from the output: it is the MinHash
     ESTIMATE (estimator-specific), not the exact metric."""
-    import tempfile
+    import shutil
 
     from .functions.dedup_index import build_minhash_index, dedup_against_index
 
@@ -621,11 +626,19 @@ def q_dedup_index(sf_dir: str) -> ray.data.Dataset:
             return t.filter(pa.array(new if keep_new else ~new))
         return fn
 
-    index_dir = tempfile.mkdtemp(prefix="airbyte_ray_dedup_idx_")
-    build_minhash_index(
-        docs.map_batches(_side(False), batch_format="pyarrow"), index_dir,
-        num_perm=64, bands=16, n_shards=16,
-    )
+    # deterministic per-sf cache dir, reused across runs (the old mkdtemp
+    # leaked an sf-sized sigs+bands tree per invocation — advisory finding);
+    # a _COMPLETE marker guards against a half-built index from a crash
+    index_dir = f"/tmp/airbyte_ray_dedup_idx_{os.path.basename(sf_dir.rstrip('/'))}"
+    marker = os.path.join(index_dir, "_COMPLETE")
+    if not os.path.exists(marker):
+        shutil.rmtree(index_dir, ignore_errors=True)
+        build_minhash_index(
+            docs.map_batches(_side(False), batch_format="pyarrow"), index_dir,
+            num_perm=64, bands=16, n_shards=16,
+        )
+        with open(marker, "w") as f:
+            f.write("ok")
     out = dedup_against_index(
         docs.map_batches(_side(True), batch_format="pyarrow"), index_dir,
         sim_threshold=0.7,
@@ -1930,57 +1943,9 @@ def q_window_ranks(sf_dir: str) -> ray.data.Dataset:
 
 
 QUERIES = {
-    "cdc_replay_upsert": q_cdc_replay_upsert,
-    "cdc_lww_latest": q_cdc_lww_latest,
-    "declarative_paginated": q_declarative_paginated,
-    "lww_policy": q_lww_policy,
-    "nested_children": q_nested_children,
-    "scd_history": q_scd_history,
-    "sync_append_dedup": q_sync_append_dedup,
-    "incremental_watermark": q_incremental_watermark,
-    "snapshot_filter_project": q_snapshot_filter_project,
-    "json_flatten": q_json_flatten,
-    "hash_surrogate": q_hash_surrogate,
-    "type_cast": q_type_cast,
-    "join_broadcast": q_join_broadcast,
-    "join_partitioned": q_join_partitioned,
-    "join_asof": q_join_asof,
-    "window_sliding": q_window_sliding,
-    "window_session": q_window_session,
-    "agg_partial": q_agg_partial,
-    "sort_topk": q_sort_topk,
-    "distinct": q_distinct,
-    "window_tumbling": q_window_tumbling,
-    "unnest": q_unnest,
-    "token_count": q_token_count,
-    "text_quality": q_text_quality,
-    "fingerprint": q_fingerprint,
-    "rolling_fingerprint": q_rolling_fingerprint,
-    "lang_id": q_lang_id,
-    "dedup_exact": q_dedup_exact,
-    "dedup_minhash": q_dedup_minhash,
-    "dedup_index": q_dedup_index,
-    "dedup_ngram": q_dedup_ngram,
-    "dedup_simhash": q_dedup_simhash,
-    "dedup_embedding": q_dedup_embedding,
-    "ann_topk": q_ann_topk,
-    "ann_lsh": q_ann_lsh,
-    "ann_ivf": q_ann_ivf,
-    "ann_ivf_indexed": q_ann_ivf_indexed,
-    "pack_sequences": q_pack_sequences,
-    "shuffle_rank": q_shuffle_rank,
-    "sample_stratified": q_sample_stratified,
-    "scrub_pii": q_scrub_pii,
-    "repetition": q_repetition,
-    "dlq_coerce": q_dlq_coerce,
-    "heavy_hitters": q_heavy_hitters,
-    "bloom_antijoin": q_bloom_antijoin,
-    "quantiles": q_quantiles,
-    "sample_bottomk": q_sample_bottomk,
-    "grouped_topn": q_grouped_topn,
-    "pivot_counts": q_pivot_counts,
-    "quality_gate": q_quality_gate,
-    "sample_upsample": q_sample_upsample,
+    # Round-5 ordering: the 31 queries never yet sampled into a driver
+    # CORRECTNESS artifact lead (the driver takes the first 50), followed
+    # by the flagship CDC/merge family, then the remainder.
     "embedding_cluster": q_embedding_cluster,
     "decontaminate": q_decontaminate,
     "pricing_summary": q_pricing_summary,
@@ -2012,8 +1977,58 @@ QUERIES = {
     "fuzzy_pairs": q_fuzzy_pairs,
     "top_orders": q_top_orders,
     "grouped_quantiles_cont": q_grouped_quantiles_cont,
+    "cdc_replay_upsert": q_cdc_replay_upsert,
+    "cdc_lww_latest": q_cdc_lww_latest,
+    "lww_policy": q_lww_policy,
+    "sync_append_dedup": q_sync_append_dedup,
+    "incremental_watermark": q_incremental_watermark,
+    "scd_history": q_scd_history,
+    "declarative_paginated": q_declarative_paginated,
+    "nested_children": q_nested_children,
+    "snapshot_filter_project": q_snapshot_filter_project,
+    "json_flatten": q_json_flatten,
+    "hash_surrogate": q_hash_surrogate,
+    "type_cast": q_type_cast,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_index": q_dedup_index,
+    "join_partitioned": q_join_partitioned,
+    "join_asof": q_join_asof,
+    "pack_sequences": q_pack_sequences,
+    "sample_upsample": q_sample_upsample,
+    "join_broadcast": q_join_broadcast,
+    "window_sliding": q_window_sliding,
+    "window_session": q_window_session,
+    "agg_partial": q_agg_partial,
+    "sort_topk": q_sort_topk,
+    "distinct": q_distinct,
+    "window_tumbling": q_window_tumbling,
+    "unnest": q_unnest,
+    "token_count": q_token_count,
+    "text_quality": q_text_quality,
+    "fingerprint": q_fingerprint,
+    "rolling_fingerprint": q_rolling_fingerprint,
+    "lang_id": q_lang_id,
+    "dedup_ngram": q_dedup_ngram,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding": q_dedup_embedding,
+    "ann_topk": q_ann_topk,
+    "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
+    "ann_ivf_indexed": q_ann_ivf_indexed,
+    "shuffle_rank": q_shuffle_rank,
+    "sample_stratified": q_sample_stratified,
+    "scrub_pii": q_scrub_pii,
+    "repetition": q_repetition,
+    "dlq_coerce": q_dlq_coerce,
+    "heavy_hitters": q_heavy_hitters,
+    "bloom_antijoin": q_bloom_antijoin,
+    "quantiles": q_quantiles,
+    "sample_bottomk": q_sample_bottomk,
+    "grouped_topn": q_grouped_topn,
+    "pivot_counts": q_pivot_counts,
+    "quality_gate": q_quality_gate,
 }
-
 _CANON = "md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 _TOKEN_RE_SQL = "[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]"
 
@@ -2177,7 +2192,7 @@ ORACLE_SQL = {
     # histogram oracle: the same floor((v-lo)/width) bin rule, width an
     # exact double on both sides
     "histogram": """
-        SELECT CAST(floor((value - 0.0) / 25.0) AS BIGINT) AS bin,
+        SELECT LEAST(CAST(floor((value - 0.0) / 25.0) AS BIGINT), 19) AS bin,
                COUNT(*) AS n
         FROM events
         WHERE value IS NOT NULL AND value >= 0.0 AND value < 500.0

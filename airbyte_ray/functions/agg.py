@@ -446,15 +446,24 @@ def histogram(
     corpus), one tiny groupby-sum fold.  Bin = ``floor((v − lo)/width)``
     with ``width = (hi − lo)/nbins`` — both computed in double with the
     exact expression a SQL oracle mirrors, so bin edges are IEEE-
-    identical on both sides.  Out-of-range and NULL values are dropped;
-    empty bins are omitted (join against a bin spine if you need
-    zeros)."""
+    identical on both sides.  Rows are range-filtered on the VALUE
+    (``lo <= v < hi``) and the computed bin clamped to ``nbins − 1``:
+    when ``width`` isn't exactly representable a value just below ``hi``
+    can floor to ``nbins`` — the SQL mirror is
+    ``LEAST(floor((v-lo)/width), nbins-1)`` over the same WHERE range.
+    Out-of-range and NULL values are dropped; empty bins are omitted
+    (join against a bin spine if you need zeros)."""
     width = (hi - lo) / nbins
 
     def partial(t: pa.Table) -> pa.Table:
         v = t[col].drop_null().to_numpy(zero_copy_only=False).astype(np.float64)
+        # range-filter on the VALUE (the SQL predicate lo <= v < hi), then
+        # clamp the computed bin: when (hi-lo)/nbins isn't exactly
+        # representable, a v just below hi can land on bin == nbins and a
+        # bin-filter would drop a row the oracle keeps (advisory finding)
+        v = v[(v >= lo) & (v < hi)]
         b = np.floor((v - lo) / width)
-        b = b[(b >= 0) & (b < nbins)].astype(np.int64)
+        b = np.minimum(b, nbins - 1).astype(np.int64)
         counts = np.bincount(b, minlength=nbins)
         nz = np.flatnonzero(counts)
         return pa.table({

@@ -185,10 +185,15 @@ def bloom_anti_join(
     sref = ray.put(set(surv_keys))
 
     def keep_survivors(t: pa.Table) -> pa.Table:
-        ks = _worker_state(("bloom_surv", sref.hex()), lambda: ray.get(sref))
         if t.num_rows == 0:
             return t
-        mask = pc.is_in(t[on], value_set=pa.array(list(ks), t[on].type))
+        # Cache the prebuilt Arrow value_set, not the Python set — the
+        # set→Arrow conversion must happen once per worker, not per batch.
+        arr = _worker_state(
+            ("bloom_surv_arr", sref.hex(), str(t[on].type)),
+            lambda: pa.array(list(ray.get(sref)), t[on].type),
+        )
+        mask = pc.is_in(t[on], value_set=arr)
         return t.filter(mask)
 
     fp_rows = maybes.map_batches(keep_survivors, batch_format="pyarrow")

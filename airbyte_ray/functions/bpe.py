@@ -235,8 +235,23 @@ def bpe_tokenize_stage(vocab: BpeVocab, col: str = "clean_text"):
     the word cache is per-worker state keyed by the merge count."""
     ranks, sym2id = vocab.ranks, vocab.sym2id
     # cache key computed ONCE on the driver and closed over as a constant —
-    # an id()/hash() taken inside the task would differ per worker process
-    cache_key = ("bpe_stage_words", len(vocab.merges), tuple(vocab.merges[:4]))
+    # an id()/hash() taken inside the task would differ per worker process.
+    # Keyed by a digest of the FULL merge table + symbol map: two vocabs
+    # sharing merge count and top merges (common across re-trainings, since
+    # top pairs are stable) must not collide in a long-lived worker's cache
+    # (advisory finding).
+    import hashlib
+
+    _h = hashlib.sha256()
+    for a, b in vocab.merges:
+        _h.update(a.encode())
+        _h.update(b"\x00")
+        _h.update(b.encode())
+        _h.update(b"\x01")
+    for s in sorted(sym2id):
+        _h.update(s.encode())
+        _h.update(b"\x02")
+    cache_key = ("bpe_stage_words", _h.hexdigest())
 
     def fn(t: pa.Table) -> pa.Table:
         cache = _worker_state(cache_key, dict)

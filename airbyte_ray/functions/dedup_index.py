@@ -287,6 +287,10 @@ def dedup_against_index(
             ray.data.read_parquet(sig_files, partitioning=None)
             .map_batches(_fetch, batch_format="pyarrow").to_arrow_refs())
          if t.num_rows]
+        # empty fallback so the out-of-sync integrity check below fires as
+        # the designed RuntimeError, not ArrowInvalid here (advisory finding)
+        or [pa.table({id_col: pa.array([], id_type),
+                      "sig": pa.array([], sig_tbl["sig"].type)})]
     ).combine_chunks()
 
     # driver-side similarity: gather both sig matrices by candidate row
@@ -296,8 +300,13 @@ def dedup_against_index(
 
     old_ids_arr = old_sig_tbl[id_col].to_numpy(zero_copy_only=False)
     old_order = np.argsort(old_ids_arr, kind="stable")
-    pos_a = old_order[np.searchsorted(old_ids_arr[old_order], a_ids)]
-    if not (old_ids_arr[pos_a] == a_ids).all():
+    # clip: searchsorted returns len(old_ids_arr) for ids beyond the last
+    # element, which would IndexError before the integrity check can fire
+    # (advisory finding) — the clipped position then fails the equality test
+    pos_raw = np.searchsorted(old_ids_arr[old_order], a_ids)
+    pos_a = old_order[np.clip(pos_raw, 0, max(len(old_ids_arr) - 1, 0))] \
+        if len(old_ids_arr) else np.zeros(0, np.int64)
+    if len(old_ids_arr) == 0 or not (old_ids_arr[pos_a] == a_ids).all():
         raise RuntimeError(
             "candidate id missing from its sig shard — band and sig "
             "tables are out of sync (partial append?)")

@@ -98,10 +98,11 @@ def test_driver_hash_parity(name):
     )
 
 
-@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
-def test_rows_only_queries_run(name):
-    got = _to_df(QUERIES[name](SF_DIR))
-    assert len(got) >= 0 and len(got.columns) > 0
+def test_every_query_has_an_oracle():
+    # Was a rows-only runner for oracle-less queries; since round 4 every
+    # QUERIES entry ships a DuckDB oracle, so the parametrized form skipped
+    # on an empty set.  Keep the invariant as a positive assertion instead.
+    assert set(QUERIES) == set(ORACLES)
 
 
 def test_entry_smoke():
