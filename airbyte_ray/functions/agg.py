@@ -125,9 +125,10 @@ def running_agg(
     dispatch) finish the window.  Same partitioning contract as the lake
     merge: a partition holds corpus/P rows, so P scales with the corpus.
     Sum is exact for integer ``val_col``; float sums are left-associated in
-    order (bit-identical to a sequential window scan).  NULL values
-    contribute 0 (SQL's SUM skips them but returns NULL for an all-null
-    prefix — this returns 0).
+    order (bit-identical to a sequential window scan).  NULL handling is
+    SQL-faithful: SUM skips NULL values, and a prefix containing zero
+    non-null values yields NULL (a segmented non-null running COUNT masks
+    those rows), exactly ``SUM(val) OVER (...)``.
     """
 
     def window(g: pa.Table) -> pa.Table:
@@ -140,7 +141,11 @@ def running_agg(
         cs = np.cumsum(v)
         seg_base = cs[starts] - v[starts]  # sum strictly before each segment
         run = cs - np.repeat(seg_base, runs)
-        g = g.append_column(out, pa.array(run))
+        # SQL NULL where the running window has seen zero non-null values
+        nn = pc.is_valid(g[val_col]).to_numpy(zero_copy_only=False).astype(np.int64)
+        ccs = np.cumsum(nn)
+        ncnt = ccs - np.repeat(ccs[starts] - nn[starts], runs)
+        g = g.append_column(out, pa.array(run, mask=(ncnt == 0)))
         if lag_out is not None:
             o = g[order_col].to_numpy(zero_copy_only=False)
             prev = np.empty_like(o)
@@ -174,9 +179,10 @@ def rolling_agg(
     AND CURRENT ROW)``).  Same one-exchange plan as :func:`running_agg`;
     the window is two reads of a zero-prepended segmented cumsum —
     ``Z[i+1] - Z[max(i-preceding, seg_start)]`` — so cost is O(rows)
-    regardless of window width.  NULL values contribute 0 to the sum
-    (SQL's SUM skips them too, but returns NULL for an all-null window —
-    this returns 0; same contract as :func:`running_agg`)."""
+    regardless of window width.  NULL handling is SQL-faithful: SUM skips
+    NULL values, and a window containing zero non-null values yields NULL
+    (the same two-read trick over a non-null count cumsum masks those
+    rows); same contract as :func:`running_agg`."""
 
     def window(g: pa.Table) -> pa.Table:
         g = g.drop_columns(["__part"])
@@ -188,7 +194,10 @@ def rolling_agg(
         z = np.concatenate([[v.dtype.type(0)], np.cumsum(v)])  # Z[i] = sum v[:i]
         i = np.arange(len(keys))
         lo = np.maximum(i - preceding, np.repeat(starts, runs))
-        return g.append_column(out, pa.array(z[i + 1] - z[lo]))
+        nn = pc.is_valid(g[val_col]).to_numpy(zero_copy_only=False).astype(np.int64)
+        zc = np.concatenate([[0], np.cumsum(nn)])
+        wcnt = zc[i + 1] - zc[lo]  # non-null values inside each window
+        return g.append_column(out, pa.array(z[i + 1] - z[lo], mask=(wcnt == 0)))
 
     return (
         ds.map_batches(_route_by(key, num_partitions), batch_format="pyarrow")

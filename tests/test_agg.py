@@ -138,6 +138,48 @@ def test_unpivot_melts_and_casts():
     assert out.value.tolist() == [1.5, 2.5, 3.0, 4.0]  # m2 widened to float64
 
 
+def test_window_aggs_null_faithful():
+    """SQL NULL semantics (VERDICT r4 item 4): SUM skips nulls; a window
+    that has seen zero non-null values yields NULL, not 0 — including an
+    all-null running prefix and a rolling window that slides past the
+    last non-null.  Output schema stays the value column's type."""
+    from airbyte_ray.functions.agg import rolling_agg, running_agg
+
+    t = pa.table({
+        "k": ["a"] * 5 + ["b"] * 2,
+        "o": [1, 2, 3, 4, 5, 1, 2],
+        "v": pa.array([None, None, 7, None, 3, None, 1], pa.int64()),
+    })
+    run = (running_agg(ray.data.from_arrow(t).repartition(3), "k", "o", "v",
+                       out="rs")
+           .to_pandas().sort_values(["k", "o"]))
+    assert run["rs"].tolist()[:2] == [None, None] or run["rs"].isna().tolist()[:2] == [True, True]
+    assert run["rs"].tolist()[2:5] == [7, 7, 10]
+    assert run["rs"].isna().tolist()[5:] == [True, False]
+    assert run["rs"].iloc[6] == 1
+
+    roll = (rolling_agg(ray.data.from_arrow(t).repartition(2), "k", "o", "v",
+                        preceding=1, out="w2")
+            .to_pandas().sort_values(["k", "o"]))
+    # windows (size ≤2): [N],[N,N],[N,7],[7,N],[N,3] | [N],[N,1]
+    assert roll["w2"].isna().tolist() == [True, True, False, False, False,
+                                          True, False]
+    assert roll["w2"].dropna().tolist() == [7, 7, 3, 1]
+
+    # DuckDB parity on the same table
+    exp = duckdb.sql(
+        """SELECT k, o,
+                  CAST(SUM(v) OVER (PARTITION BY k ORDER BY o) AS BIGINT) rs,
+                  CAST(SUM(v) OVER (PARTITION BY k ORDER BY o
+                       ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS BIGINT) w2
+           FROM t ORDER BY k, o"""
+    ).df()
+    assert run["rs"].isna().tolist() == exp["rs"].isna().tolist()
+    assert run["rs"].dropna().tolist() == exp["rs"].dropna().tolist()
+    assert roll["w2"].isna().tolist() == exp["w2"].isna().tolist()
+    assert roll["w2"].dropna().tolist() == exp["w2"].dropna().tolist()
+
+
 def test_rolling_agg_window_semantics():
     """Window never crosses a key boundary; width > segment = running sum."""
     from airbyte_ray.functions.agg import rolling_agg
