@@ -37,6 +37,14 @@ from .stages.transforms import add_fields, flatten_json, hash_id, record_filter
 from .schemas import CDC_UPDATED_AT
 
 
+def _mod_eq0(col: pa.ChunkedArray, m: int) -> pa.ChunkedArray:
+    """``col % m == 0`` for non-negative int64 via divide-multiply-subtract
+    (this pyarrow build has no ``pc.modulo``; integer ``pc.divide``
+    truncates, which equals floor for non-negative inputs)."""
+    q = pc.divide(col, pa.scalar(m, pa.int64()))
+    return pc.equal(col, pc.multiply(q, pa.scalar(m, pa.int64())))
+
+
 def _events(sf_dir: str, columns=None) -> ray.data.Dataset:
     return ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=columns)
 
@@ -1467,13 +1475,17 @@ def q_window_running(sf_dir: str) -> ray.data.Dataset:
     """Cumulative window aggregate: per user, running money total ordered
     by event_id, plus lag(event_id).  Money goes through the exact int64
     cents grid (``floor(value*100)`` — identical float64 expression on both
-    sides) so the running sum is hash-exact, and lag is pure int."""
+    sides) so the running sum is hash-exact, and lag is pure int.  NULLs
+    are PLANTED deterministically (``event_id % 19 == 0``) on both sides so
+    the driver hash genuinely exercises running_agg's SQL NULL semantics:
+    SUM skips nulls; an all-null prefix is NULL, not 0."""
     from .functions.agg import running_agg
 
     def cents(t: pa.Table) -> pa.Table:
         # Arrow kernels keep NULL as NULL — np.floor(NaN).astype(int64)
         # would mint INT64_MIN as a valid value (review finding)
         c = pc.floor(pc.multiply(t["value"], 100.0)).cast(pa.int64())
+        c = pc.if_else(_mod_eq0(t["event_id"], 19), pa.scalar(None, pa.int64()), c)
         return pa.table({
             "user_id": t["user_id"],
             "event_id": t["event_id"],
@@ -1569,6 +1581,43 @@ def q_fuzzy_pairs(sf_dir: str) -> ray.data.Dataset:
     return fuzzy_pairs(
         _docs(sf_dir, columns=["doc_id"]).map_batches(plant, batch_format="pyarrow"),
         col="title", id_col="doc_id", max_dist=1,
+    )
+
+
+def q_fuzzy_pairs_d2(sf_dir: str) -> ray.data.Dataset:
+    """Edit-distance-2 pair discovery (delete-2 SymSpell, round-5).  Every
+    10-doc group gets a high-entropy 40-bit-hex anchor title plus planted
+    variants — substitution (d=1), double substitution (d=2), deletion
+    (d=1), double insertion (d=2) — and 5 unique hex fillers, so buckets
+    stay tiny (hex entropy) while every distance class ≤ 2 is exercised.
+    The delete-≤2 bucketing must equal the exhaustive levenshtein join."""
+    from .functions.fuzzy import fuzzy_pairs
+
+    def plant(t: pa.Table) -> pa.Table:
+        def title(d: int) -> str:
+            g, r = d // 10, d % 10
+            base = format((g * 2654435761 + 12345) % (1 << 40), "010x")
+            if r == 0:
+                return base
+            if r == 1:
+                return base[:3] + "z" + base[4:]
+            if r == 2:
+                return base[:2] + "z" + base[3:7] + "q" + base[8:]
+            if r == 3:
+                return base[:5] + base[6:]
+            if r == 4:
+                return base[:4] + "zz" + base[4:]
+            return format((d * 2654435761 + 98765) % (1 << 40), "010x")
+
+        ids = t["doc_id"].to_pylist()
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "title": pa.array([title(d) for d in ids]),
+        })
+
+    return fuzzy_pairs(
+        _docs(sf_dir, columns=["doc_id"]).map_batches(plant, batch_format="pyarrow"),
+        col="title", id_col="doc_id", max_dist=2,
     )
 
 
@@ -1827,13 +1876,16 @@ def q_join_outer(sf_dir: str) -> ray.data.Dataset:
 def q_window_rolling(sf_dir: str) -> ray.data.Dataset:
     """Moving-window sum (ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) per
     user on the exact int64 cents grid — two reads of a segmented cumsum,
-    O(rows) regardless of window width."""
+    O(rows) regardless of window width.  NULLs are PLANTED deterministically
+    (``event_id % 19 == 0``) on both sides so the driver hash exercises
+    rolling_agg's SQL NULL semantics (all-null window → NULL, not 0)."""
     from .functions.agg import rolling_agg
 
     def cents(t: pa.Table) -> pa.Table:
         # Arrow kernels keep NULL as NULL — np.floor(NaN).astype(int64)
         # would mint INT64_MIN as a valid value (review finding)
         c = pc.floor(pc.multiply(t["value"], 100.0)).cast(pa.int64())
+        c = pc.if_else(_mod_eq0(t["event_id"], 19), pa.scalar(None, pa.int64()), c)
         return pa.table({
             "user_id": t["user_id"],
             "event_id": t["event_id"],
@@ -2028,6 +2080,7 @@ QUERIES = {
     "grouped_topn": q_grouped_topn,
     "pivot_counts": q_pivot_counts,
     "quality_gate": q_quality_gate,
+    "fuzzy_pairs_d2": q_fuzzy_pairs_d2,
 }
 _CANON = "md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 _TOKEN_RE_SQL = "[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]"
@@ -2105,12 +2158,13 @@ ORACLE_SQL = {
         ) b ON e.value >= b.lo AND e.value < b.hi
     """,
     "window_running": """
-        -- COALESCE pins the engine's documented NULL contract (running_agg:
-        -- NULL values contribute 0; an all-null prefix sums to 0, where SQL
-        -- would return NULL) so a fixture regenerated WITH nulls stays green.
+        -- NULL-faithful (round-5): nulls planted on event_id % 19 == 0,
+        -- SUM OVER skips them and yields SQL NULL for an all-null prefix —
+        -- running_agg now mirrors this exactly (no COALESCE pin needed).
         SELECT user_id, event_id,
-               COALESCE(CAST(SUM(CAST(floor(value*100) AS BIGINT))
-                 OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT), 0) AS run_cents,
+               CAST(SUM(CASE WHEN event_id % 19 = 0 THEN NULL
+                             ELSE CAST(floor(value*100) AS BIGINT) END)
+                 OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT) AS run_cents,
                lag(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_event_id
         FROM events
     """,
@@ -2160,6 +2214,33 @@ ORACLE_SQL = {
                CAST(levenshtein(x.title, y.title) AS BIGINT) AS dist
         FROM t x JOIN t y ON x.doc_id < y.doc_id
         WHERE levenshtein(x.title, y.title) <= 1
+    """,
+    # fuzzy_pairs_d2 oracle: same exhaustive join at distance 2 over the
+    # high-entropy planted titles (identical CASE construction to the
+    # engine's plant(); parity verified char-for-char)
+    "fuzzy_pairs_d2": """
+        WITH t0 AS (
+          SELECT doc_id, doc_id % 10 AS r,
+                 printf('%010x', ((doc_id // 10) * 2654435761 + 12345)
+                                 % 1099511627776) AS base,
+                 printf('%010x', (doc_id * 2654435761 + 98765)
+                                 % 1099511627776) AS filler
+          FROM documents
+        ), t AS (
+          SELECT doc_id,
+            CASE r WHEN 0 THEN base
+                   WHEN 1 THEN substr(base,1,3) || 'z' || substr(base,5)
+                   WHEN 2 THEN substr(base,1,2) || 'z' || substr(base,4,4)
+                               || 'q' || substr(base,9)
+                   WHEN 3 THEN substr(base,1,5) || substr(base,7)
+                   WHEN 4 THEN substr(base,1,4) || 'zz' || substr(base,5)
+                   ELSE filler END AS title
+          FROM t0
+        )
+        SELECT x.doc_id AS a, y.doc_id AS b,
+               CAST(levenshtein(x.title, y.title) AS BIGINT) AS dist
+        FROM t x JOIN t y ON x.doc_id < y.doc_id
+        WHERE levenshtein(x.title, y.title) <= 2
     """,
     # corr_stats oracle: exact integer moments, r from the IDENTICAL
     # double expression tree (see grouped_corr)
@@ -2304,12 +2385,14 @@ ORACLE_SQL = {
         ON e.user_id = d.doc_id
     """,
     "window_rolling": """
-        -- COALESCE pins rolling_agg's documented NULL contract (all-null
-        -- window sums to 0, not NULL) — see window_running's note.
+        -- NULL-faithful (round-5): nulls planted on event_id % 19 == 0,
+        -- SUM OVER skips them and yields SQL NULL for an all-null window —
+        -- rolling_agg now mirrors this exactly (no COALESCE pin needed).
         SELECT user_id, event_id,
-               COALESCE(CAST(SUM(CAST(floor(value*100) AS BIGINT))
+               CAST(SUM(CASE WHEN event_id % 19 = 0 THEN NULL
+                             ELSE CAST(floor(value*100) AS BIGINT) END)
                  OVER (PARTITION BY user_id ORDER BY event_id
-                       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT), 0) AS roll_cents
+                       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll_cents
         FROM events
     """,
     "set_ops": """
