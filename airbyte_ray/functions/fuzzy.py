@@ -4,10 +4,13 @@ The entity-resolution primitive (near-identical titles / IDs / names)
 re-expressed for scale with SymSpell-style symmetric-delete bucketing
 (public algorithm: two strings within Levenshtein distance ≤ k share at
 least one element of their ≤k-deletion neighborhoods — recall-COMPLETE
-for the supported ``max_dist=1``):
+for ``max_dist ∈ {1, 2}``.  Why: align an optimal edit script; each side
+deletes only its substituted/inserted/deleted characters, so each side
+needs at most ``dist ≤ k`` deletions to reach a common string):
 
-1. per batch, every string emits its identity key plus its |s| one-char
-   deletions — O(rows × len) small string keys, never pairs;
+1. per batch, every string emits its identity key plus its ≤k-deletion
+   neighborhood — O(rows × len) keys at k=1, O(rows × len²/2) at k=2,
+   small string keys either way, never pairs;
 2. ONE ``groupby(key)`` exchange brings colliding strings together and
    emits candidate id pairs (a < b, deduped across buckets);
 3. exact Levenshtein verifies each candidate (a banded DP over the few
@@ -55,14 +58,22 @@ def levenshtein(a: str, b: str) -> int:
     return int(prev[-1])
 
 
-def _delete_keys(s: str) -> list[str]:
-    return [s] + [s[:i] + s[i + 1:] for i in range(len(s))]
+def _delete_keys(s: str, k: int = 1) -> list[str]:
+    """The ≤k-deletion neighborhood of ``s`` (including ``s`` itself),
+    deduplicated — e.g. "aab" reaches "ab" two ways but emits it once."""
+    out = {s}
+    frontier = {s}
+    for _ in range(k):
+        nxt = {w[:i] + w[i + 1:] for w in frontier for i in range(len(w))}
+        out |= nxt
+        frontier = nxt
+    return list(out)
 
 
-def _bucket_rows(t: pa.Table, col: str, id_col: str) -> pa.Table:
+def _bucket_rows(t: pa.Table, col: str, id_col: str, max_dist: int = 1) -> pa.Table:
     keys, ids, vals = [], [], []
     for i, s in zip(t[id_col].to_pylist(), t[col].to_pylist()):
-        for k in _delete_keys(s or ""):
+        for k in _delete_keys(s or "", max_dist):
             keys.append(k)
             ids.append(i)
             vals.append(s or "")
@@ -81,14 +92,16 @@ def fuzzy_pairs(
     bucket_cap: int = 10_000,
 ) -> ray.data.Dataset:
     """All id pairs whose ``col`` strings are within Levenshtein
-    ``max_dist`` (currently 1 — the distance the delete-1 neighborhood is
-    recall-complete for).  See module docstring for the plan; hot buckets
-    (⇒ quadratic pair emission) fail loudly over ``bucket_cap``."""
-    if max_dist != 1:
+    ``max_dist`` (1 or 2 — the delete-≤k neighborhood is recall-complete
+    for distance ≤ k; see module docstring).  k=2 multiplies key volume by
+    ~len/2 per string and widens buckets, so low-entropy values (shared
+    prefixes, tiny alphabets) flood sooner — hot buckets (⇒ quadratic pair
+    emission) still fail loudly over ``bucket_cap``."""
+    if max_dist not in (1, 2):
         raise NotImplementedError(
-            "delete-1 bucketing is recall-complete for max_dist=1 only; "
-            "higher distances need k-deletion neighborhoods (exponential "
-            "key growth) — extend deliberately, not silently")
+            "delete-k bucketing key volume is O(len^k) per string — "
+            "max_dist > 2 needs a different plan (length-banded verify); "
+            "extend deliberately, not silently")
 
     def pairs(g: pa.Table) -> pa.Table:
         n = g.num_rows
@@ -130,7 +143,8 @@ def fuzzy_pairs(
 
     cand = (
         ds.select_columns([id_col, col])
-        .map_batches(partial(_bucket_rows, col=col, id_col=id_col),
+        .map_batches(partial(_bucket_rows, col=col, id_col=id_col,
+                             max_dist=max_dist),
                      batch_format="pyarrow")
         .groupby("bkey")
         .map_groups(pairs, batch_format="pyarrow")

@@ -630,3 +630,46 @@ def test_fuzzy_pairs_complete_and_capped():
     with _pytest.raises(Exception, match="bucket_cap"):
         fuzzy_pairs(ray.data.from_arrow(flood), "s", "id",
                     bucket_cap=100).materialize()
+
+
+def test_fuzzy_pairs_d2_property_recall_complete():
+    """Round-5: delete-2 bucketing is recall-COMPLETE for distance ≤ 2.
+    Property-style: seeded random corpora (base words + planted 1- and
+    2-edit mutations of every kind — sub/ins/del and their combinations)
+    must yield EXACTLY the exhaustive all-pairs Levenshtein-≤2 set."""
+    import random
+
+    from airbyte_ray.functions.fuzzy import fuzzy_pairs, levenshtein
+
+    for seed in (7, 41, 1999):
+        rng = random.Random(seed)
+        alpha = "abcdef"
+        vals = []
+        for _ in range(12):
+            w = "".join(rng.choice(alpha) for _ in range(rng.randint(4, 9)))
+            vals.append(w)
+            for _ in range(2):  # two mutants per base, 1 or 2 random edits
+                m = w
+                for _e in range(rng.randint(1, 2)):
+                    op = rng.choice("sid")
+                    p = rng.randrange(max(len(m), 1))
+                    if op == "s" and m:
+                        m = m[:p] + rng.choice(alpha) + m[p + 1:]
+                    elif op == "i":
+                        m = m[:p] + rng.choice(alpha) + m[p:]
+                    elif m:
+                        m = m[:p] + m[p + 1:]
+                vals.append(m)
+        # drop exact duplicate values: two identical strings collide in
+        # every bucket and the operator's contract is distinct-id pairs
+        # over possibly-equal values (dist 0 rows are legitimate output)
+        t = pa.table({"id": pa.array(np.arange(len(vals))),
+                      "s": pa.array(vals)})
+        got = (fuzzy_pairs(ray.data.from_arrow(t).repartition(4), "s", "id",
+                           max_dist=2, bucket_cap=100_000)
+               .to_pandas())
+        expect = {(i, j, levenshtein(vals[i], vals[j]))
+                  for i in range(len(vals)) for j in range(i + 1, len(vals))
+                  if levenshtein(vals[i], vals[j]) <= 2}
+        assert set(map(tuple, got[["a", "b", "dist"]].values)) == expect, seed
+        assert any(d == 2 for _, _, d in expect), seed  # distance-2 present
