@@ -28,13 +28,19 @@ Flow shapes:
   explode band rows.  No driver-side materialization of anything.
 * :func:`append_to_index` — log-structured: the new batch's band/sig
   files land NEXT TO the existing shard files (parquet dirs append).
-* :func:`dedup_against_index` — three distributed passes (signature the
-  new batch; collision-scan the touched band shards with an in-task
-  band-key semi-filter; fetch candidate signatures from the touched sig
-  shards), with the candidate-sized middle (bucket pairing, pair dedup,
-  similarity) handled driver-side in numpy.  Hot buckets fail LOUDLY
-  over ``bucket_cap``, never silently drop.  The NEW batch ≪ corpus by
-  contract — its signatures and the collision set come to the driver.
+* :func:`dedup_against_index` — TWO execution shapes, picked by batch
+  size (``mode="auto"``).  Small probes: three distributed passes
+  (signature the new batch; collision-scan the touched band shards with
+  an in-task band-key semi-filter; fetch candidate signatures from the
+  touched sig shards) with the candidate-sized middle handled
+  driver-side in numpy — lowest fixed overhead.  Large ingest batches:
+  the fully distributed path — NO driver array is O(batch): Bloom-pruned
+  shard scans (fixed-size bitmap, distributed OR-fold build), ONE
+  ``groupby(band_key)`` exchange emitting old×new candidate pairs, a
+  distributed pair-dedup, and signature verification as partitioned
+  hash joins (sigs packed to fixed-size-binary).  Measured: probe cost
+  flat as the batch grows 10× (bench ``dedup_probe_10x_ratio`` ≈ 1.0).
+  Hot buckets fail LOUDLY over ``bucket_cap`` on both paths.
 
 Verification is by signature estimate (index-only; the historical text
 is never re-read).  At 64 permutations the estimator's σ is ≈0.06 at
@@ -148,11 +154,16 @@ def dedup_against_index(
     text_col: str = "text",
     sim_threshold: float = 0.8,
     bucket_cap: int = 100_000,
+    mode: str = "auto",
+    driver_cap: int = 200_000,
 ) -> ray.data.Dataset:
     """Near-dup matches of a NEW batch against the persisted index:
     returns (a=indexed id, b=new id, sim=estimated Jaccard ≥ threshold).
 
-    Execution shape — exactly THREE distributed passes, everything else
+    Two execution shapes, selected by ``mode`` (``auto`` picks by new-batch
+    size against ``driver_cap`` rows):
+
+    ``driver`` — exactly THREE distributed passes, everything else
     driver-side numpy over candidate-sized tables:
 
     1. signature the new batch (distributed; the only pass over its text);
@@ -162,17 +173,31 @@ def dedup_against_index(
 
     The first version chained groupbys and hash-joins for the candidate
     stages; at sf0.1 that spent ~25 s of fixed per-execution overhead on
-    KILOBYTES of candidates.  Driver-side candidate handling is the
-    correct scale call too: the new batch ≪ corpus is the module's
-    documented contract, collisions/candidates are band-bucket-bounded,
-    and the big sides (index scans) stay distributed and pruned."""
+    KILOBYTES of candidates.  For a small probe batch, driver-side
+    candidate handling is the right call — collisions/candidates are
+    band-bucket-bounded, and the big sides (index scans) stay
+    distributed and pruned.
+
+    ``distributed`` — the 100-TB-ingest shape: NO driver-side array is
+    O(new batch).  The new batch's band rows stay a Dataset; touched
+    shards come back as a ≤ ``n_shards`` list; in-task pruning uses a
+    FIXED-SIZE Bloom filter over the batch's band keys (distributed
+    OR-fold build, :func:`bloom.build_bloom`); old×new candidate pairs
+    are emitted by ONE ``groupby(band_key)`` exchange (hot buckets still
+    raise over ``bucket_cap``); and signature verification runs as two
+    partitioned hash joins against the touched (Bloom-pruned) sig shards
+    with signatures packed as fixed-size-binary payloads (Acero rejects
+    list payloads).  A left join keeps the band/sig out-of-sync
+    integrity RuntimeError loud, now raised inside the verify tasks."""
     with open(os.path.join(index_dir, "meta.json")) as f:
         meta = json.load(f)
     id_col, num_perm, n_shards = meta["id_col"], meta["num_perm"], meta["n_shards"]
     if meta["seed"] != _DEFAULT_SEED:
         raise ValueError("index built with a non-default hasher seed")
+    if mode not in ("auto", "driver", "distributed"):
+        raise ValueError(f"unknown mode {mode!r}")
 
-    # pass 1 — signatures of the new batch
+    # pass 1 — signatures of the new batch (both paths start here)
     sigged = (
         new_ds.select_columns([id_col, text_col])
         .map_batches(partial(_minhash_batch, col=text_col,
@@ -180,6 +205,11 @@ def dedup_against_index(
                      batch_format="pyarrow")
         .map_batches(lambda t: t.drop_columns([text_col]), batch_format="pyarrow")
     )
+    if mode != "driver":
+        sigged = sigged.materialize()  # consumed 2-3×; sigs ≪ text
+        if mode == "distributed" or sigged.count() > driver_cap:
+            return _probe_distributed(
+                sigged, index_dir, meta, sim_threshold, bucket_cap)
     sig_tbl = pa.concat_tables(
         [t for t in ray.get(sigged.to_arrow_refs()) if t.num_rows]
         or [pa.table({id_col: pa.array([], pa.int64()),
@@ -320,3 +350,205 @@ def dedup_against_index(
         "b": pa.array(b_ids[keep], id_type),
         "sim": pa.array(sim[keep]),
     }))
+
+
+def _pack_sigs(t: pa.Table, id_col: str, num_perm: int, out_id: str,
+               out_sig: str) -> pa.Table:
+    """(id, sig list<int64>[p]) → (out_id, out_sig fixed_size_binary[8p])
+    — Acero hash joins reject list payloads but take fixed-width binary,
+    and the pack/unpack is a zero-copy buffer view either way."""
+    n = t.num_rows
+    bw = 8 * num_perm
+    if n == 0:
+        return pa.table({out_id: pa.array([], t[id_col].type),
+                         out_sig: pa.array([], pa.binary(bw))})
+    mat = np.ascontiguousarray(
+        np.asarray(t["sig"].combine_chunks().flatten()).reshape(n, num_perm))
+    blob = pa.FixedSizeBinaryArray.from_buffers(
+        pa.binary(bw), n, [None, pa.py_buffer(mat.tobytes())])
+    return pa.table({out_id: t[id_col], out_sig: blob})
+
+
+def _fsb_matrix(col: pa.ChunkedArray, num_perm: int) -> np.ndarray:
+    """fixed_size_binary[8p] column (no nulls) → (n, p) int64 matrix,
+    zero-copy modulo the slice-offset adjustment."""
+    arr = col.combine_chunks()
+    bw = 8 * num_perm
+    buf = np.frombuffer(arr.buffers()[1], np.uint8)
+    start = arr.offset * bw
+    return buf[start:start + len(arr) * bw].view(np.int64).reshape(
+        len(arr), num_perm)
+
+
+def _probe_distributed(
+    sigged: ray.data.Dataset,
+    index_dir: str,
+    meta: dict,
+    sim_threshold: float,
+    bucket_cap: int,
+    fp_rate: float = 0.005,
+) -> ray.data.Dataset:
+    """The large-ingest probe: see :func:`dedup_against_index` docstring.
+    Driver state is bounded by ≤ n_shards shard lists and two fixed-size
+    Bloom bitmaps — never by the new batch or the candidate set."""
+    from .bloom import BloomFilter, build_bloom
+    from ..config import _worker_state
+    from ..joins import hash_join
+
+    id_col, num_perm, n_shards = meta["id_col"], meta["num_perm"], meta["n_shards"]
+    bands = meta["bands"]
+    sch = sigged.schema()
+    id_type = dict(zip(sch.names, sch.types))[id_col]
+
+    def _empty() -> ray.data.Dataset:
+        return ray.data.from_arrow(pa.table({
+            "a": pa.array([], id_type), "b": pa.array([], id_type),
+            "sim": pa.array([], pa.float64())}))
+
+    n_new = sigged.count()
+    if n_new == 0:
+        return _empty()
+
+    # new band rows stay a Dataset (never collected)
+    nb_ds = sigged.map_batches(
+        lambda t: _band_rows(t, id_col, num_perm, bands).drop_columns(["sig"]),
+        batch_format="pyarrow",
+    ).materialize()
+
+    # touched band shards: distinct band_key % n_shards (≤ n_shards values)
+    def _shards_of(t: pa.Table) -> pa.Table:
+        bk = t["band_key"].to_numpy().astype(np.int64).view(np.uint64)
+        u = np.unique((bk % np.uint64(n_shards)).astype(np.int64))
+        return pa.table({"shard": pa.array(u)})
+
+    touched = sorted(set(
+        nb_ds.map_batches(_shards_of, batch_format="pyarrow").unique("shard")))
+    band_files = [
+        f for s in touched
+        for f in sorted(glob.glob(os.path.join(index_dir, "bands", f"shard={s}", "*.parquet")))
+    ]
+    if not band_files:
+        return _empty()
+
+    # fixed-size Bloom over the batch's band keys — the in-task prune that
+    # replaces the driver key-set broadcast of the small-batch path
+    kbloom = build_bloom(nb_ds, "band_key", est_keys=max(n_new * bands, 64),
+                         fp_rate=fp_rate)
+    kb_ref = ray.put((kbloom.bits.tobytes(), kbloom.n_bits, kbloom.k))
+
+    def _bloom_from(ref):
+        def make() -> BloomFilter:
+            blob, n_bits, k = ray.get(ref)
+            b = BloomFilter(n_bits, k)
+            b.bits = np.frombuffer(blob, np.uint8).copy()
+            return b
+        return make
+
+    def _prune_old(t: pa.Table) -> pa.Table:
+        from .sketch import _key_np
+        if t.num_rows == 0:
+            return pa.table({"band_key": pa.array([], pa.int64()),
+                             id_col: pa.array([], id_type),
+                             "__side": pa.array([], pa.int8())})
+        b = _worker_state(("didx_kbloom", kb_ref.hex()), _bloom_from(kb_ref))
+        t = t.select(["band_key", id_col]).filter(
+            pa.array(b.contains(_key_np(t["band_key"]))))
+        return t.append_column("__side", pa.array(np.zeros(t.num_rows, np.int8)))
+
+    old_rows = ray.data.read_parquet(
+        band_files, partitioning=None).map_batches(_prune_old, batch_format="pyarrow")
+    new_rows = nb_ds.map_batches(
+        lambda t: t.append_column("__side", pa.array(np.ones(t.num_rows, np.int8))),
+        batch_format="pyarrow")
+
+    def _cross(g: pa.Table) -> pa.Table:
+        side = g["__side"].to_numpy(zero_copy_only=False)
+        old_i = np.flatnonzero(side == 0)
+        new_i = np.flatnonzero(side == 1)
+        if len(old_i) == 0 or len(new_i) == 0:  # bloom-FP-only bucket
+            return pa.table({"a": pa.array([], id_type),
+                             "b": pa.array([], id_type)})
+        if len(old_i) * len(new_i) > bucket_cap:
+            k = g["band_key"][0].as_py()
+            raise ValueError(
+                f"band bucket {k} with {len(old_i) * len(new_i)} cross pairs "
+                f"exceeds bucket_cap={bucket_cap}: near-identical content is "
+                "flooding one bucket — dedup the new batch internally first, "
+                "or raise bucket_cap explicitly")
+        gi, gj = np.meshgrid(old_i, new_i, indexing="ij")
+        return pa.table({"a": g[id_col].take(pa.array(gi.ravel())),
+                         "b": g[id_col].take(pa.array(gj.ravel()))})
+
+    pairs = (
+        old_rows.union(new_rows)
+        .groupby("band_key").map_groups(_cross, batch_format="pyarrow")
+        # the same pair surfaces from several bands — dedup distributed
+        .groupby(["a", "b"]).map_groups(lambda g: g.slice(0, 1),
+                                        batch_format="pyarrow")
+        .materialize()  # candidate-sized; consumed twice below
+    )
+    if pairs.count() == 0:
+        return _empty()
+
+    # touched sig shards for the candidate a-ids (≤ n_shards values)
+    def _a_shards(t: pa.Table) -> pa.Table:
+        sh = _id_shard_col(pa.table({id_col: t["a"]}), id_col, n_shards)["shard"]
+        return pa.table({"shard": pa.array(np.unique(sh.to_numpy()))})
+
+    a_shards = sorted(set(
+        pairs.map_batches(_a_shards, batch_format="pyarrow").unique("shard")))
+    sig_files = [
+        f for s in a_shards
+        for f in sorted(glob.glob(os.path.join(index_dir, "sigs", f"shard={s}", "*.parquet")))
+    ]
+
+    # Bloom over candidate a-ids: prunes the sig scan to ~candidates + FP
+    # (extra rows are dropped by the join, so FPs cost I/O, not correctness)
+    abloom = build_bloom(pairs, "a", est_keys=max(pairs.count(), 64),
+                         fp_rate=fp_rate)
+    ab_ref = ray.put((abloom.bits.tobytes(), abloom.n_bits, abloom.k))
+
+    def _prune_sigs(t: pa.Table) -> pa.Table:
+        from .sketch import _key_np
+        t = _pack_sigs(t, id_col, num_perm, "a", "sig_a")
+        if t.num_rows == 0:
+            return t
+        b = _worker_state(("didx_abloom", ab_ref.hex()), _bloom_from(ab_ref))
+        return t.filter(pa.array(b.contains(_key_np(t["a"]))))
+
+    old_sigs = (
+        ray.data.read_parquet(sig_files, partitioning=None)
+        .map_batches(_prune_sigs, batch_format="pyarrow")
+        if sig_files else
+        ray.data.from_arrow(pa.table({
+            "a": pa.array([], id_type),
+            "sig_a": pa.array([], pa.binary(8 * num_perm))}))
+    )
+    new_sigs = sigged.map_batches(
+        partial(_pack_sigs, id_col=id_col, num_perm=num_perm,
+                out_id="b", out_sig="sig_b"),
+        batch_format="pyarrow")
+
+    # left joins keep missing sigs visible as nulls → loud integrity error
+    joined = hash_join(
+        hash_join(pairs, old_sigs, on="a", how="left"),
+        new_sigs, on="b", how="left")
+
+    def _verify(t: pa.Table) -> pa.Table:
+        empty = pa.table({"a": pa.array([], id_type),
+                          "b": pa.array([], id_type),
+                          "sim": pa.array([], pa.float64())})
+        if t.num_rows == 0:
+            return empty
+        if t["sig_a"].null_count or t["sig_b"].null_count:
+            raise RuntimeError(
+                "candidate id missing from its sig shard — band and sig "
+                "tables are out of sync (partial append?)")
+        sim = (_fsb_matrix(t["sig_a"], num_perm)
+               == _fsb_matrix(t["sig_b"], num_perm)).mean(axis=1)
+        out = pa.table({"a": t["a"], "b": t["b"], "sim": pa.array(sim)})
+        return out.filter(pa.array(sim >= sim_threshold))
+
+    res = joined.map_batches(_verify, batch_format="pyarrow").materialize()
+    # pin the empty-result schema (Ray drops columns on fully-empty outputs)
+    return res if res.count() else _empty()

@@ -316,6 +316,37 @@ def run_bench() -> dict:
             didx, sim_threshold=0.7,
         ))
 
+        # ---- round-5 proof: the DISTRIBUTED probe's index-side cost is
+        # flat as the new batch grows 10x (0.2% vs 2% of the corpus).  If
+        # index work scaled with the batch the ratio would approach 10;
+        # sub-linear ratio = cost is the flat touched-shard scan plus the
+        # batch's own signatures.  No driver-side array is O(batch) on
+        # this path (Bloom-pruned scans, groupby pair middle, join verify).
+        def _probe_t(every):
+            def fn(t):
+                import pyarrow as _pa2
+                ids = t["doc_id"].to_numpy()
+                out = t.filter(_pa2.array(ids % every == 0))
+                return out.set_column(0, "doc_id", _pa2.array(
+                    out["doc_id"].to_numpy() + 10_000_000))
+
+            best = None
+            for _ in range(q_reps):
+                t0 = time.perf_counter()
+                dedup_against_index(
+                    ray.data.read_parquet(docs_path, columns=["doc_id", "text"])
+                    .map_batches(fn, batch_format="pyarrow"),
+                    didx, sim_threshold=0.7, mode="distributed",
+                ).materialize()
+                dt = time.perf_counter() - t0
+                best = dt if best is None or dt < best else best
+            return best
+
+        t_b1 = _probe_t(500)   # 0.2% of the corpus
+        t_b10 = _probe_t(50)   # 2% — the same probe at 10x the batch
+        timings["dedup_index_probe_dist_b1"] = round(t_b1, 3)
+        timings["dedup_index_probe_dist_b10"] = round(t_b10, 3)
+
         # ---- shared-WAL catalog sync (GLOBAL state): the WAL is scanned
         # ONCE no matter how many streams tail it (catalog_sync.split_route)
         # — S=2 vs S=8 over the same 1M-row WAL should cost the same;
@@ -386,6 +417,10 @@ def run_bench() -> dict:
             timings["sync_shared_s8"] / timings["sync_shared_s2"], 3
         )
         out["ivf_probe"] = ivf_probe
+    if "dedup_index_probe_dist_b1" in timings:
+        out["dedup_probe_10x_ratio"] = round(
+            timings["dedup_index_probe_dist_b10"]
+            / timings["dedup_index_probe_dist_b1"], 3)
     return out
 
 
