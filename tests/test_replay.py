@@ -375,6 +375,54 @@ def test_partition_aligned_apply(tmp_path):
         c.apply_partitioned(str(tmp_path / "bad"))
 
 
+def test_fused_shard_apply_byte_equals_generic(tmp_path):
+    """The single-gather fused fast path (default policy, full mode) must
+    write byte-identical segment files to the generic reduce-then-merge
+    path.  An EXPLICIT (("lsn","descending"),) merge_policy routes the same
+    semantics down the generic `_merge_partition` branch; two applies cover
+    old-absent and old-present merges, with dup deliveries + tombstones."""
+    import os
+
+    P = 4
+    base = gen.gen_base(200, seed=61)
+    pools = gen.partition_pools(200, P)
+    new_pools = gen.partition_pools(4000, P, start=200)
+    roots = []
+    for run, lsn0 in ((0, 1), (1, 100_001)):
+        root = tmp_path / f"wal{run}"
+        for p in range(P):
+            ev = gen.gen_events(
+                400, 200, seed=70 + 10 * run + p, start_lsn=lsn0 + 2000 * p,
+                dup_prob=0.05, key_pool=pools[p], insert_pool=new_pools[p],
+            )
+            d = root / f"part={p:05d}"
+            d.mkdir(parents=True)
+            pq.write_table(ev, d / "chunk-0.parquet")
+        roots.append(str(root))
+
+    fused = LakeTable(str(tmp_path / "lake_fused"), ReplayConfig(num_partitions=P))
+    generic = LakeTable(
+        str(tmp_path / "lake_generic"),
+        ReplayConfig(num_partitions=P, merge_policy=(("lsn", "descending"),)),
+    )
+    for lake in (fused, generic):
+        lake.init_snapshot(ray.data.from_arrow(base))
+        for root in roots:
+            lake.apply_partitioned(root)
+
+    mf, mg = Manifest.load(fused.lake_dir), Manifest.load(generic.lake_dir)
+    assert mf.watermark == mg.watermark
+    assert set(mf.partitions) == set(mg.partitions)
+    for p, ef in mf.partitions.items():
+        eg = mg.partitions[p]
+        assert ef.paths == eg.paths
+        for rel in ef.paths:
+            fa = os.path.join(fused.lake_dir, rel)
+            fb = os.path.join(generic.lake_dir, rel)
+            with open(fa, "rb") as a, open(fb, "rb") as b:
+                assert a.read() == b.read(), f"segment bytes differ: {rel}"
+
+
 def test_merge_policy_cursor_chain(tmp_path):
     """Pluggable MergePolicy (SURVEY §2.12): winner per key by
     (ts desc, lsn desc) — the reference's `cursor desc, _ab_cdc_updated_at
