@@ -2027,6 +2027,7 @@ QUERIES = {
     "corr_stats": q_corr_stats,
     "histogram": q_histogram,
     "fuzzy_pairs": q_fuzzy_pairs,
+    "fuzzy_pairs_d2": q_fuzzy_pairs_d2,
     "top_orders": q_top_orders,
     "grouped_quantiles_cont": q_grouped_quantiles_cont,
     "cdc_replay_upsert": q_cdc_replay_upsert,
@@ -2080,7 +2081,6 @@ QUERIES = {
     "grouped_topn": q_grouped_topn,
     "pivot_counts": q_pivot_counts,
     "quality_gate": q_quality_gate,
-    "fuzzy_pairs_d2": q_fuzzy_pairs_d2,
 }
 _CANON = "md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 _TOKEN_RE_SQL = "[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]"
