@@ -27,6 +27,7 @@ from .functions.dedup import (
     embedding_near_dups,
     exact_dedup,
     minhash_dedup,
+    segment_dedup,
     simhash_near_dups,
 )
 from .functions.text import LangId, fingerprint_md5, quality_score, rolling_fingerprint, token_count
@@ -583,6 +584,14 @@ def q_dedup_exact(sf_dir: str) -> ray.data.Dataset:
     return exact_dedup(
         _docs(sf_dir, columns=["doc_id", "text"]), ["text"], keep_by="doc_id"
     ).select_columns(["doc_id"])
+
+
+def q_segment_dedup(sf_dir: str) -> ray.data.Dataset:
+    """Corpus-wide exact duplicate-segment removal with reassembly (C4 /
+    MassiveText line-dedup over 15-word spans, keep-first).  Output:
+    (doc_id, text_dedup); documents whose every segment occurred earlier
+    elsewhere vanish — matching the SQL keep-first window oracle."""
+    return segment_dedup(_docs(sf_dir, columns=["doc_id", "text"]), seg_words=15)
 
 
 def q_dedup_minhash(sf_dir: str) -> ray.data.Dataset:
@@ -2043,6 +2052,7 @@ QUERIES = {
     "hash_surrogate": q_hash_surrogate,
     "type_cast": q_type_cast,
     "dedup_exact": q_dedup_exact,
+    "segment_dedup": q_segment_dedup,
     "dedup_minhash": q_dedup_minhash,
     "dedup_index": q_dedup_index,
     "join_partitioned": q_join_partitioned,
@@ -2501,6 +2511,26 @@ ORACLE_SQL = {
         SELECT doc_id FROM (
           SELECT doc_id, row_number() OVER (PARTITION BY {_CANON} ORDER BY doc_id) rn
           FROM documents) WHERE rn = 1
+    """,
+    "segment_dedup": """
+        WITH words AS (
+          SELECT doc_id,
+                 unnest(string_split(text, ' ')) AS word,
+                 generate_subscripts(string_split(text, ' '), 1) AS ord
+          FROM documents
+        ),
+        segs AS (
+          SELECT doc_id, (ord - 1) // 15 AS pos,
+                 string_agg(word, ' ' ORDER BY ord) AS seg
+          FROM words GROUP BY doc_id, (ord - 1) // 15
+        ),
+        win AS (
+          SELECT doc_id, pos, seg,
+                 row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
+          FROM segs
+        )
+        SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS text_dedup
+        FROM win WHERE rn = 1 GROUP BY doc_id
     """,
     "ann_topk": """
         WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 3)

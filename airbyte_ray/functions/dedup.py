@@ -1097,3 +1097,100 @@ def ngram_jaccard_dedup(
         return t.filter(mask)
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# intra-corpus exact SEGMENT dedup (C4/MassiveText line-dedup analog)
+# ---------------------------------------------------------------------------
+
+
+def _explode_segments(t: pa.Table, seg_words: int, text_col: str,
+                      id_col: str) -> pa.Table:
+    """Flat (seg, rank) rows: each doc split into consecutive ``seg_words``-
+    word segments, rank = doc_id * 2^20 + position (keep-first order).  The
+    segment ListArray reuses the word-split's values buffer (segments are
+    contiguous word ranges), so no per-row Python and no word copies; a
+    per-block combiner keeps only the min-rank row per distinct segment —
+    the hot-key guard (a segment duplicated a million times contributes at
+    most one row per block to the exchange)."""
+    ids = t[id_col].to_numpy()
+    if len(ids) and ids.max() >= (1 << 42):
+        raise ValueError("segment_dedup rank encoding needs doc_id < 2^42")
+    words = pc.split_pattern(t[text_col], " ").combine_chunks()
+    offs = words.offsets.to_numpy().astype(np.int64)
+    n_words = np.diff(offs)
+    n_segs = (n_words + seg_words - 1) // seg_words
+    if len(n_segs) and n_segs.max() >= (1 << 20):
+        raise ValueError("segment_dedup rank encoding needs < 2^20 segments/doc")
+    total = int(n_segs.sum())
+    if total == 0:
+        return pa.table({"seg": pa.array([], pa.string()),
+                         "rank": pa.array([], pa.int64())})
+    doc_idx = np.repeat(np.arange(len(ids)), n_segs)
+    pos = np.arange(total) - np.repeat(np.cumsum(n_segs) - n_segs, n_segs)
+    starts = offs[doc_idx] + pos * seg_words
+    # consecutive segments tile each doc and docs tile the block, so the
+    # start offsets plus the final end ARE valid monotone list offsets
+    seg_offsets = np.append(starts, offs[-1]).astype(np.int32)
+    seg_lists = pa.ListArray.from_arrays(pa.array(seg_offsets, pa.int32()),
+                                         words.values)
+    segs = pc.binary_join(seg_lists, " ")
+    rank = ids[doc_idx] * (1 << 20) + pos
+    # block-local combiner: min rank per distinct segment
+    inv, uniq = pd.factorize(segs.to_numpy(zero_copy_only=False), sort=False)
+    mins = np.full(len(uniq), np.iinfo(np.int64).max, np.int64)
+    np.minimum.at(mins, inv, rank)
+    return pa.table({"seg": pa.array(uniq, pa.string()),
+                     "rank": pa.array(mins, pa.int64())})
+
+
+def segment_dedup(
+    ds: ray.data.Dataset,
+    seg_words: int = 15,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "text_dedup",
+) -> ray.data.Dataset:
+    """Corpus-wide exact duplicate-SEGMENT removal with document reassembly
+    — the C4 / MassiveText line-level dedup (C4 drops duplicate three-
+    sentence spans corpus-wide; here the unit is a fixed ``seg_words``-word
+    span, deterministic for data without sentence boundaries).  Keep-first:
+    the occurrence with the smallest (doc_id, position) survives; every
+    other copy is cut out of its document, and documents whose every
+    segment was seen earlier elsewhere vanish entirely (matching the SQL
+    ``row_number() over (partition by seg order by doc_id, pos) = 1``
+    oracle).
+
+    Two exchanges, both irreducible for a GLOBAL dedup: segments shuffle by
+    their own text (exact grouping — no 64-bit-hash collision risk at 10^10
+    segments), survivors shuffle by doc for reassembly.  The per-block
+    combiner in ``_explode_segments`` bounds hot segments at one row per
+    block before the first exchange."""
+
+    def win(g: pa.Table) -> pa.Table:
+        r = g["rank"].to_numpy()
+        return g.slice(int(np.argmin(r)), 1) if g.num_rows > 1 else g
+
+    def reassemble(g: pa.Table) -> pa.Table:
+        g = g.take(pc.sort_indices(g, sort_keys=[("rank", "ascending")]))
+        did = int(g["rank"][0].as_py()) >> 20
+        return pa.table({
+            id_col: pa.array([did], pa.int64()),
+            out_col: pa.array([" ".join(g["seg"].to_pylist())]),
+        })
+
+    flat = ds.map_batches(
+        partial(_explode_segments, seg_words=seg_words, text_col=text_col,
+                id_col=id_col),
+        batch_format="pyarrow",
+    )
+    survivors = flat.groupby("seg").map_groups(win, batch_format="pyarrow")
+    keyed = survivors.map_batches(
+        lambda t: t.append_column(
+            "_doc", pa.array(t["rank"].to_numpy() >> 20)),
+        batch_format="pyarrow",
+    )
+    return (
+        keyed.groupby("_doc")
+        .map_groups(reassemble, batch_format="pyarrow")
+    )

@@ -673,3 +673,47 @@ def test_fuzzy_pairs_d2_property_recall_complete():
                   if levenshtein(vals[i], vals[j]) <= 2}
         assert set(map(tuple, got[["a", "b", "dist"]].values)) == expect, seed
         assert any(d == 2 for _, _, d in expect), seed  # distance-2 present
+
+
+def test_segment_dedup_planted(tmp_path):
+    """C4-style segment dedup: a 3-word span duplicated across docs keeps
+    only its first (doc_id, pos) occurrence; a doc made entirely of
+    previously-seen segments vanishes; verified against the keep-first SQL
+    window oracle on the same table."""
+    import duckdb
+
+    from airbyte_ray.functions.dedup import segment_dedup
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": [
+            "aa bb cc dd ee ff",          # segs: "aa bb cc", "dd ee ff"
+            "xx yy zz aa bb cc",          # "xx yy zz" new, "aa bb cc" dup -> cut
+            "dd ee ff",                   # all previously seen -> doc vanishes
+            "aa bb cc qq",                # "aa bb cc" dup, "qq" survives
+        ],
+    })
+    p = tmp_path / "docs.parquet"
+    pq.write_table(docs, p)
+    out = pa.Table.from_pylist(
+        segment_dedup(ray.data.read_parquet(str(p)), seg_words=3).take_all()
+    )
+    got = {r["doc_id"]: r["text_dedup"] for r in out.to_pylist()}
+    assert got == {1: "aa bb cc dd ee ff", 2: "xx yy zz", 4: "qq"}
+
+    exp = duckdb.connect().execute(f"""
+        WITH words AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+                 generate_subscripts(string_split(text, ' '), 1) AS ord
+          FROM read_parquet('{p}')),
+        segs AS (
+          SELECT doc_id, (ord-1)//3 AS pos, string_agg(word, ' ' ORDER BY ord) AS seg
+          FROM words GROUP BY doc_id, (ord-1)//3),
+        win AS (
+          SELECT doc_id, pos, seg,
+                 row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) rn
+          FROM segs)
+        SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS text_dedup
+        FROM win WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id
+    """).arrow()
+    assert out.sort_by("doc_id").equals(exp.cast(out.schema))
