@@ -2056,9 +2056,9 @@ QUERIES = {
     "dedup_minhash": q_dedup_minhash,
     "dedup_index": q_dedup_index,
     "join_partitioned": q_join_partitioned,
-    "join_asof": q_join_asof,
-    "pack_sequences": q_pack_sequences,
     "sample_upsample": q_sample_upsample,
+    "pack_sequences": q_pack_sequences,
+    "join_asof": q_join_asof,
     "join_broadcast": q_join_broadcast,
     "window_sliding": q_window_sliding,
     "window_session": q_window_session,
