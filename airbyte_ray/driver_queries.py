@@ -2003,6 +2003,32 @@ def q_window_ranks(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_tfidf_terms(sf_dir: str) -> ray.data.Dataset:
+    """Per-document top-3 TF-IDF terms (inverted-index shape: zero-exchange
+    tf, one groupby(word) df exchange, partitioned hash join, grouped
+    top-n).  ``idf_kind="rational"`` — tfidf = tf * ((N+1)/(df+1)), a
+    pinned chain of correctly-rounded +,/,* ops, bit-exact vs the SQL
+    oracle (transcendentals are not cross-engine reproducible; the
+    standard ln idf path is pytest-verified instead)."""
+    from .functions.relevance import tfidf_topk_terms
+
+    return tfidf_topk_terms(
+        _docs(sf_dir, columns=["doc_id", "text"]), n=3, idf_kind="rational")
+
+
+def q_bm25_topk(sf_dir: str) -> ray.data.Dataset:
+    """BM25 top-25 docs for a fixed 4-term query (k1=1.2, b=0.75): one
+    column-pruned stats pass + one match pass emitting fixed per-term tf
+    columns; per-doc score is a LEFT FOLD over terms in ascending word
+    order so the rational-idf float chain matches the oracle's
+    ``sum(contrib ORDER BY word)`` bit for bit."""
+    from .functions.relevance import bm25_topk
+
+    return bm25_topk(
+        _docs(sf_dir, columns=["doc_id", "text"]),
+        ["hash", "merge", "spark", "stream"], k=25, idf_kind="rational")
+
+
 QUERIES = {
     # Round-5 ordering: the 31 queries never yet sampled into a driver
     # CORRECTNESS artifact lead (the driver takes the first 50), followed
@@ -2091,6 +2117,8 @@ QUERIES = {
     "grouped_topn": q_grouped_topn,
     "pivot_counts": q_pivot_counts,
     "quality_gate": q_quality_gate,
+    "tfidf_terms": q_tfidf_terms,
+    "bm25_topk": q_bm25_topk,
 }
 _CANON = "md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 _TOKEN_RE_SQL = "[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]"
@@ -2960,5 +2988,54 @@ ORACLE_SQL = {
         SELECT x.vec_id AS a, y.vec_id AS b
         FROM corpus x JOIN corpus y ON x.vec_id < y.vec_id
         WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.99
+    """,
+    # tfidf_terms: rational idf (N+1)/(df+1) — parenthesization mirrors
+    # the engine's pinned op order exactly (ratio first, then * tf), so
+    # the double values hash-match bit for bit.
+    "tfidf_terms": """
+        WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                      FROM documents),
+        tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+               FROM toks GROUP BY doc_id, word),
+        df AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY word),
+        nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        s AS (SELECT tf.doc_id, tf.word, tf.tf, df.df,
+                     CAST(tf.tf AS DOUBLE)
+                       * (CAST(nd.n + 1 AS DOUBLE) / CAST(df.df + 1 AS DOUBLE))
+                       AS tfidf
+              FROM tf JOIN df USING (word) CROSS JOIN nd),
+        r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+                             ORDER BY tfidf DESC, word) AS BIGINT) AS rnk
+              FROM s)
+        SELECT doc_id, word, tf, df, tfidf, rnk FROM r WHERE rnk <= 3
+    """,
+    # bm25_topk: rational idf, per-doc fold pinned with
+    # sum(contrib ORDER BY word) — DuckDB's ordered aggregate is a true
+    # left fold, matching the engine's ascending-term accumulation
+    # (absent terms add exactly +0.0 there, a bitwise no-op).
+    "bm25_topk": """
+        WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                      FROM documents),
+        dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+               FROM documents),
+        st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                      CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+               FROM dl),
+        tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM toks
+               WHERE word IN ('hash', 'merge', 'spark', 'stream')
+               GROUP BY doc_id, word),
+        df AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY word),
+        c AS (SELECT tf.doc_id, tf.word,
+                ((CAST(st.n_docs - df.df AS DOUBLE) + 0.5)
+                   / (CAST(df.df AS DOUBLE) + 0.5))
+                * ((CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
+                   / (CAST(tf.tf AS DOUBLE)
+                      + 1.2 * ((1.0 - 0.75)
+                               + 0.75 * (CAST(dl.dl AS DOUBLE) / st.avgdl))))
+                AS contrib
+              FROM tf JOIN df USING (word) JOIN dl USING (doc_id) CROSS JOIN st)
+        SELECT doc_id, sum(contrib ORDER BY word) AS score
+        FROM c GROUP BY doc_id
+        ORDER BY score DESC, doc_id LIMIT 25
     """,
 }

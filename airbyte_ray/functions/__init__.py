@@ -31,6 +31,15 @@ from .sample import rate_sample, stratified_sample, upsample  # noqa: F401
 from .text import repetition_stats, scrub_regex  # noqa: F401
 from .sketch import CountMinSketch, HyperLogLog, approx_distinct, build_cms, heavy_hitters  # noqa: F401
 from .bloom import BloomFilter, bloom_anti_join, build_bloom  # noqa: F401
+from .relevance import (  # noqa: F401
+    append_to_text_index,
+    bm25_search_index,
+    bm25_topk,
+    build_text_index,
+    doc_terms,
+    term_df,
+    tfidf_topk_terms,
+)
 from .agg import (  # noqa: F401
     cube_agg,
     grouped_corr,
