@@ -2075,8 +2075,8 @@ QUERIES = {
     "nested_children": q_nested_children,
     "snapshot_filter_project": q_snapshot_filter_project,
     "json_flatten": q_json_flatten,
-    "hash_surrogate": q_hash_surrogate,
-    "type_cast": q_type_cast,
+    "tfidf_terms": q_tfidf_terms,
+    "bm25_topk": q_bm25_topk,
     "dedup_exact": q_dedup_exact,
     "segment_dedup": q_segment_dedup,
     "dedup_minhash": q_dedup_minhash,
@@ -2117,8 +2117,8 @@ QUERIES = {
     "grouped_topn": q_grouped_topn,
     "pivot_counts": q_pivot_counts,
     "quality_gate": q_quality_gate,
-    "tfidf_terms": q_tfidf_terms,
-    "bm25_topk": q_bm25_topk,
+    "hash_surrogate": q_hash_surrogate,
+    "type_cast": q_type_cast,
 }
 _CANON = "md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 _TOKEN_RE_SQL = "[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]"

@@ -130,6 +130,7 @@ def run_bench() -> dict:
     from airbyte_ray.driver_queries import (
         q_agg_partial,
         q_ann_topk,
+        q_bm25_topk,
         q_dedup_exact,
         q_join_partitioned,
         q_token_count,
@@ -207,6 +208,7 @@ def run_bench() -> dict:
         timed("join_partitioned", q_join_partitioned)
         timed("dedup_exact", q_dedup_exact)
         timed("token_count", q_token_count)
+        timed("bm25_topk", q_bm25_topk)
         timed("ann_topk", q_ann_topk)
         timed("scd_history", q_scd_history)
         timed("dedup_minhash", q_dedup_minhash)
