@@ -2029,6 +2029,16 @@ def q_bm25_topk(sf_dir: str) -> ray.data.Dataset:
         ["hash", "merge", "spark", "stream"], k=25, idf_kind="rational")
 
 
+def q_ngram_topk(sf_dir: str) -> ray.data.Dataset:
+    """Corpus-wide top-25 word bigrams with 1-based rank — per-block
+    distinct-gram partial counts (vectorized take over the flattened token
+    array, no row-per-token materialization), one groupby(gram) sum
+    exchange, local top-k prune, sort+limit, single-block rank stamp."""
+    from .functions.relevance import ngram_topk
+
+    return ngram_topk(_docs(sf_dir, columns=["text"]), n=2, k=25)
+
+
 QUERIES = {
     # Round-5 ordering: the 31 queries never yet sampled into a driver
     # CORRECTNESS artifact lead (the driver takes the first 50), followed
@@ -2077,6 +2087,7 @@ QUERIES = {
     "json_flatten": q_json_flatten,
     "tfidf_terms": q_tfidf_terms,
     "bm25_topk": q_bm25_topk,
+    "ngram_topk": q_ngram_topk,
     "dedup_exact": q_dedup_exact,
     "segment_dedup": q_segment_dedup,
     "dedup_minhash": q_dedup_minhash,
@@ -3037,5 +3048,16 @@ ORACLE_SQL = {
         SELECT doc_id, sum(contrib ORDER BY word) AS score
         FROM c GROUP BY doc_id
         ORDER BY score DESC, doc_id LIMIT 25
+    """,
+    # ngram_topk: corpus-wide top-25 bigrams; rank ties broken by gram so
+    # the LIMIT cut is deterministic on both sides
+    "ngram_topk": """
+        WITH toks AS (SELECT string_split(text, ' ') AS ws FROM documents),
+        g AS (SELECT ws[x] || ' ' || ws[x+1] AS gram
+              FROM toks, unnest(range(1, len(ws))) AS t(x)),
+        c AS (SELECT gram, CAST(count(*) AS BIGINT) AS cnt FROM g GROUP BY gram)
+        SELECT gram, cnt, CAST(row_number() OVER (ORDER BY cnt DESC, gram)
+                               AS BIGINT) AS rnk
+        FROM c ORDER BY cnt DESC, gram LIMIT 25
     """,
 }

@@ -410,3 +410,76 @@ def bm25_search_index(
         .groupby(id_col).aggregate(Sum("c", alias_name="score"))
         .sort(["score", id_col], descending=[True, False]).limit(k)
     )
+
+
+def _ngram_batch(t: pa.Table, col: str, n: int) -> pa.Table:
+    """Per-batch n-gram partial counts with a local top-pruning OFF —
+    partial counts must be complete per gram within the batch (they are:
+    one doc per row), but a local top-k prune would be WRONG before the
+    global sum (a gram can be locally rare yet globally frequent), so
+    every distinct (gram, cnt) partial rides the exchange.  The exchange
+    is bounded by distinct grams per block, not corpus tokens — the
+    combiner the brief asks for."""
+    words = _split_words(t[col])
+    flat = words.flatten()
+    offs = words.offsets.to_numpy().astype(np.int64)
+    lens = np.diff(offs)
+    g_counts = np.maximum(lens - (n - 1), 0)
+    total = int(g_counts.sum())
+    if total == 0:
+        return pa.table({"gram": pa.array([], pa.string()),
+                         "cnt": pa.array([], pa.int64())})
+    # start index of each gram in the flattened token array: each doc i
+    # contributes g_counts[i] grams at offs[i] + 0..g_counts[i]-1
+    firsts = np.cumsum(g_counts) - g_counts
+    within = np.arange(total, dtype=np.int64) - np.repeat(firsts, g_counts)
+    starts = np.repeat(offs[:-1], g_counts) + within
+    parts = [flat.take(pa.array(starts + j)) for j in range(n)]
+    grams = pc.binary_join_element_wise(*parts, " ") if n > 1 else parts[0]
+    g = pa.TableGroupBy(pa.table({"gram": grams}), "gram").aggregate(
+        [([], "count_all")])
+    return pa.table({"gram": g["gram"], "cnt": g["count_all"].cast(pa.int64())})
+
+
+def ngram_topk(
+    ds: ray.data.Dataset,
+    n: int = 2,
+    k: int = 25,
+    col: str = "text",
+) -> ray.data.Dataset:
+    """Corpus-wide top-``k`` word ``n``-grams: (gram, cnt, rnk), rnk
+    1-based under (cnt desc, gram asc) — the "most common phrases" corpus
+    statistic next to :func:`tfidf_topk_terms`.
+
+    Scale shape: grams never materialize row-per-token — each block emits
+    its distinct (gram, partial cnt) pairs (vectorized ``take`` over the
+    flattened token array + one per-batch ``TableGroupBy``), ONE
+    ``groupby(gram)`` sum exchange, then a local per-block top-k prune so
+    the final sort sees ≤ k rows per block, a ``limit(k)`` and a
+    single-block rank stamp.  SQL mirror: ``ws[x] || ' ' || ws[x+1]`` over
+    ``unnest(range(1, len(ws)))`` (see the ``ngram_topk`` oracle)."""
+    from ray.data.aggregate import Sum
+
+    def local_prune(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[("cnt", "descending"),
+                                            ("gram", "ascending")])
+        return t.take(idx[: min(k, t.num_rows)])
+
+    def stamp_rank(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[("cnt", "descending"),
+                                            ("gram", "ascending")])
+        t = t.take(idx)
+        return t.append_column(
+            "rnk", pa.array(np.arange(1, t.num_rows + 1, dtype=np.int64)))
+
+    return (
+        ds.select_columns([col])
+        .map_batches(partial(_ngram_batch, col=col, n=n),
+                     batch_format="pyarrow")
+        .groupby("gram").aggregate(Sum("cnt", alias_name="cnt"))
+        .map_batches(local_prune, batch_format="pyarrow")
+        .sort(["cnt", "gram"], descending=[True, False])
+        .limit(k)
+        .repartition(1)
+        .map_batches(stamp_rank, batch_format="pyarrow")
+    )

@@ -173,3 +173,35 @@ def test_index_append_accumulates(tmp_path):
 def test_bad_idf_kind_raises():
     with pytest.raises(ValueError):
         _tbl(tfidf_topk_terms(ray.data.from_arrow(_docs()), idf_kind="nope"))
+
+
+def _ref_ngrams(n):
+    """Exhaustive n-gram counter over TEXTS."""
+    c = Counter()
+    for t in TEXTS:
+        ws = t.split(" ")
+        for i in range(len(ws) - n + 1):
+            c[" ".join(ws[i:i + n])] += 1
+    return c
+
+
+@pytest.mark.parametrize("n", [1, 2, 3])
+def test_ngram_topk_matches_exhaustive(n):
+    from airbyte_ray.functions.relevance import ngram_topk
+
+    k = 8
+    out = _tbl(ngram_topk(
+        ray.data.from_arrow(_docs()).repartition(3), n=n, k=k))
+    ref = sorted(_ref_ngrams(n).items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    got = list(zip(out["gram"].to_pylist(), out["cnt"].to_pylist()))
+    assert got == ref
+    assert out["rnk"].to_pylist() == list(range(1, len(ref) + 1))
+
+
+def test_ngram_topk_short_docs_yield_no_grams():
+    from airbyte_ray.functions.relevance import ngram_topk
+
+    docs = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                     "text": pa.array(["one", "two"])})
+    out = _tbl(ngram_topk(ray.data.from_arrow(docs), n=2, k=5))
+    assert out.num_rows == 0
