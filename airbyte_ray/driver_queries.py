@@ -2029,6 +2029,20 @@ def q_bm25_topk(sf_dir: str) -> ray.data.Dataset:
         ["hash", "merge", "spark", "stream"], k=25, idf_kind="rational")
 
 
+def q_mix_temperature(sf_dir: str) -> ray.data.Dataset:
+    """Temperature-based source mixing at T=0.5 over a char-count budget:
+    one pruned groupby for per-source sizes, then the deterministic
+    md5-threshold keep rule with rate = sqrt(min_sz/sz) — one division +
+    one sqrt, both IEEE-correctly-rounded, so the kept subset is
+    bit-identical to the SQL oracle's."""
+    from .functions.sample import temperature_mix
+
+    out = temperature_mix(
+        _docs(sf_dir, columns=["doc_id", "source", "n_chars"]),
+        temperature=0.5, size_col="n_chars")
+    return out.select_columns(["doc_id", "source"])
+
+
 def q_ngram_topk(sf_dir: str) -> ray.data.Dataset:
     """Corpus-wide top-25 word bigrams with 1-based rank — per-block
     distinct-gram partial counts (vectorized take over the flattened token
@@ -2088,6 +2102,7 @@ QUERIES = {
     "tfidf_terms": q_tfidf_terms,
     "bm25_topk": q_bm25_topk,
     "ngram_topk": q_ngram_topk,
+    "mix_temperature": q_mix_temperature,
     "dedup_exact": q_dedup_exact,
     "segment_dedup": q_segment_dedup,
     "dedup_minhash": q_dedup_minhash,
@@ -3059,5 +3074,23 @@ ORACLE_SQL = {
         SELECT gram, cnt, CAST(row_number() OVER (ORDER BY cnt DESC, gram)
                                AS BIGINT) AS rnk
         FROM c ORDER BY cnt DESC, gram LIMIT 25
+    """,
+    # mix_temperature: T=0.5 → rate = sqrt(min_sz/sz), one correctly-
+    # rounded division + sqrt (bit-exact cross-engine); threshold is the
+    # sample-family convention floor(rate * 2^32) as 8 hex digits
+    "mix_temperature": """
+        WITH sz AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS sz
+                    FROM documents GROUP BY source),
+        mn AS (SELECT CAST(min(sz) AS DOUBLE) AS mn FROM sz),
+        r AS (SELECT source, sqrt(mn.mn / CAST(sz AS DOUBLE)) AS rate
+              FROM sz CROSS JOIN mn),
+        t AS (SELECT source,
+                CASE WHEN rate >= 1.0 THEN 'g'
+                     ELSE printf('%08x',
+                                 CAST(floor(rate * 4294967296) AS BIGINT))
+                END AS thr
+              FROM r)
+        SELECT d.doc_id, d.source FROM documents d JOIN t USING (source)
+        WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < t.thr
     """,
 }

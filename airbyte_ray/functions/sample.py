@@ -171,3 +171,69 @@ def upsample(
         return out.append_column(copy_col, pa.array(ci))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def temperature_rates(
+    ds: ray.data.Dataset,
+    temperature: float = 0.5,
+    strat_col: str = "source",
+    size_col: str | None = None,
+) -> dict[str, float]:
+    """Per-stratum keep rates that reshape the corpus toward the
+    temperature distribution ``share_i ∝ size_i^T`` (the multilingual /
+    multi-source re-balancing rule of mT5/XLM-R-style training mixes,
+    T < 1 flattens toward uniform).  Since post-sample size is
+    ``rate_i · size_i``, the rate is ``size_i^(T-1)`` normalized so the
+    SMALLEST stratum keeps everything:
+
+        rate_i = (size_min / size_i) ** (1 - T)
+
+    ``size_col=None`` sizes strata by row count; a column (e.g.
+    ``n_chars`` / token counts) gives a budget-weighted mix.  Sizes come
+    from ONE distributed groupby; only the ≤|strata| totals reach the
+    driver.
+
+    IEEE parity: at the default ``temperature=0.5`` the rate is ONE
+    division + ONE ``sqrt`` — both correctly rounded per IEEE 754, so the
+    rates (and the md5 keep thresholds derived from them) are bit-exact
+    against a SQL oracle computing ``sqrt(min_sz / sz)``.  Other
+    temperatures go through ``pow``, which is not correctly rounded
+    across libms — pytest-verified instead.  (Sizes are exact int64;
+    beyond 2^53 total units the double cast rounds — at that point feed
+    pre-bucketed sizes.)"""
+    from ray.data.aggregate import Count, Sum
+
+    if not 0.0 <= temperature <= 1.0:
+        raise ValueError(f"temperature must be in [0, 1], got {temperature}")
+    agg = (Count(alias_name="sz") if size_col is None
+           else Sum(size_col, alias_name="sz"))
+    # prune to the grouping (+size) columns so the stats exchange never
+    # carries document payloads
+    cols = [strat_col] + ([size_col] if size_col is not None else [])
+    rows = ds.select_columns(cols).groupby(strat_col).aggregate(agg).take_all()
+    if not rows:
+        return {}
+    sizes = {r[strat_col]: int(r["sz"]) for r in rows}
+    mn = np.float64(float(min(sizes.values())))
+    if temperature == 0.5:
+        return {s: float(np.sqrt(mn / np.float64(float(v))))
+                for s, v in sizes.items()}
+    return {s: float(np.power(mn / np.float64(float(v)),
+                              np.float64(1.0 - temperature)))
+            for s, v in sizes.items()}
+
+
+def temperature_mix(
+    ds: ray.data.Dataset,
+    temperature: float = 0.5,
+    strat_col: str = "source",
+    key_col: str = "doc_id",
+    size_col: str | None = None,
+) -> ray.data.Dataset:
+    """Deterministic temperature-based source mixing: one column-pruned
+    stats pass for the per-stratum sizes, then the same pure-function
+    md5-threshold keep rule as :func:`stratified_sample` — no RNG, no
+    state, re-runs and the SQL oracle reproduce the identical subset."""
+    rates = temperature_rates(ds, temperature=temperature,
+                              strat_col=strat_col, size_col=size_col)
+    return stratified_sample(ds, rates, strat_col=strat_col, key_col=key_col)

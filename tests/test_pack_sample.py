@@ -306,3 +306,74 @@ def test_bottom_k_sample_exact_and_deterministic():
     assert outs[0] == sorted(exp["doc_id"])
     # k > n returns everything
     assert bottom_k_sample(ray.data.from_arrow(_mix_table(10)), k=50).count() == 10
+
+
+# ---- temperature-based source mixing -------------------------------------
+
+def _mix_docs(sizes: dict[str, int]) -> pa.Table:
+    """One row per doc; stratum s gets sizes[s] docs of n_chars=10 each,
+    so row-count and char-budget sizing agree up to the factor 10."""
+    rows_src, rows_id, rows_nc = [], [], []
+    i = 0
+    for s, n in sizes.items():
+        for _ in range(n):
+            rows_src.append(s)
+            rows_id.append(i)
+            rows_nc.append(10)
+            i += 1
+    return pa.table({"doc_id": pa.array(rows_id, pa.int64()),
+                     "source": pa.array(rows_src),
+                     "n_chars": pa.array(rows_nc, pa.int64())})
+
+
+def test_temperature_rates_sqrt_shape():
+    from airbyte_ray.functions.sample import temperature_rates
+
+    t = _mix_docs({"big": 400, "mid": 100, "small": 25})
+    rates = temperature_rates(ray.data.from_arrow(t).repartition(3))
+    # smallest stratum keeps everything; ratios follow sqrt(min/size)
+    assert rates["small"] == 1.0
+    assert rates["mid"] == pytest.approx(0.5)
+    assert rates["big"] == pytest.approx(0.25)
+    # size_col sizing agrees (all docs same n_chars)
+    rates_nc = temperature_rates(
+        ray.data.from_arrow(t), size_col="n_chars")
+    assert rates_nc == rates
+
+
+def test_temperature_rates_extremes_and_validation():
+    from airbyte_ray.functions.sample import temperature_rates
+
+    t = _mix_docs({"a": 64, "b": 4})
+    ds = ray.data.from_arrow(t)
+    # T=1: natural mix — every stratum keeps everything
+    assert set(temperature_rates(ds, temperature=1.0).values()) == {1.0}
+    # T=0: rates equalize expected post-sample sizes exactly
+    r0 = temperature_rates(ds, temperature=0.0)
+    assert r0 == {"a": pytest.approx(4 / 64), "b": 1.0}
+    with pytest.raises(ValueError):
+        temperature_rates(ds, temperature=1.5)
+
+
+def test_temperature_mix_deterministic_and_matches_manual_rule():
+    from airbyte_ray.functions.sample import (
+        rate_threshold_hex, temperature_mix, temperature_rates)
+
+    t = _mix_docs({"big": 360, "small": 40})
+    ds = ray.data.from_arrow(t)
+    out1 = temperature_mix(ds, key_col="doc_id").take_all()
+    out2 = temperature_mix(ds.repartition(5), key_col="doc_id").take_all()
+    k1 = sorted(r["doc_id"] for r in out1)
+    assert k1 == sorted(r["doc_id"] for r in out2)  # layout-invariant
+    # manual md5-threshold replay of the same rule
+    rates = temperature_rates(ds)
+    ids = t["doc_id"].to_pylist()
+    srcs = t["source"].to_pylist()
+    manual = sorted(
+        d for d, s in zip(ids, srcs)
+        if hashlib.md5(str(d).encode()).hexdigest()[:8]
+        < rate_threshold_hex(rates[s]))
+    assert k1 == manual
+    # the small stratum survives in full
+    kept_small = [r for r in out1 if r["source"] == "small"]
+    assert len(kept_small) == 40
