@@ -2029,6 +2029,56 @@ def q_bm25_topk(sf_dir: str) -> ray.data.Dataset:
         ["hash", "merge", "spark", "stream"], k=25, idf_kind="rational")
 
 
+def _clustered_events_lake(sf_dir: str) -> str:
+    """Per-sf cached value-clustered copy of events (+ event_id Bloom
+    sidecars), keyed by the source's (path, mtime, size) so a regenerated
+    events.parquet invalidates the cache."""
+    import hashlib as _hl
+
+    from .functions.layout import write_bloom_sidecars, write_clustered
+
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    tag = _hl.md5(
+        f"{os.path.abspath(sf_dir)}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:10]
+    lake = os.path.join("/tmp", f"clustered_events_{tag}")
+    done = os.path.join(lake, ".done")
+    if not os.path.exists(done):
+        shutil.rmtree(lake, ignore_errors=True)  # half-built leftovers
+        files = write_clustered(
+            ray.data.read_parquet(src, columns=["event_id", "value"]),
+            lake, "value", num_files=16)
+        write_bloom_sidecars(files, "event_id")
+        with open(done, "w"):
+            pass
+    return lake
+
+
+def q_clustered_range(sf_dir: str) -> ray.data.Dataset:
+    """Zone-map pruned range read over a clustered (value-sorted) copy of
+    events: the sort makes each file's parquet footer min/max a tight zone
+    map, so the [100, 150] range (~8% selectivity) opens only the files
+    whose range overlaps — scan volume ∝ selectivity, proven by
+    ``range_probed_files`` (bench counts the bytes).  Clustered copy is
+    cached per-sf keyed by the source's (path, mtime, size)."""
+    from .functions.layout import read_range
+
+    return read_range(_clustered_events_lake(sf_dir), "value", 100.0, 150.0)
+
+
+def q_point_lookup(sf_dir: str) -> ray.data.Dataset:
+    """Bloom-sidecar pruned point lookup on event_id over the SAME
+    value-clustered lake — the zone map can't help (event_ids scatter
+    across value-sorted files), so per-file Bloom sidecars bound the scan
+    to (hit files + fp band); the residual in-task is_in keeps the result
+    exact."""
+    from .functions.layout import read_points
+
+    return read_points(_clustered_events_lake(sf_dir), "event_id",
+                       [7, 97, 997, 4999, 9973])
+
+
 def q_mix_temperature(sf_dir: str) -> ray.data.Dataset:
     """Temperature-based source mixing at T=0.5 over a char-count budget:
     one pruned groupby for per-source sizes, then the deterministic
@@ -2103,6 +2153,8 @@ QUERIES = {
     "bm25_topk": q_bm25_topk,
     "ngram_topk": q_ngram_topk,
     "mix_temperature": q_mix_temperature,
+    "clustered_range": q_clustered_range,
+    "point_lookup": q_point_lookup,
     "dedup_exact": q_dedup_exact,
     "segment_dedup": q_segment_dedup,
     "dedup_minhash": q_dedup_minhash,
@@ -3092,5 +3144,17 @@ ORACLE_SQL = {
               FROM r)
         SELECT d.doc_id, d.source FROM documents d JOIN t USING (source)
         WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < t.thr
+    """,
+    # clustered_range: the pruned read returns exactly the source rows in
+    # the inclusive range — layout is an optimization, not a semantic
+    "clustered_range": """
+        SELECT event_id, value FROM events
+        WHERE value >= 100.0 AND value <= 150.0
+    """,
+    # point_lookup: Bloom sidecars only prune files; the result is the
+    # plain IN-list
+    "point_lookup": """
+        SELECT event_id, value FROM events
+        WHERE event_id IN (7, 97, 997, 4999, 9973)
     """,
 }

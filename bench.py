@@ -285,6 +285,36 @@ def run_bench() -> dict:
             ),
         }
 
+        # ---- clustered layout: value-sorted events copy, then a ~8%-
+        # selectivity range read; zone-map pruning must scan ∝ selectivity
+        from airbyte_ray.functions.layout import (
+            range_probed_files,
+            read_range,
+            write_clustered,
+        )
+
+        clake = os.path.join(BENCH_ROOT, "clustered_events")
+        if not os.path.exists(os.path.join(clake, ".done")):
+            shutil.rmtree(clake, ignore_errors=True)
+            write_clustered(
+                ray.data.read_parquet(
+                    os.path.join(SF_DIR, "events.parquet"),
+                    columns=["event_id", "value"]),
+                clake, "value", num_files=64)
+            open(os.path.join(clake, ".done"), "w").close()
+        timed("clustered_range", lambda _:
+              read_range(clake, "value", 100.0, 150.0))
+        c_all = [f for f in _glob.glob(os.path.join(clake, "*.parquet"))]
+        c_probed = range_probed_files(c_all, "value", 100.0, 150.0)
+        clustered_probe = {
+            "scanned_mb": round(sum(os.path.getsize(f) for f in c_probed) / 1e6, 2),
+            "lake_mb": round(sum(os.path.getsize(f) for f in c_all) / 1e6, 2),
+            "scan_frac": round(
+                sum(os.path.getsize(f) for f in c_probed)
+                / sum(os.path.getsize(f) for f in c_all), 4),
+            "selectivity": round((150.0 - 100.0) / 490.0, 4),  # values ~U[0, 490]
+        }
+
         # ---- persisted cross-run dedup index: build once over the sf
         # documents table, then probe with a small "new batch" (2% of the
         # corpus re-labeled) — the steady-state ingest-dedup shape.
@@ -419,6 +449,7 @@ def run_bench() -> dict:
             timings["sync_shared_s8"] / timings["sync_shared_s2"], 3
         )
         out["ivf_probe"] = ivf_probe
+        out["clustered_probe"] = clustered_probe
     if "dedup_index_probe_dist_b1" in timings:
         out["dedup_probe_10x_ratio"] = round(
             timings["dedup_index_probe_dist_b10"]
