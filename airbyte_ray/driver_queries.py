@@ -89,6 +89,53 @@ def q_cdc_replay_upsert(sf_dir: str) -> pa.Table:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_cdc_backfill(sf_dir: str) -> pa.Table:
+    """DBLog-style incremental snapshot: the lake starts tailing MID-stream
+    (events above the median lsn only — no initial snapshot), then history
+    is backfilled in three key-range chunks while tailing continues; the
+    converged lake must equal the full-replay oracle byte for byte.  The
+    simulated live source read is the vectorized LWW state at the lake's
+    current watermark — recorded AFTER the watermark, per the DBLog
+    contract."""
+    from .pipelines.backfill import incremental_snapshot
+    from .pipelines.replay import lww_reduce
+
+    cdc = pa.concat_tables(
+        [t for t in ray.get(
+            _events(sf_dir).map_batches(_to_cdc, batch_format="pyarrow")
+            .to_arrow_refs()) if t.num_rows]
+    ).combine_chunks()
+    tmp = tempfile.mkdtemp(prefix="cdc_backfill_", dir="/tmp")
+    try:
+        wal = os.path.join(tmp, "wal.parquet")
+        pq.write_table(cdc, wal)
+        median = int(pc.approximate_median(cdc["lsn"]).as_py())
+        lake = LakeTable(os.path.join(tmp, "lake"),
+                         ReplayConfig(num_partitions=16, salt_factor=2))
+        lake.apply_log(wal, max_lsn=median)  # started mid-stream
+
+        def read_chunk(lo, hi):
+            w = lake.manifest.watermark
+            win = cdc.filter(pc.less_equal(cdc["lsn"], w))
+            live = lww_reduce(win)
+            live = live.filter(pc.invert(pc.equal(live["op"], "delete")))
+            live = live.drop_columns(
+                [c for c in ("lsn", "op", CDC_UPDATED_AT)
+                 if c in live.schema.names])
+            keys = live["doc_id"]
+            ok = pa.array([True] * live.num_rows)
+            if lo is not None:
+                ok = pc.and_(ok, pc.greater_equal(keys, lo))
+            if hi is not None:
+                ok = pc.and_(ok, pc.less(keys, hi))
+            return live.filter(ok)
+
+        incremental_snapshot(lake, wal, read_chunk, [None, "3", "6", None])
+        return lake.to_table()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_cdc_lww_latest(sf_dir: str) -> ray.data.Dataset:
     """LWW reduce only (no lake io): latest event per key incl tombstones."""
     cdc = _events(sf_dir).map_batches(_to_cdc, batch_format="pyarrow")
@@ -2140,6 +2187,7 @@ QUERIES = {
     "top_orders": q_top_orders,
     "grouped_quantiles_cont": q_grouped_quantiles_cont,
     "cdc_replay_upsert": q_cdc_replay_upsert,
+    "cdc_backfill": q_cdc_backfill,
     "cdc_lww_latest": q_cdc_lww_latest,
     "lww_policy": q_lww_policy,
     "sync_append_dedup": q_sync_append_dedup,
@@ -2148,7 +2196,7 @@ QUERIES = {
     "declarative_paginated": q_declarative_paginated,
     "nested_children": q_nested_children,
     "snapshot_filter_project": q_snapshot_filter_project,
-    "json_flatten": q_json_flatten,
+    "segment_dedup": q_segment_dedup,
     "tfidf_terms": q_tfidf_terms,
     "bm25_topk": q_bm25_topk,
     "ngram_topk": q_ngram_topk,
@@ -2156,7 +2204,7 @@ QUERIES = {
     "clustered_range": q_clustered_range,
     "point_lookup": q_point_lookup,
     "dedup_exact": q_dedup_exact,
-    "segment_dedup": q_segment_dedup,
+    "json_flatten": q_json_flatten,
     "dedup_minhash": q_dedup_minhash,
     "dedup_index": q_dedup_index,
     "join_partitioned": q_join_partitioned,
@@ -2203,6 +2251,14 @@ _TOKEN_RE_SQL = "[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]"
 
 ORACLE_SQL = {
     "cdc_replay_upsert": """
+        SELECT CAST(user_id AS VARCHAR) AS doc_id, ts, event_type, value
+        FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+              FROM events)
+        WHERE rn = 1 AND event_type <> 'error'
+    """,
+    # cdc_backfill: regardless of the mid-stream start + chunked backfill
+    # interleave, the converged lake equals the full LWW replay
+    "cdc_backfill": """
         SELECT CAST(user_id AS VARCHAR) AS doc_id, ts, event_type, value
         FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
               FROM events)
