@@ -93,6 +93,12 @@ def backfill_chunk(
     the WAL to ``w_hi``.  ``chunk`` must be a live read taken AFTER the
     lake's current watermark was committed (the caller's contract) with
     unique keys; rows carry payload columns only."""
+    clash = [c for c in ("lsn", "op") if c in chunk.schema.names]
+    if clash:
+        # Arrow add_column happily creates DUPLICATE column names; a chunk
+        # carrying envelope columns would corrupt the merge silently
+        raise ValueError(
+            f"chunk must be payload-only; envelope columns {clash} present")
     w_lo = lake.manifest.watermark
     if w_hi is None:
         top = log_max_lsn(wal_paths)

@@ -2,14 +2,12 @@
 convergence against the sequential replay oracle under every interleaving
 the algorithm must survive."""
 
-import json
 import os
 
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import pytest
-import ray.data as rd
 
 from airbyte_ray import gen
 from airbyte_ray.oracle import replay_oracle
@@ -145,3 +143,9 @@ def test_out_of_range_chunk_raises(tmp_path):
 
     with pytest.raises(ValueError, match="outside"):
         incremental_snapshot(lake, wal, bad_reader, [None, "doc-5", None])
+
+
+def test_envelope_columns_in_chunk_raise(tmp_path):
+    base, ev, wal, lake = _setup(tmp_path, seed=41)
+    with pytest.raises(ValueError, match="payload-only"):
+        backfill_chunk(lake, wal, ev.slice(0, 5))  # events carry lsn/op
