@@ -8,6 +8,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from airbyte_ray import gen
 from airbyte_ray.oracle import replay_oracle
@@ -149,3 +151,45 @@ def test_envelope_columns_in_chunk_raise(tmp_path):
     base, ev, wal, lake = _setup(tmp_path, seed=41)
     with pytest.raises(ValueError, match="payload-only"):
         backfill_chunk(lake, wal, ev.slice(0, 5))  # events carry lsn/op
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.data())
+def test_backfill_property_any_chunking_any_interleave_converges(
+    tmp_path_factory, data
+):
+    """Any chunk boundary set × any WAL-growth interleave converges to the
+    sequential replay oracle byte for byte."""
+    tmp_path = tmp_path_factory.mktemp("bf")
+    seed = data.draw(st.integers(0, 10_000), label="seed")
+    base = gen.gen_base(120, seed=seed)
+    ev = gen.gen_events(600, 120, seed=seed + 1)
+    # random lexicographic chunk boundaries over the observed key space
+    keys = sorted(set(base["doc_id"].to_pylist())
+                  | set(ev["doc_id"].to_pylist()))
+    n_cuts = data.draw(st.integers(0, 3), label="n_cuts")
+    cuts = sorted(set(data.draw(
+        st.lists(st.sampled_from(keys), min_size=n_cuts, max_size=n_cuts),
+        label="cuts")))
+    bounds = [None] + cuts + [None]
+    # random WAL growth: split the log at random lsn points, one split
+    # landing between each pair of chunks
+    lsns = sorted(ev["lsn"].to_pylist())
+    n_chunks = len(bounds) - 1
+    grow = sorted(data.draw(
+        st.lists(st.sampled_from(lsns), min_size=n_chunks, max_size=n_chunks),
+        label="grow"))
+    wal_dir = tmp_path / "wal"
+    wal_dir.mkdir()
+    pq.write_table(_filter_lsn(ev, -1, grow[0]), str(wal_dir / "e0.parquet"))
+    lake = LakeTable(str(tmp_path / "lake"),
+                     ReplayConfig(num_partitions=4, salt_factor=2))
+    reader = _chunk_reader(base, ev, lake)
+    for i in range(n_chunks):
+        backfill_chunk(lake, str(wal_dir), reader(bounds[i], bounds[i + 1]))
+        nxt = grow[i + 1] if i + 1 < n_chunks else lsns[-1]
+        part = _filter_lsn(ev, grow[i], nxt)
+        if part.num_rows:
+            pq.write_table(part, str(wal_dir / f"e{i + 1}.parquet"))
+    lake.apply_log(str(wal_dir))  # final tail
+    assert lake.to_table().equals(replay_oracle(base, [ev]))
