@@ -912,6 +912,16 @@ def q_shuffle_rank(sf_dir: str) -> ray.data.Dataset:
     return deterministic_shuffle(_docs(sf_dir, columns=["doc_id"]), "doc_id", seed=7)
 
 
+def q_interleave_sources(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic curriculum interleave: within-source md5 rank +
+    round-robin global position — the permutation itself is value-checked
+    (both rank columns reified)."""
+    from .functions.pack import interleave_sources
+
+    return interleave_sources(
+        _docs(sf_dir, columns=["doc_id", "source"]), seed=7)
+
+
 def q_sample_stratified(sf_dir: str) -> ray.data.Dataset:
     """Deterministic source mixing: source srcN keeps rate (N%4+1)/8 —
     dyadic rates, so rate*2^32 is exact in both engines and the oracle's
@@ -2195,7 +2205,7 @@ QUERIES = {
     "scd_history": q_scd_history,
     "declarative_paginated": q_declarative_paginated,
     "nested_children": q_nested_children,
-    "snapshot_filter_project": q_snapshot_filter_project,
+    "interleave_sources": q_interleave_sources,
     "segment_dedup": q_segment_dedup,
     "tfidf_terms": q_tfidf_terms,
     "bm25_topk": q_bm25_topk,
@@ -2245,6 +2255,7 @@ QUERIES = {
     "quality_gate": q_quality_gate,
     "hash_surrogate": q_hash_surrogate,
     "type_cast": q_type_cast,
+    "snapshot_filter_project": q_snapshot_filter_project,
 }
 _CANON = "md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 _TOKEN_RE_SQL = "[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]"
@@ -2870,6 +2881,21 @@ ORACLE_SQL = {
                  ORDER BY md5('7:' || CAST(doc_id AS VARCHAR)), doc_id
                ) - 1 AS shuffle_rank
         FROM documents
+    """,
+    # interleave_sources: within-source md5 rank, then round-robin global
+    # position by (rank, source, key)
+    "interleave_sources": """
+        WITH r AS (
+          SELECT doc_id, source,
+                 CAST(row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5('7:' || CAST(doc_id AS VARCHAR)), doc_id
+                 ) AS BIGINT) AS rnk
+          FROM documents)
+        SELECT doc_id, source, rnk,
+               CAST(row_number() OVER (ORDER BY rnk, source, doc_id)
+                    AS BIGINT) AS pos
+        FROM r
     """,
     # stratified_sample: srcN keeps rate (N%4+1)/8; dyadic rate * 2^32 =
     # (N%4+1) * 2^29 exactly, so the printf threshold is the operator's

@@ -273,3 +273,57 @@ def deterministic_shuffle(
     return ranked.map_batches(
         lambda t: t.drop_columns(["_shuf_key"]), batch_format="pyarrow"
     )
+
+
+def interleave_sources(
+    ds: ray.data.Dataset,
+    strat_col: str = "source",
+    key_col: str = "doc_id",
+    seed: int = 0,
+    rank_col: str = "rnk",
+    pos_col: str = "pos",
+) -> ray.data.Dataset:
+    """Deterministic curriculum interleave: round-robin across sources in
+    a reproducible pseudo-random within-source order.  Every row gets its
+    1-based within-source rank (by ``md5(seed:key)``, ties by key) and a
+    1-based global position ordered by ``(rank, source, key)`` — so the
+    stream cycles source₁..sourceₙ row by row until smaller sources
+    exhaust (the standard proportional-interleave used to keep a training
+    stream from running a single source back to back).
+
+    Pure function of (seed, keys): re-runs, resumes and the SQL oracle
+    (two ``row_number`` windows) agree row for row.  Scale shape: one
+    ``groupby(source)`` exchange for the within-source rank (map_groups
+    sort — a source's rows must meet once), one range-partitioned sort for
+    the global order, then the zero-exchange :func:`global_index` prefix
+    scan.  Skewed source sizes are fine — the groupby shuffles each
+    source's rows to one group task, so the largest source bounds the
+    group-task memory; pre-prune columns before calling at scale."""
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column("_shuf_key", shuffle_key_md5(
+            t[key_col].combine_chunks() if isinstance(t[key_col], pa.ChunkedArray)
+            else t[key_col], seed))
+
+    def rank_group(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[("_shuf_key", "ascending"),
+                                            (key_col, "ascending")])
+        t = t.take(idx)
+        return t.append_column(
+            rank_col, pa.array(np.arange(1, t.num_rows + 1, dtype=np.int64)))
+
+    ranked = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby(strat_col)
+        .map_groups(rank_group, batch_format="pyarrow")
+        .sort([rank_col, strat_col, key_col])
+    )
+    out = global_index(ranked, out=pos_col)
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["_shuf_key"])
+        # global_index is 0-based; the SQL mirror's row_number is 1-based
+        return t.set_column(t.schema.get_field_index(pos_col), pos_col,
+                            pc.add(t[pos_col], 1))
+
+    return out.map_batches(finish, batch_format="pyarrow")

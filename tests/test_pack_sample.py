@@ -377,3 +377,33 @@ def test_temperature_mix_deterministic_and_matches_manual_rule():
     # the small stratum survives in full
     kept_small = [r for r in out1 if r["source"] == "small"]
     assert len(kept_small) == 40
+
+
+def test_interleave_sources_round_robin_and_deterministic():
+    from airbyte_ray.functions.pack import interleave_sources
+
+    t = pa.table({
+        "doc_id": pa.array([f"d{i}" for i in range(12)]),
+        "source": pa.array(["a", "a", "a", "a", "a", "a",
+                            "b", "b", "b", "b", "c", "c"]),
+    })
+    out1 = pa.concat_tables([x for x in ray.get(
+        interleave_sources(ray.data.from_arrow(t), seed=3).to_arrow_refs())
+        if x.num_rows]).sort_by("pos")
+    out2 = pa.concat_tables([x for x in ray.get(
+        interleave_sources(ray.data.from_arrow(t).repartition(4), seed=3)
+        .to_arrow_refs()) if x.num_rows]).sort_by("pos")
+    assert out1.equals(out2)  # layout-invariant
+    # positions are 1..n contiguous
+    assert out1["pos"].to_pylist() == list(range(1, 13))
+    # round-robin prefix: while all 3 sources are live, the stream cycles
+    # a,b,c; after c exhausts (2 rows) it cycles a,b; then a only
+    srcs = out1["source"].to_pylist()
+    assert srcs[:6] == ["a", "b", "c", "a", "b", "c"]
+    assert srcs[6:10] == ["a", "b", "a", "b"]
+    assert srcs[10:] == ["a", "a"]
+    # within-source order is the md5 shuffle (rank strictly increasing
+    # per source along the stream)
+    for s in "abc":
+        rs = [r for r, src in zip(out1["rnk"].to_pylist(), srcs) if src == s]
+        assert rs == sorted(rs)
