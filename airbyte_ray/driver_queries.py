@@ -364,6 +364,26 @@ def q_join_partitioned(sf_dir: str) -> ray.data.Dataset:
     return hash_join(li, orders, on="l_orderkey", num_buckets=16)
 
 
+def q_join_skew(sf_dir: str) -> ray.data.Dataset:
+    """Skew-aware join: zipf-hot event user_ids are joined against the
+    broadcast customer rows in-task (zero exchange for the rows a shuffle
+    handles worst); cold keys take the partitioned hash join.  Result ==
+    plain inner join — skew handling is an optimization, not a semantic.
+    At tiny sfs no key crosses hot_min_count and the operator degrades to
+    hash_join — still correct."""
+    from .joins import skew_join
+
+    ev = _events(sf_dir, columns=["user_id", "event_id", "value"])
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name"],
+    ).map_batches(
+        lambda t: t.rename_columns(["user_id", "c_name"]),
+        batch_format="pyarrow")
+    return skew_join(ev, cust, on="user_id", hot_min_count=70,
+                     num_buckets=16)
+
+
 def q_join_asof(sf_dir: str) -> ray.data.Dataset:
     """As-of join: each 'click' matched to the user's latest prior (or
     simultaneous) 'view' — the classic event-attribution shape."""
@@ -2204,7 +2224,7 @@ QUERIES = {
     "incremental_watermark": q_incremental_watermark,
     "scd_history": q_scd_history,
     "declarative_paginated": q_declarative_paginated,
-    "nested_children": q_nested_children,
+    "join_skew": q_join_skew,
     "interleave_sources": q_interleave_sources,
     "segment_dedup": q_segment_dedup,
     "tfidf_terms": q_tfidf_terms,
@@ -2256,6 +2276,7 @@ QUERIES = {
     "hash_surrogate": q_hash_surrogate,
     "type_cast": q_type_cast,
     "snapshot_filter_project": q_snapshot_filter_project,
+    "nested_children": q_nested_children,
 }
 _CANON = "md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 _TOKEN_RE_SQL = "[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]"
@@ -2328,6 +2349,10 @@ ORACLE_SQL = {
     "join_broadcast": """
         SELECT o.o_orderkey, o.o_totalprice, c.c_name
         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+    "join_skew": """
+        SELECT e.user_id, e.event_id, e.value, c.c_name
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
     """,
     "join_partitioned": """
         SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, o.o_orderstatus

@@ -385,3 +385,94 @@ def semi_join(
 
 def anti_join(big: ray.data.Dataset, keys, on: str) -> ray.data.Dataset:
     return semi_join(big, keys, on, anti=True)
+
+
+def skew_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: str,
+    how: str = "inner",
+    hot_min_count: int = 100_000,
+    num_buckets: int = 32,
+    broadcast_cap_rows: int = 1_000_000,
+) -> ray.data.Dataset:
+    """Skew-aware join: keys hot on the LEFT (fact) side never enter the
+    shuffle.  A plain hash join sends every row of a hot key to one bucket
+    task — one zipf-hot key can hold a 10^10-row join hostage.  Here:
+
+    1. detect hot left keys with the exact-output CMS pass
+       (``sketch.heavy_hitters``: count ≥ ``hot_min_count``) — one pass,
+       no false negatives, candidates verified exactly;
+    2. hot left rows join in-task against the BROADCAST right rows of
+       those keys (``ray.put`` once, fetched once per worker) — zero
+       exchange for precisely the rows a shuffle handles worst;
+    3. cold rows of both sides take the normal partitioned
+       :func:`hash_join`;
+    4. union — each left row travels exactly one path, so inner/left
+       multiplicities are exact.
+
+    ``how`` ∈ {inner, left}.  The broadcast side is bounded by
+    |hot keys| × rows-per-key on the RIGHT (the dimension side, small by
+    contract); ``broadcast_cap_rows`` fails loudly if that contract is
+    violated rather than silently OOMing workers.  With no hot keys this
+    IS ``hash_join``."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"skew_join supports inner/left, got {how!r}")
+    from .functions.sketch import heavy_hitters
+
+    hot_rows = heavy_hitters(left, on, hot_min_count).take_all()
+    if not hot_rows:
+        return hash_join(left, right, on, how=how, num_buckets=num_buckets)
+    key_type = left.schema().types[left.schema().names.index(on)]
+    hot_arr = pa.array([r[on] for r in hot_rows], key_type)
+    href = ray.put(hot_arr)
+
+    def split(want_hot: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            from .config import _worker_state
+
+            ks = _worker_state(("skew_hot", href.hex()), lambda: ray.get(href))
+            m = pc.is_in(t[on], value_set=ks)
+            return t.filter(m if want_hot else pc.invert(m))
+
+        return fn
+
+    right_hot_parts = [
+        t for t in ray.get(
+            right.map_batches(split(True), batch_format="pyarrow").to_arrow_refs())
+        if t.num_rows
+    ]
+    right_hot = (pa.concat_tables(right_hot_parts).combine_chunks()
+                 if right_hot_parts else None)
+    if right_hot is not None and right_hot.num_rows > broadcast_cap_rows:
+        raise ValueError(
+            f"right side holds {right_hot.num_rows} rows for the "
+            f"{len(hot_rows)} hot keys (> cap {broadcast_cap_rows}); the "
+            "broadcast contract needs a small right side — raise "
+            "hot_min_count or pre-aggregate the right side")
+
+    l_only = [c for c in left.schema().names if c != on]
+    r_only = [c for c in right.schema().names if c != on]
+    out_cols = [on] + l_only + r_only
+    left_hot = left.map_batches(split(True), batch_format="pyarrow")
+    left_cold = left.map_batches(split(False), batch_format="pyarrow")
+    right_cold = right.map_batches(split(False), batch_format="pyarrow")
+
+    if right_hot is None or right_hot.num_rows == 0:
+        # hot keys have no right partners: inner drops them, left
+        # null-extends them — both via a left-broadcast against an empty
+        # lookup only for how='left'
+        if how == "inner":
+            hot_out = None
+        else:
+            empty = pa.table({c: pa.array([], t) for c, t in zip(
+                right.schema().names, right.schema().types)})
+            hot_out = broadcast_join(left_hot, empty, on, how="left")
+    else:
+        hot_out = broadcast_join(left_hot, right_hot, on, how=how)
+    cold_out = hash_join(left_cold, right_cold, on, how=how,
+                         num_buckets=num_buckets)
+    cold_out = cold_out.select_columns(out_cols)
+    if hot_out is None:
+        return cold_out
+    return hot_out.select_columns(out_cols).union(cold_out)
