@@ -221,3 +221,52 @@ def read_points(
 
     return ray.data.read_parquet(probed, columns=columns).map_batches(
         residual, batch_format="pyarrow")
+
+
+def compact_clustered(
+    out_dir: str, col: str, target_rows: int = 2_000_000,
+) -> list[str]:
+    """OPTIMIZE for the clustered layout: merge ADJACENT small files (by
+    zone-map order) into ~``target_rows`` files, preserving the sort so
+    the zone map stays disjoint.  One Ray task per merge group; groups
+    already at target are untouched (their bytes never move).  Bloom
+    sidecars of merged files are deleted (they describe dead files) —
+    re-run :func:`write_bloom_sidecars` afterwards if point-lookup
+    pruning is needed."""
+    if not os.path.isdir(out_dir):
+        raise ValueError(f"compact_clustered needs a directory, got {out_dir}")
+    zm = zone_map(out_dir, col)
+    if any(mn is None for _, mn, _ in zm):
+        raise ValueError(f"some files lack statistics for {col!r}")
+    zm.sort(key=lambda e: e[1])
+    rows = {f: pq.read_metadata(f).num_rows for f, _, _ in zm}
+
+    groups: list[list[str]] = [[]]
+    acc = 0
+    for f, _, _ in zm:
+        if groups[-1] and acc + rows[f] > target_rows:
+            groups.append([])
+            acc = 0
+        groups[-1].append(f)
+        acc += rows[f]
+
+    def merge_one(fs: list[str], idx: int) -> str:
+        t = pa.concat_tables([pq.read_table(f) for f in fs])
+        t = t.take(pc.sort_indices(t[col]))
+        out = os.path.join(out_dir, f"compact-{idx:05d}.parquet")
+        pq.write_table(t, out)
+        for f in fs:
+            os.remove(f)
+            for side in glob.glob(f + ".bloom-*"):
+                os.remove(side)
+        return out
+
+    todo = [(g, i) for i, g in enumerate(groups) if len(g) > 1]
+    if todo:
+        if ray.is_initialized() and len(todo) > 2:
+            task = ray.remote(num_cpus=1)(merge_one)
+            ray.get([task.remote(g, i) for g, i in todo])
+        else:
+            for g, i in todo:
+                merge_one(g, i)
+    return _files(out_dir)

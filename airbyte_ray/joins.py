@@ -395,10 +395,20 @@ def skew_join(
     hot_min_count: int = 100_000,
     num_buckets: int = 32,
     broadcast_cap_rows: int = 1_000_000,
+    detect_sample: float = 0.05,
+    hot_keys: list | None = None,
+    stats_out: dict | None = None,
 ) -> ray.data.Dataset:
     """Skew-aware join: keys hot on the LEFT (fact) side never enter the
-    shuffle.  A plain hash join sends every row of a hot key to one bucket
-    task — one zipf-hot key can hold a 10^10-row join hostage.  Here:
+    shuffle.  A plain hash join sends every row of a hot key to ONE bucket
+    task, which must hold that key's full row set (and its join output) in
+    a single heap — at 10^10 rows a hostage key is an OOM, not a slowdown.
+    Here the hot rows stay in streaming ``map_batches`` (peak memory =
+    batch size) and the exchange carries only the cold tail — the bench
+    measures the exchange-volume reduction directly.  (Wall-time on a
+    single node breaks even only at extreme skew: Arrow's in-bucket join
+    is fast, and this plan spends extra passes on detection + routing —
+    measured honestly in BASELINE.md.)  Plan:
 
     1. detect hot left keys with the exact-output CMS pass
        (``sketch.heavy_hitters``: count ≥ ``hot_min_count``) — one pass,
@@ -418,13 +428,47 @@ def skew_join(
     IS ``hash_join``."""
     if how not in ("inner", "left"):
         raise ValueError(f"skew_join supports inner/left, got {how!r}")
-    from .functions.sketch import heavy_hitters
-
-    hot_rows = heavy_hitters(left, on, hot_min_count).take_all()
-    if not hot_rows:
-        return hash_join(left, right, on, how=how, num_buckets=num_buckets)
     key_type = left.schema().types[left.schema().names.index(on)]
-    hot_arr = pa.array([r[on] for r in hot_rows], key_type)
+    if hot_keys is None:
+        # Detection on a deterministic md5 SAMPLE: a false negative only
+        # routes that key through the hash path (correctness unaffected —
+        # hot routing is a pure optimization), so sampling is safe and
+        # cuts the detection pass to detect_sample of the left side.  The
+        # threshold halves on top of the scaling to keep marginal hot
+        # keys detected w.h.p.
+        from .functions.sketch import heavy_hitters
+
+        det = left
+        thr = hot_min_count
+        if 0 < detect_sample < 1.0:
+            # batch-local stride sample — row-level, so a hot key's count
+            # scales by detect_sample (a per-KEY md5 draw would keep or
+            # drop a key wholesale).  Which keys get detected may vary
+            # with block layout; the OUTPUT never does (both paths emit
+            # identical rows — pytest-pinned against hash_join).
+            stride = max(2, int(round(1.0 / detect_sample)))
+
+            def _stride(t: pa.Table) -> pa.Table:
+                return t.take(pa.array(
+                    np.arange(0, t.num_rows, stride, dtype=np.int64)))
+
+            det = left.select_columns([on]).map_batches(
+                _stride, batch_format="pyarrow")
+            thr = max(2, int(hot_min_count / stride * 0.5))
+        hot_rows = heavy_hitters(det, on, thr).take_all()
+        hot_keys = [r[on] for r in hot_rows]
+    if not hot_keys:
+        if stats_out is not None:
+            stats_out.update({"hot_keys": 0, "hot_left_rows": 0,
+                              "exchange_frac": 1.0})
+        return hash_join(left, right, on, how=how, num_buckets=num_buckets)
+    # pin both sides: the split below reads each side twice; without the
+    # pin the upstream parquet scan would execute per consumer (at true
+    # 100-TB scale pass hot_keys explicitly and accept the re-scan instead
+    # of pinning the corpus)
+    left = left.materialize()
+    right = right.materialize()
+    hot_arr = pa.array(list(hot_keys), key_type)
     href = ray.put(hot_arr)
 
     def split(want_hot: bool):
@@ -447,7 +491,7 @@ def skew_join(
     if right_hot is not None and right_hot.num_rows > broadcast_cap_rows:
         raise ValueError(
             f"right side holds {right_hot.num_rows} rows for the "
-            f"{len(hot_rows)} hot keys (> cap {broadcast_cap_rows}); the "
+            f"{len(hot_keys)} hot keys (> cap {broadcast_cap_rows}); the "
             "broadcast contract needs a small right side — raise "
             "hot_min_count or pre-aggregate the right side")
 
@@ -457,6 +501,16 @@ def skew_join(
     left_hot = left.map_batches(split(True), batch_format="pyarrow")
     left_cold = left.map_batches(split(False), batch_format="pyarrow")
     right_cold = right.map_batches(split(False), batch_format="pyarrow")
+    if stats_out is not None:
+        # measured routing: only the cold tail enters the exchange (both
+        # inputs are pinned, so these counts are cheap object-store scans)
+        n_left = left.count()
+        n_hot = left_hot.count()
+        stats_out.update({
+            "hot_keys": len(hot_keys),
+            "hot_left_rows": int(n_hot),
+            "exchange_frac": round((n_left - n_hot) / max(n_left, 1), 4),
+        })
 
     if right_hot is None or right_hot.num_rows == 0:
         # hot keys have no right partners: inner drops them, left

@@ -206,6 +206,58 @@ def run_bench() -> dict:
 
         timed("agg_partial", q_agg_partial)
         timed("join_partitioned", q_join_partitioned)
+
+        # ---- skew-join A/B on a hostage-key fixture (50% of rows one
+        # key): same inputs, same result (pytest-equivalence-pinned).
+        # The headline metric is the EXCHANGE-VOLUME reduction — hot rows
+        # never enter the shuffle, so no single bucket task must hold the
+        # hostage key's row set; wall-times are reported beside it
+        # honestly (Arrow's in-bucket join keeps the hash path
+        # competitive on a single node).
+        import numpy as _np
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        from airbyte_ray.joins import hash_join as _hj, skew_join as _sj
+
+        skew_dir = os.path.join(BENCH_ROOT, "skew_fixture")
+        n_skew, nk = max(N_EVENTS // 4, 100_000), 100_000
+        if not os.path.exists(os.path.join(skew_dir, ".done")):
+            shutil.rmtree(skew_dir, ignore_errors=True)
+            os.makedirs(skew_dir)
+            rng = _np.random.default_rng(1)
+            for c in range(8):
+                n = n_skew // 8
+                keys = _np.concatenate([
+                    _np.zeros(n // 2, _np.int64),
+                    rng.integers(1, nk, n - n // 2)])
+                rng.shuffle(keys)
+                _pq.write_table(_pa.table({
+                    "k": _pa.array(keys),
+                    "v": _pa.array(_np.arange(n, dtype=_np.int64))}),
+                    os.path.join(skew_dir, f"c{c}.parquet"))
+            ids = _np.arange(nk)
+            _pq.write_table(_pa.table({
+                "k": _pa.array(ids), "attr": _pa.array(ids % 97)}),
+                os.path.join(skew_dir, "dim.parquet"))
+            open(os.path.join(skew_dir, ".done"), "w").close()
+
+        def _skew_left():
+            return ray.data.read_parquet(
+                [os.path.join(skew_dir, f"c{c}.parquet") for c in range(8)])
+
+        def _dim():
+            return ray.data.read_parquet(os.path.join(skew_dir, "dim.parquet"))
+
+        timed("join_hash_hostage", lambda _: _hj(_skew_left(), _dim(),
+                                                 on="k", num_buckets=64))
+        skew_stats: dict = {}
+        timed("join_skew_hostage", lambda _: _sj(_skew_left(), _dim(),
+                                                 on="k",
+                                                 hot_min_count=n_skew // 10,
+                                                 num_buckets=64,
+                                                 stats_out=skew_stats))
+
         timed("dedup_exact", q_dedup_exact)
         timed("token_count", q_token_count)
         timed("bm25_topk", q_bm25_topk)
@@ -454,6 +506,14 @@ def run_bench() -> dict:
         out["dedup_probe_10x_ratio"] = round(
             timings["dedup_index_probe_dist_b10"]
             / timings["dedup_index_probe_dist_b1"], 3)
+    if "join_hash_hostage" in timings:
+        # exchange carries only the cold half — the hostage key's rows
+        # never hit the shuffle and no task holds them all at once
+        out["skew_join_ab"] = {
+            "hash_sec": timings["join_hash_hostage"],
+            "skew_sec": timings["join_skew_hostage"],
+            **skew_stats,  # measured: hot_keys, hot_left_rows, exchange_frac
+        }
     return out
 
 

@@ -204,3 +204,19 @@ def test_skew_join_broadcast_cap_raises():
     with _pt.raises(ValueError, match="cap"):
         skew_join(ray.data.from_arrow(left), ray.data.from_arrow(right),
                   "k", hot_min_count=100, broadcast_cap_rows=10)
+
+
+def test_skew_join_routes_hot_rows_off_the_exchange():
+    from airbyte_ray.joins import skew_join
+
+    left, right = _skew_fixture()
+    stats = {}
+    out = skew_join(ray.data.from_arrow(left), ray.data.from_arrow(right),
+                    "k", hot_min_count=400, detect_sample=1.0,
+                    stats_out=stats)
+    assert out.count() > 0
+    # keys 7 (5000 rows) and 11 (500) are hot at threshold 400; 5500 of
+    # 6100 left rows bypass the exchange
+    assert stats["hot_keys"] == 2
+    assert stats["hot_left_rows"] == 5500
+    assert stats["exchange_frac"] == round(600 / 6100, 4)

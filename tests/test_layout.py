@@ -173,3 +173,41 @@ def test_sidecar_wrong_column_raises(tmp_path):
     os.rename(files[0] + ".bloom-k", files[0] + ".bloom-v")
     with pytest.raises(ValueError):
         point_probed_files(files, "v", [1.0])
+
+
+def test_compact_clustered_preserves_order_and_rows(tmp_path):
+    from airbyte_ray.functions.layout import compact_clustered
+
+    t = _vals_table(4000)
+    files = write_clustered(ray.data.from_arrow(t), str(tmp_path), "v",
+                            num_files=16)
+    before = _tbl(read_range(files, "v", 0.0, 4000.0)).sort_by("k")
+    out = compact_clustered(str(tmp_path), "v", target_rows=1000)
+    assert len(out) < len(files)  # actually merged something
+    # zone map still disjoint and ordered
+    zm = sorted((mn, mx) for _, mn, mx in zone_map(out, "v"))
+    for (mn, mx), (mn2, _) in zip(zm, zm[1:]):
+        assert mn <= mx < mn2
+    after = _tbl(read_range(out, "v", 0.0, 4000.0)).sort_by("k")
+    assert after.equals(before)  # byte-identical data
+    # pruning still works at the same selectivity
+    probed = range_probed_files(out, "v", 100.0, 500.0)
+    assert 0 < len(probed) < len(out)
+
+
+def test_compact_clustered_drops_stale_sidecars(tmp_path):
+    from airbyte_ray.functions.layout import (
+        compact_clustered,
+        write_bloom_sidecars,
+    )
+
+    t = _vals_table(1000)
+    files = write_clustered(ray.data.from_arrow(t), str(tmp_path), "v",
+                            num_files=8)
+    write_bloom_sidecars(files, "k")
+    compact_clustered(str(tmp_path), "v", target_rows=600)
+    import glob as _g
+
+    # no sidecar may describe a dead file
+    for side in _g.glob(os.path.join(str(tmp_path), "*.bloom-*")):
+        assert os.path.exists(side[: side.rindex(".bloom-")])
