@@ -211,3 +211,28 @@ def test_compact_clustered_drops_stale_sidecars(tmp_path):
     # no sidecar may describe a dead file
     for side in _g.glob(os.path.join(str(tmp_path), "*.bloom-*")):
         assert os.path.exists(side[: side.rindex(".bloom-")])
+
+
+def test_point_lookup_after_compaction(tmp_path):
+    """OPTIMIZE lifecycle: compact, rebuild sidecars, point lookups prune
+    and stay exact — the full maintenance loop a long-lived lake runs."""
+    from airbyte_ray.functions.layout import (
+        compact_clustered,
+        point_probed_files,
+        read_points,
+        write_bloom_sidecars,
+    )
+
+    t = _vals_table(3000)
+    files = write_clustered(ray.data.from_arrow(t), str(tmp_path), "v",
+                            num_files=12)
+    write_bloom_sidecars(files, "k")
+    keys = [5, 250, 2999]
+    want = _tbl(read_points(files, "k", keys)).sort_by("k")
+
+    out = compact_clustered(str(tmp_path), "v", target_rows=800)
+    write_bloom_sidecars(out, "k")
+    probed = point_probed_files(out, "k", keys)
+    assert 0 < len(probed) <= len(out)
+    got = _tbl(read_points(out, "k", keys)).sort_by("k")
+    assert got.equals(want)
