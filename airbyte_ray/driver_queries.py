@@ -2180,6 +2180,20 @@ def q_ngram_topk(sf_dir: str) -> ray.data.Dataset:
     return ngram_topk(_docs(sf_dir, columns=["text"]), n=2, k=25)
 
 
+def q_dup_substrings(sf_dir: str) -> ray.data.Dataset:
+    """Exact cross-document duplicated-substring spans (Lee et al.,
+    arXiv:2107.06499 style) over 8-word windows: per doc the maximal
+    merged spans of windows whose word sequence appears in >=2 distinct
+    docs (the min-doc_id keeper keeps its copy).  Two exchanges: one
+    groupby routed by window hash (dup detection + hit extraction in a
+    single segmented kernel — no join back), one by doc_id for span
+    assembly over the hit rows only."""
+    from .functions.substring import dup_substring_spans
+
+    return dup_substring_spans(
+        _docs(sf_dir, columns=["doc_id", "text"]), k=8)
+
+
 QUERIES = {
     # Round-5 ordering: the 31 queries never yet sampled into a driver
     # CORRECTNESS artifact lead (the driver takes the first 50), followed
@@ -2277,11 +2291,38 @@ QUERIES = {
     "type_cast": q_type_cast,
     "snapshot_filter_project": q_snapshot_filter_project,
     "nested_children": q_nested_children,
+    "dup_substrings": q_dup_substrings,
 }
 _CANON = "md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 _TOKEN_RE_SQL = "[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]"
 
 ORACLE_SQL = {
+    # dup_substrings: windows are exact 8-word grams grouped directly;
+    # the Ray plan groups a 64-bit polynomial hash of the words instead
+    # (collision odds ~1/2^64 — documented approximation).  The keeper
+    # (min doc_id per gram) is never flagged; hit windows merge into
+    # maximal spans when starts are within k-1 (gaps-and-islands).
+    "dup_substrings": """
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        win AS (SELECT doc_id, x AS pos,
+                       list_reduce(ws[x:x+7], (a,b) -> a || ' ' || b) AS gram
+                FROM toks, unnest(range(1, len(ws)-6)) AS t(x)),
+        dup AS (SELECT gram, min(doc_id) AS keeper FROM win
+                GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+        hits AS (SELECT w.doc_id, w.pos FROM win w JOIN dup d USING (gram)
+                 WHERE w.doc_id != d.keeper),
+        flag AS (SELECT doc_id, pos,
+                        CASE WHEN pos - lag(pos, 1, pos - 8) OVER
+                             (PARTITION BY doc_id ORDER BY pos) > 7
+                             THEN 1 ELSE 0 END AS brk FROM hits),
+        isl AS (SELECT doc_id, pos,
+                       sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+                FROM flag)
+        SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+               CAST(max(pos) + 7 AS BIGINT) AS span_end,
+               CAST(count(*) AS BIGINT) AS n_windows
+        FROM isl GROUP BY doc_id, grp
+    """,
     "cdc_replay_upsert": """
         SELECT CAST(user_id AS VARCHAR) AS doc_id, ts, event_type, value
         FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
