@@ -2194,6 +2194,16 @@ def q_dup_substrings(sf_dir: str) -> ray.data.Dataset:
         _docs(sf_dir, columns=["doc_id", "text"]), k=8)
 
 
+def q_dup_substrings_all(sf_dir: str) -> ray.data.Dataset:
+    """Paper-scope substring dedup (scope="all"): a window duplicated
+    ANYWHERE (within-doc repeats count) is flagged everywhere except its
+    single globally-first occurrence (min doc_id, then min pos)."""
+    from .functions.substring import dup_substring_spans
+
+    return dup_substring_spans(
+        _docs(sf_dir, columns=["doc_id", "text"]), k=8, scope="all")
+
+
 QUERIES = {
     # Round-5 ordering: the 31 queries never yet sampled into a driver
     # CORRECTNESS artifact lead (the driver takes the first 50), followed
@@ -2292,6 +2302,7 @@ QUERIES = {
     "snapshot_filter_project": q_snapshot_filter_project,
     "nested_children": q_nested_children,
     "dup_substrings": q_dup_substrings,
+    "dup_substrings_all": q_dup_substrings_all,
 }
 _CANON = "md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 _TOKEN_RE_SQL = "[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]"
@@ -2311,6 +2322,31 @@ ORACLE_SQL = {
                 GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
         hits AS (SELECT w.doc_id, w.pos FROM win w JOIN dup d USING (gram)
                  WHERE w.doc_id != d.keeper),
+        flag AS (SELECT doc_id, pos,
+                        CASE WHEN pos - lag(pos, 1, pos - 8) OVER
+                             (PARTITION BY doc_id ORDER BY pos) > 7
+                             THEN 1 ELSE 0 END AS brk FROM hits),
+        isl AS (SELECT doc_id, pos,
+                       sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+                FROM flag)
+        SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+               CAST(max(pos) + 7 AS BIGINT) AS span_end,
+               CAST(count(*) AS BIGINT) AS n_windows
+        FROM isl GROUP BY doc_id, grp
+    """,
+    # dup_substrings_all: the paper's rule — rank every occurrence of a
+    # gram by (doc_id, pos); all but rank 1 of any gram occurring >= 2
+    # times (same-doc repeats count) are hits, merged into spans
+    "dup_substrings_all": """
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        win AS (SELECT doc_id, x AS pos,
+                       list_reduce(ws[x:x+7], (a,b) -> a || ' ' || b) AS gram
+                FROM toks, unnest(range(1, len(ws)-6)) AS t(x)),
+        r AS (SELECT doc_id, pos,
+                     row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn,
+                     count(*) OVER (PARTITION BY gram) AS cnt
+              FROM win),
+        hits AS (SELECT doc_id, pos FROM r WHERE cnt >= 2 AND rn > 1),
         flag AS (SELECT doc_id, pos,
                         CASE WHEN pos - lag(pos, 1, pos - 8) OVER
                              (PARTITION BY doc_id ORDER BY pos) > 7

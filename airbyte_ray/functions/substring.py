@@ -91,10 +91,16 @@ def _window_table(t: pa.Table, k: int, col: str, id_col: str) -> pa.Table:
     })
 
 
-def _hits_kernel(id_col: str, min_docs: int):
+def _hits_kernel(id_col: str, min_docs: int, scope: str):
     """Per-partition kernel: all rows of a gram hash are co-located, so
     one (h, doc, pos) sort + segmented numpy yields the dup grams, their
-    keepers, and the non-keeper hit rows — no second pass, no join."""
+    keepers, and the non-keeper hit rows — no second pass, no join.
+
+    ``scope="cross_doc"``: dup when >= ``min_docs`` DISTINCT docs hold
+    the gram; the whole min-doc_id document keeps every copy.
+    ``scope="all"`` (the paper's semantics): dup when the gram occurs
+    >= ``min_docs`` times ANYWHERE (same doc counts); only the single
+    globally-first occurrence (min doc_id, then min pos) survives."""
 
     def kernel(g: pa.Table) -> pa.Table:
         g = g.drop_columns(["__part"])
@@ -105,12 +111,16 @@ def _hits_kernel(id_col: str, min_docs: int):
         g = g.take(idx).combine_chunks()
         hs = g["h"].to_numpy()
         new_h, starts, runs = _segments(hs)
-        dk = _seg_keys(g, id_col)
-        new_doc = np.concatenate([[True], dk[1:] != dk[:-1]])
-        # distinct docs per gram segment: doc boundaries inside the segment
-        ndocs = np.add.reduceat((new_doc | new_h).astype(np.int64), starts)
-        keeper = dk[np.repeat(starts, runs)]  # min doc_id (sorted)
-        hit = np.repeat(ndocs >= min_docs, runs) & (dk != keeper)
+        if scope == "all":
+            hit = np.repeat(runs >= min_docs, runs)
+            hit[starts] = False  # global first occurrence survives
+        else:
+            dk = _seg_keys(g, id_col)
+            new_doc = np.concatenate([[True], dk[1:] != dk[:-1]])
+            # distinct docs per gram segment: doc boundaries inside it
+            ndocs = np.add.reduceat((new_doc | new_h).astype(np.int64), starts)
+            keeper = dk[np.repeat(starts, runs)]  # min doc_id (sorted)
+            hit = np.repeat(ndocs >= min_docs, runs) & (dk != keeper)
         return g.select([id_col, "pos"]).filter(pa.array(hit))
 
     return kernel
@@ -157,21 +167,30 @@ def dup_substring_spans(
     id_col: str = "doc_id",
     min_docs: int = 2,
     num_partitions: int = 32,
+    scope: str = "cross_doc",
 ) -> ray.data.Dataset:
     """Maximal duplicated-substring spans per document: (doc_id,
     span_start, span_end, n_windows), 1-based inclusive word positions.
-    The keeper document of each gram (min doc_id) is never flagged."""
+    ``scope="cross_doc"`` (default) flags grams shared by >= ``min_docs``
+    DISTINCT docs and never flags the min-doc_id keeper document;
+    ``scope="all"`` is the paper's rule — any gram occurring
+    >= ``min_docs`` times corpus-wide (within-doc repeats count) is
+    flagged everywhere except its single globally-first occurrence
+    (min doc_id, then min pos)."""
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
     if min_docs < 2:
         raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    if scope not in ("cross_doc", "all"):
+        raise ValueError(f"scope must be cross_doc|all, got {scope!r}")
     windows = ds.map_batches(
         lambda t: _window_table(t, k, col, id_col), batch_format="pyarrow")
     hits = (
         windows.map_batches(_route_by("h", num_partitions),
                             batch_format="pyarrow")
         .groupby("__part")
-        .map_groups(_hits_kernel(id_col, min_docs), batch_format="pyarrow")
+        .map_groups(_hits_kernel(id_col, min_docs, scope),
+                    batch_format="pyarrow")
     )
     return (
         hits.map_batches(_route_by(id_col, num_partitions),
@@ -189,9 +208,14 @@ def remove_dup_substrings(
     min_docs: int = 2,
     num_partitions: int = 32,
     span_cap_rows: int = 5_000_000,
+    scope: str = "cross_doc",
 ) -> ray.data.Dataset:
     """Rewrite ``col`` with every duplicated span's words removed (the
-    keeper copy survives corpus-wide).  The span table is broadcast —
+    keeper copy survives corpus-wide).  With ``scope="all"``, a tandem
+    repeat INSIDE one document merges into a span that can overlap the
+    kept first occurrence, trimming it — inherent to span removal (Lee
+    et al. cut ranges the same way); the default cross-doc scope never
+    flags the keeper document, so its copy always survives intact.  The span table is broadcast —
     spans are O(duplicated regions), orders of magnitude below the
     corpus; a span table above ``span_cap_rows`` raises loudly rather
     than silently materializing driver state (pre-shard the corpus or
@@ -200,8 +224,8 @@ def remove_dup_substrings(
     words rejoined with ``binary_join``); the only per-row work is a
     dict lookup to stamp each doc's spans into the mask."""
     spans = dup_substring_spans(
-        ds, k=k, col=col, id_col=id_col,
-        min_docs=min_docs, num_partitions=num_partitions)
+        ds, k=k, col=col, id_col=id_col, min_docs=min_docs,
+        num_partitions=num_partitions, scope=scope)
     n_spans = spans.count()
     if n_spans > span_cap_rows:
         raise ValueError(

@@ -128,3 +128,29 @@ def test_k_and_min_docs_validation():
         dup_substring_spans(ray.data.from_arrow(t), k=1)
     with pytest.raises(ValueError, match="min_docs"):
         dup_substring_spans(ray.data.from_arrow(t), min_docs=1)
+
+
+def test_scope_all_flags_within_doc_repeats():
+    t = pa.table({
+        "doc_id": pa.array(["a", "b"]),
+        "text": pa.array([f"{PHRASE} filler {PHRASE}", "totally unrelated "
+                          "words here that never repeat anywhere at all ok"]),
+    })
+    # cross_doc: nothing (one doc); all: the SECOND occurrence is flagged
+    assert _spans(t, k=8) == []
+    got = _spans(t, k=8, scope="all")
+    assert got == [("a", 12, 21, 3)]  # phrase is 10 words at pos 12
+
+
+def test_scope_all_keeps_exactly_one_global_copy():
+    t = _docs()
+    got = _spans(t, k=8, scope="all")
+    # same cross-doc phrase: first occurrence (min doc d00) survives,
+    # every other doc's copy flagged — identical to cross_doc here
+    assert got == _spans(t, k=8)
+
+
+def test_scope_validation():
+    t = _docs()
+    with pytest.raises(ValueError, match="scope"):
+        dup_substring_spans(ray.data.from_arrow(t), scope="nope")
