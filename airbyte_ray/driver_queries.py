@@ -2194,6 +2194,40 @@ def q_dup_substrings(sf_dir: str) -> ray.data.Dataset:
         _docs(sf_dir, columns=["doc_id", "text"]), k=8)
 
 
+def _plant_dup_tokens(t: pa.Table) -> pa.Table:
+    """Deterministic token arrays with PLANTED cross-doc duplicate runs:
+    base token = (7*doc_id + i*i) % 99991 (quadratic in position, so no
+    two docs can share a k-run accidentally — equal consecutive
+    differences force equal positions, then equal docs), and docs with
+    doc_id % 10 == 3 carry the shared run 900000..900019 at positions
+    5..24 (truncated by short docs, which makes partial-prefix sharing
+    part of the fixture)."""
+    d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    lens = d % 40 + 20
+    tot = int(lens.sum())
+    docrep = np.repeat(d, lens)
+    i = np.arange(tot, dtype=np.int64) - np.repeat(np.cumsum(lens) - lens, lens)
+    vals = (7 * docrep + i * i) % 99991
+    run = (docrep % 10 == 3) & (i >= 5) & (i <= 24)
+    vals = np.where(run, 900000 + (i - 5), vals).astype(np.int32)
+    offsets = np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
+    toks = pa.ListArray.from_arrays(
+        pa.array(offsets, pa.int32()), pa.array(vals, pa.int32()))
+    return pa.table({"doc_id": t["doc_id"], "tokens": toks})
+
+
+def q_dup_token_spans(sf_dir: str) -> ray.data.Dataset:
+    """Substring dedup over the PRE-TOKENIZED lake shape (doc_id,
+    tokens:list<int32>): 16-token windows, planted cross-doc runs —
+    the tokens-native kernel hashes int32 windows directly (splitmix64
+    avalanche + polynomial combine), no string work at all."""
+    from .functions.substring import dup_token_spans
+
+    planted = _docs(sf_dir, columns=["doc_id"]).map_batches(
+        _plant_dup_tokens, batch_format="pyarrow")
+    return dup_token_spans(planted, k=16)
+
+
 def q_dup_substrings_all(sf_dir: str) -> ray.data.Dataset:
     """Paper-scope substring dedup (scope="all"): a window duplicated
     ANYWHERE (within-doc repeats count) is flagged everywhere except its
@@ -2303,6 +2337,7 @@ QUERIES = {
     "nested_children": q_nested_children,
     "dup_substrings": q_dup_substrings,
     "dup_substrings_all": q_dup_substrings_all,
+    "dup_token_spans": q_dup_token_spans,
 }
 _CANON = "md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 _TOKEN_RE_SQL = "[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]"
@@ -2331,6 +2366,40 @@ ORACLE_SQL = {
                 FROM flag)
         SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
                CAST(max(pos) + 7 AS BIGINT) AS span_end,
+               CAST(count(*) AS BIGINT) AS n_windows
+        FROM isl GROUP BY doc_id, grp
+    """,
+    # dup_token_spans: the same gaps-and-islands plan over PLANTED
+    # int32 token arrays (see _plant_dup_tokens for the collision-free
+    # construction); grams are comma-joined token strings, k=16
+    "dup_token_spans": """
+        WITH toks AS (
+          SELECT doc_id, i,
+                 CASE WHEN doc_id % 10 = 3 AND i BETWEEN 5 AND 24
+                      THEN 900000 + (i - 5)
+                      ELSE (7 * doc_id + i * i) % 99991 END AS token
+          FROM documents,
+               LATERAL (SELECT unnest(generate_series(0, CAST(doc_id % 40 + 19 AS BIGINT))) AS i)),
+        arr AS (SELECT doc_id, list(token ORDER BY i) AS ts
+                FROM toks GROUP BY doc_id),
+        win AS (SELECT doc_id, x AS pos,
+                       list_reduce(list_transform(ts[x:x+15],
+                                                  v -> CAST(v AS VARCHAR)),
+                                   (a,b) -> a || ',' || b) AS gram
+                FROM arr, unnest(range(1, len(ts)-14)) AS t(x)),
+        dup AS (SELECT gram, min(doc_id) AS keeper FROM win
+                GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+        hits AS (SELECT w.doc_id, w.pos FROM win w JOIN dup d USING (gram)
+                 WHERE w.doc_id != d.keeper),
+        flag AS (SELECT doc_id, pos,
+                        CASE WHEN pos - lag(pos, 1, pos - 16) OVER
+                             (PARTITION BY doc_id ORDER BY pos) > 15
+                             THEN 1 ELSE 0 END AS brk FROM hits),
+        isl AS (SELECT doc_id, pos,
+                       sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+                FROM flag)
+        SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+               CAST(max(pos) + 15 AS BIGINT) AS span_end,
                CAST(count(*) AS BIGINT) AS n_windows
         FROM isl GROUP BY doc_id, grp
     """,

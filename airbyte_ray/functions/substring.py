@@ -43,7 +43,8 @@ import ray.data
 
 from .agg import _route_by, _seg_keys, _segments
 
-__all__ = ["dup_substring_spans", "remove_dup_substrings"]
+__all__ = ["dup_substring_spans", "remove_dup_substrings",
+           "dup_token_spans", "remove_dup_token_spans"]
 
 #: FNV-1a 64-bit prime — the positional multiplier of the window combine.
 _B = np.uint64(0x100000001B3)
@@ -261,5 +262,149 @@ def remove_dup_substrings(
         joined = pc.binary_join(lst, " ")
         i_col = t.schema.get_field_index(col)
         return t.set_column(i_col, col, joined)
+
+    return ds.map_batches(rewrite, batch_format="pyarrow")
+
+
+# ---- tokens-native variant (the pre-tokenized lake table shape) -----------
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — avalanches small int32 token ids so the
+    polynomial window combine sees full-entropy 64-bit values (raw ids
+    under a polynomial would collide for crafted low-entropy sequences)."""
+    with np.errstate(over="ignore"):
+        x = x + np.uint64(0x9E3779B97F4A7C15)
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return x ^ (x >> np.uint64(31))
+
+
+def _token_window_table(t: pa.Table, k: int, col: str, id_col: str) -> pa.Table:
+    """(doc_id, pos, h) over k-TOKEN windows of a ``list<int32>`` column —
+    the pre-tokenized lake-table shape (doc_id, tokens, n_tok, source).
+    Fully numeric: flat token values come out of Arrow zero-copy, get a
+    splitmix64 avalanche, then the same polynomial combine as the word
+    path.  No string split, no SipHash."""
+    lst = t[col].combine_chunks()
+    offs = lst.offsets.to_numpy().astype(np.int64)
+    lens = np.diff(offs)
+    nwin = np.maximum(lens - k + 1, 0)
+    total = int(nwin.sum())
+    if total == 0:
+        return pa.table({
+            id_col: pa.array([], t.schema.field(id_col).type),
+            "pos": pa.array([], pa.int64()),
+            "h": pa.array([], pa.int64()),
+        })
+    wh = _mix64(lst.values.to_numpy().astype(np.uint64))
+    n = len(wh)
+    winh = np.zeros(n - k + 1, np.uint64)
+    mult = np.uint64(1)
+    with np.errstate(over="ignore"):  # wrapping uint64 IS the hash
+        for j in range(k):
+            winh += wh[j: n - k + 1 + j] * mult
+            mult = mult * _B
+    doc_idx = np.repeat(np.arange(len(lens)), nwin)
+    cum = np.concatenate([[0], np.cumsum(nwin)])
+    pos = np.arange(total, dtype=np.int64) - np.repeat(cum[:-1], nwin) + 1
+    flat_idx = offs[:-1][doc_idx] + pos - 1
+    return pa.table({
+        id_col: t[id_col].take(pa.array(doc_idx)),
+        "pos": pa.array(pos),
+        "h": pa.array(winh[flat_idx].view(np.int64)),
+    })
+
+
+def dup_token_spans(
+    ds: ray.data.Dataset,
+    k: int = 50,
+    col: str = "tokens",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+    num_partitions: int = 32,
+    scope: str = "cross_doc",
+) -> ray.data.Dataset:
+    """:func:`dup_substring_spans` over a pre-tokenized ``list<int32>``
+    column: maximal duplicated k-TOKEN spans per doc (1-based inclusive
+    token positions).  Default k=50 tokens, the dedup threshold of Lee
+    et al. (arXiv:2107.06499).  Same two-exchange plan and kernels."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    if scope not in ("cross_doc", "all"):
+        raise ValueError(f"scope must be cross_doc|all, got {scope!r}")
+    windows = ds.map_batches(
+        lambda t: _token_window_table(t, k, col, id_col),
+        batch_format="pyarrow")
+    hits = (
+        windows.map_batches(_route_by("h", num_partitions),
+                            batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(_hits_kernel(id_col, min_docs, scope),
+                    batch_format="pyarrow")
+    )
+    return (
+        hits.map_batches(_route_by(id_col, num_partitions),
+                         batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(_spans_kernel(id_col, k), batch_format="pyarrow")
+    )
+
+
+def remove_dup_token_spans(
+    ds: ray.data.Dataset,
+    k: int = 50,
+    col: str = "tokens",
+    id_col: str = "doc_id",
+    n_tok_col: str | None = "n_tok",
+    min_docs: int = 2,
+    num_partitions: int = 32,
+    span_cap_rows: int = 5_000_000,
+    scope: str = "cross_doc",
+) -> ray.data.Dataset:
+    """Rewrite the ``list<int32>`` token column with duplicated spans cut
+    (and ``n_tok`` recomputed when present) — same broadcast-span plan,
+    cap, and tandem-overlap caveat as :func:`remove_dup_substrings`."""
+    spans = dup_token_spans(
+        ds, k=k, col=col, id_col=id_col, min_docs=min_docs,
+        num_partitions=num_partitions, scope=scope)
+    n_spans = spans.count()
+    if n_spans > span_cap_rows:
+        raise ValueError(
+            f"{n_spans} duplicated spans exceed span_cap_rows="
+            f"{span_cap_rows}; the broadcast-rewrite contract needs a "
+            "small span table — raise the cap explicitly or shard the "
+            "corpus")
+    by_doc: dict = {}
+    for r in spans.take_all():  # bounded by the cap above
+        by_doc.setdefault(r[id_col], []).append(
+            (int(r["span_start"]), int(r["span_end"])))
+    sref = ray.put(by_doc)
+
+    def rewrite(t: pa.Table) -> pa.Table:
+        from ..config import _worker_state
+
+        sp = _worker_state(("dup_tok_spans", sref.hex()),
+                           lambda: ray.get(sref))
+        lst = t[col].combine_chunks()
+        offs = lst.offsets.to_numpy().astype(np.int64)
+        flat = lst.values
+        keep = np.ones(len(flat), bool)
+        for i, d in enumerate(t[id_col].to_pylist()):
+            for lo, hi in sp.get(d, ()):
+                keep[offs[i] + lo - 1: offs[i] + hi] = False
+        cs = np.concatenate([[0], np.cumsum(keep.astype(np.int64))])
+        kept_per_doc = cs[offs[1:]] - cs[offs[:-1]]
+        new_offs = np.concatenate([[0], np.cumsum(kept_per_doc)])
+        new_lst = pa.ListArray.from_arrays(
+            pa.array(new_offs.astype(np.int32)),
+            flat.filter(pa.array(keep)))
+        t = t.set_column(t.schema.get_field_index(col), col, new_lst)
+        if n_tok_col and n_tok_col in t.schema.names:
+            t = t.set_column(
+                t.schema.get_field_index(n_tok_col), n_tok_col,
+                pa.array(kept_per_doc.astype(np.int32)))
+        return t
 
     return ds.map_batches(rewrite, batch_format="pyarrow")

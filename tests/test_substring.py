@@ -154,3 +154,81 @@ def test_scope_validation():
     t = _docs()
     with pytest.raises(ValueError, match="scope"):
         dup_substring_spans(ray.data.from_arrow(t), scope="nope")
+
+
+# ---- tokens-native variant (pre-tokenized lake-table shape) ---------------
+
+def _tok_docs() -> pa.Table:
+    rng = np.random.default_rng(23)
+    shared = rng.integers(0, 50_000, 60, dtype=np.int32)  # 60-token run
+    mk = lambda n: rng.integers(0, 50_000, n, dtype=np.int32)
+    toks = [
+        np.concatenate([mk(10), shared, mk(8)]),   # t0 — keeper
+        np.concatenate([mk(25), shared]),          # t1 — loses the run
+        mk(120),                                   # t2 — clean
+        np.concatenate([shared, mk(3)]),           # t3 — loses at pos 1
+        mk(30),                                    # t4 — shorter than k? no (30<50 windows? 30 toks < k=50 → none)
+    ]
+    return pa.table({
+        "doc_id": pa.array([f"t{i}" for i in range(len(toks))]),
+        "tokens": pa.array([t.tolist() for t in toks], pa.list_(pa.int32())),
+        "n_tok": pa.array([len(t) for t in toks], pa.int32()),
+        "source": pa.array(["s"] * len(toks)),
+    })
+
+
+def _tok_brute(t: pa.Table, k: int) -> list[tuple]:
+    docs = {d: tuple(ts) for d, ts in
+            zip(t["doc_id"].to_pylist(), t["tokens"].to_pylist())}
+    grams: dict = {}
+    for d, ts in docs.items():
+        for p in range(len(ts) - k + 1):
+            grams.setdefault(ts[p: p + k], set()).add(d)
+    out = []
+    for d, ts in docs.items():
+        ps = [p + 1 for p in range(len(ts) - k + 1)
+              if len(grams[ts[p: p + k]]) >= 2 and d != min(grams[ts[p: p + k]])]
+        if not ps:
+            continue
+        start = prev = ps[0]
+        n = 1
+        for p in ps[1:]:
+            if p - prev > k - 1:
+                out.append((d, start, prev + k - 1, n))
+                start, n = p, 0
+            prev = p
+            n += 1
+        out.append((d, start, prev + k - 1, n))
+    return sorted(out)
+
+
+def test_token_spans_match_exhaustive_reference():
+    from airbyte_ray.functions.substring import dup_token_spans
+
+    t = _tok_docs()
+    got = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_windows"])
+        for r in dup_token_spans(ray.data.from_arrow(t), k=50).take_all())
+    want = _tok_brute(t, k=50)
+    assert got == want and got  # non-trivial fixture
+    assert {d for d, *_ in got} == {"t1", "t3"}
+    by = {d: (s, e) for d, s, e, _ in got}
+    assert by["t3"][0] == 1                # run at the very front
+    assert by["t1"] == (26, 85)            # 25 prefix toks then the 60-run
+
+
+def test_remove_token_spans_rewrites_tokens_and_n_tok():
+    from airbyte_ray.functions.substring import remove_dup_token_spans
+
+    t = _tok_docs()
+    out = {r["doc_id"]: (r["tokens"], r["n_tok"]) for r in
+           remove_dup_token_spans(ray.data.from_arrow(t), k=50).take_all()}
+    orig = {r["doc_id"]: r["tokens"] for i, r in
+            enumerate(ray.data.from_arrow(t).take_all())}
+    assert out["t0"][0] == orig["t0"]      # keeper byte-identical
+    assert out["t2"][0] == orig["t2"]      # clean doc untouched
+    assert out["t1"][1] == len(out["t1"][0]) == 25   # only the prefix left
+    assert out["t3"][1] == 3
+    # surviving tokens are the exact complement of the span
+    assert out["t1"][0] == orig["t1"][:25]
+    assert out["t3"][0] == orig["t3"][60:]
